@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Cascading pipe-assembly surface the reference's tests exercise
+  * (`Each` + per-tuple functions), re-expressed as composable
+  * `DataFrame => DataFrame` transforms. All of these stay inside
+  * Catalyst/codegen — no Scala closures in the hot path.
+  */
+object Ops {
+
+  /** `RegexSplitter(new Fields(...), pattern)` analog
+    * (`MultiFamilyHBaseTest.java:54-55`): split `input` on a regex into N
+    * named string fields, dropping the input column (Cascading's
+    * RegexSplitter replaces the argument field with its results).
+    */
+  def regexSplitter(input: String, pattern: String, fields: Seq[String])
+                   (df: DataFrame): DataFrame = {
+    val parts = split(col(input), pattern)
+    val outs = fields.zipWithIndex.map { case (f, i) => parts.getItem(i).as(f) }
+    val keep = df.columns.filterNot(_ == input).map(col).toSeq
+    df.select(keep ++ outs: _*)
+  }
+
+  /** `ExpressionFunction(new Fields(name), javaExpr)` analog
+    * (`MultiFamilyCascadeHBaseTest.java:62`): append a computed field from
+    * an expression string. Cascading compiles the Java expression with
+    * Janino; Spark's `expr` parses SQL and codegens with the same Janino
+    * lineage — same capability, declarative plan.
+    */
+  def expressionFunction(field: String, sqlExpr: String)
+                        (df: DataFrame): DataFrame =
+    df.withColumn(field, expr(sqlExpr))
+
+  /** `new Identity()` pass-through (`MultiFamilyHBaseTest.java:77`). */
+  def identity(df: DataFrame): DataFrame = df
+
+  /** Field retention/reordering (Cascading `Fields` projection). */
+  def retain(fields: String*)(df: DataFrame): DataFrame =
+    df.select(fields.map(col): _*)
+
+  def discard(fields: String*)(df: DataFrame): DataFrame =
+    df.drop(fields: _*)
+
+  def rename(from: String, to: String)(df: DataFrame): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** bytes -> string boundary (`Bytes.toString`, `HBaseScheme.java:94`). */
+  def decodeUtf8(field: String)(df: DataFrame): DataFrame =
+    df.withColumn(field, decode(col(field), "UTF-8"))
+
+  /** string -> bytes boundary (`String.getBytes`, `HBaseScheme.java:120`).
+    * The reference casts all sink values to String then bytes — we model
+    * the same boundary explicitly and type-safely (a byte[] round trip
+    * that would `ClassCastException` in the reference works here).
+    */
+  def encodeUtf8(field: String)(df: DataFrame): DataFrame =
+    df.withColumn(field, encode(col(field), "UTF-8"))
+
+  /** Compose transforms left-to-right like pipes in an assembly. */
+  def pipe(stages: (DataFrame => DataFrame)*): DataFrame => DataFrame =
+    stages.reduceLeft(_ andThen _)
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.kv.{KvSchema, KvTable, SinkMode}
+
+/** Queries exercising the KV-table surface — the reference's REF
+  * operators (SURVEY.md §2a/§2d): upsert-by-rowkey LWW reads, rowkey
+  * range scans, APPEND accumulation. `kv_roundtrip` and `kv_scan_range`
+  * run the REAL KvTable write/read path (parquet log + LWW view), so the
+  * oracle checks the engine end-to-end, not just a plan rewrite.
+  */
+object KvQueries {
+
+  /** Deterministic total LWW version for orders: event-time (seconds)
+    * widened to make room for the unique orderkey tiebreak — the
+    * reference inherits HBase's timestamp+seqid tiebreak implicitly;
+    * here it is explicit and reproducible.
+    */
+  private val orderVersion =
+    (unix_timestamp(col("o_orderdate")) * lit(1000000000L) + col("o_orderkey"))
+
+  val defs: Map[String, Q] = Map(
+    // Latest order per customer, expressed directly as the LWW
+    // aggregation (single partial-agg shuffle; no global sort of the
+    // fact table — this is the shape that survives 100 TB).
+    "kv_lww_latest_order" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("r"))
+        .select(col("o_custkey"), col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_orderstatus").as("o_orderstatus"),
+          col("r.o_totalprice").as("o_totalprice"),
+          col("r.o_orderdate").as("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // Full engine round trip: REPLACE-write orders into a KvTable keyed
+    // by custkey (version = order event time), then LWW-read it back.
+    "kv_roundtrip" -> { (s, dir) =>
+      val path = scratchDir("kv_roundtrip", dir)
+      val schema = KvSchema.of("o_custkey",
+        "o_orderkey" -> ("o", "orderkey"),
+        "o_orderstatus" -> ("o", "status"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val o = table(s, dir, "orders")
+      KvTable.write(o, path, schema, SinkMode.Replace,
+        versionFrom = Some(orderVersion))
+      KvTable.read(s, path).orderBy(col("o_custkey"))
+    },
+
+    // APPEND lifecycle: two flow runs accumulate in the log
+    // (MultiFamilyCascadeHBaseTest.java:94-104's 13 -> 26 semantics),
+    // collapsed back to one row per key at read time, newest wins.
+    "kv_append_upsert" -> { (s, dir) =>
+      val path = scratchDir("kv_append_upsert", dir)
+      val schema = KvSchema.of("o_custkey",
+        "o_orderkey" -> ("o", "orderkey"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val o = table(s, dir, "orders")
+      val old = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val recent = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      KvTable.write(old, path, schema, SinkMode.Replace,
+        versionFrom = Some(orderVersion))
+      KvTable.write(recent, path, schema, SinkMode.Append,
+        versionFrom = Some(orderVersion))
+      KvTable.read(s, path).orderBy(col("o_custkey"))
+    },
+
+    // Rowkey-range scan over a byte-lex string rowkey (the HBase Scan
+    // [startRow, stopRow) analog with correct closed-open bounds —
+    // SURVEY.md §2b documents the reference's boundary bugs we fix).
+    "kv_scan_range" -> { (s, dir) =>
+      val path = scratchDir("kv_scan_range", dir)
+      val schema = KvSchema.of("rowkey",
+        "name" -> ("f", "name"),
+        "acctbal" -> ("f", "acctbal"),
+        "mktsegment" -> ("f", "mktsegment"))
+      val c = table(s, dir, "customer")
+        .select(lpad(col("c_custkey").cast("string"), 10, "0").as("rowkey"),
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("mktsegment"))
+      KvTable.write(c, path, schema, SinkMode.Replace)
+      KvTable.readRange(s, path, Some("0000000100"), Some("0000000300"))
+        .orderBy(col("rowkey"))
+    },
+
+    // Tombstone deletes: delete BUILDING-segment customers, read back
+    // the survivors (Delete-mutation dispatch,
+    // TableOutputFormatWrap.java:79-84).
+    "kv_tombstone_delete" -> { (s, dir) =>
+      val path = scratchDir("kv_tombstone_delete", dir)
+      val schema = KvSchema.of("rowkey",
+        "name" -> ("f", "name"),
+        "mktsegment" -> ("f", "mktsegment"))
+      val c = table(s, dir, "customer")
+        .select(lpad(col("c_custkey").cast("string"), 10, "0").as("rowkey"),
+          col("c_name").as("name"), col("c_mktsegment").as("mktsegment"))
+      KvTable.write(c, path, schema, SinkMode.Replace)
+      KvTable.delete(c.filter(col("mktsegment") === "BUILDING")
+        .select(col("rowkey")), path, schema)
+      KvTable.read(s, path).orderBy(col("rowkey"))
+    }
+  )
+
+  private val latestOrderSql =
+    """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "kv_lww_latest_order" -> latestOrderSql,
+    "kv_roundtrip" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_append_upsert" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_scan_range" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,
+        |       c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment
+        |FROM customer
+        |WHERE lpad(CAST(c_custkey AS VARCHAR), 10, '0') >= '0000000100'
+        |  AND lpad(CAST(c_custkey AS VARCHAR), 10, '0') < '0000000300'
+        |ORDER BY rowkey""".stripMargin,
+    "kv_tombstone_delete" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,
+        |       c_name AS name, c_mktsegment AS mktsegment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY rowkey""".stripMargin
+  )
+}

@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.Ops
+
+/** The relational surface (SURVEY.md §2b-§2h): filters, joins, aggs,
+  * windows, sorts/top-k, set ops, scalar functions. The reference gets
+  * these from Cascading; the engine exposes them as Catalyst built-ins —
+  * declarative plans so pushdown/pruning/codegen are automatic.
+  *
+  * Determinism rules (for the DuckDB hash-compare): money/ratio
+  * aggregates go through DECIMAL so sums are order-independent and only
+  * cast to DOUBLE at the end; every query ends in a total ORDER BY;
+  * column names/types are matched explicitly on both sides.
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: partial-agg shuffle on two
+    // low-cardinality keys; the date filter is pushed to the parquet scan.
+    "q1_agg" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      li.filter(col("l_shipdate") < lit("1998-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // θ/LIKE/IN/BETWEEN predicates — all pushed to the scan.
+    "q_filter_pred" -> { (s, dir) =>
+      table(s, dir, "part")
+        .filter(col("p_type").isin("PROMO", "ECONOMY") &&
+          col("p_size").between(10, 30) &&
+          col("p_name").like("%e%") && col("p_retailprice").isNotNull)
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Star join: fact orders joins broadcast dims — at 100 TB the fact
+    // table never shuffles for the dim joins; only the final 2-key agg does.
+    "q_join_broadcast" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val c = broadcast(table(s, dir, "customer"))
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Left outer join preserving order-less customers.
+    "q_join_left" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast(dec)), lit(0).cast(dec))
+            .cast("double").as("revenue"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // EXISTS -> left_semi.
+    "q_join_semi" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // NOT EXISTS -> left_anti (customers with no pending order).
+    "q_join_anti" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Ranking / analytic / framed aggregate windows.
+    "q_window_funcs" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(dec))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+
+    // Top-k: planned as TakeOrderedAndProject (per-partition heaps, no
+    // global sort).
+    "q_topk" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // INTERSECT / EXCEPT set algebra.
+    "q_set_ops" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      def custIn(from: String, until: String) =
+        o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .select(col("o_custkey"))
+      val pending = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      custIn("1995-01-01", "1996-01-01")
+        .intersect(custIn("1996-01-01", "1997-01-01"))
+        .except(pending)
+        .orderBy(col("o_custkey"))
+    },
+
+    // ROLLUP with grouping id.
+    "q_rollup" -> { (s, dir) =>
+      table(s, dir, "customer")
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("total_bal"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("c_mktsegment"),
+          asc_nulls_first("c_nationkey"))
+    },
+
+    // Exact distinct aggregation (expand + two-phase agg in Spark).
+    "q_distinct_agg" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Scalar function battery: date / string / math.
+    "q_scalar_funcs" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          floor(col("o_totalprice")).as("price_floor"),
+          lower(col("o_orderpriority")).as("prio_low"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          concat(col("o_orderstatus"), lit("-"),
+            substring(col("o_orderpriority"), 1, 1)).as("tag"),
+          length(col("o_orderpriority")).as("prio_len"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // RegexSplitter analog (MultiFamilyHBaseTest.java:54-55) through the
+    // engine's Ops surface.
+    "q_regex_split" -> { (s, dir) =>
+      val df = table(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      Ops.regexSplitter("p_name", " ", Seq("word1", "word2"))(df)
+        .orderBy(col("p_partkey"))
+    },
+
+    // ExpressionFunction analog (MultiFamilyCascadeHBaseTest.java:62) —
+    // deterministic synthetic key instead of the reference's random one.
+    "q_expr_fn" -> { (s, dir) =>
+      val df = table(s, dir, "orders").select(col("o_orderkey"))
+      Ops.expressionFunction("synth_key",
+        "((o_orderkey % 100003) * 31 + 7) % 1000")(df)
+        .orderBy(col("o_orderkey"))
+    },
+
+    // JSON extraction from the events props column.
+    "q_json_extract" -> { (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("k_sum"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("k_avg"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))
+    },
+
+    // Tumbling time window over the event stream (batch view).
+    "q_time_window" -> { (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(date_trunc("hour", col("t")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    },
+
+    // As-of join: latest view at-or-before each click, same user. Spark
+    // has no asof operator; the scalable composite is union + one
+    // partitioned sort + last(ignoreNulls) running window — a single
+    // shuffle, no per-row subqueries.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t"), lit(1).as("is_click"),
+          col("event_id"), lit(null).cast("timestamp").as("view_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t"), lit(0).as("is_click"),
+          lit(null).cast("long").as("event_id"), col("t").as("view_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_click"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(views)
+        .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 1)
+        .select(col("event_id"), col("user_id"), col("t").as("click_ts"),
+          col("last_view_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_type IN ('PROMO','ECONOMY') AND p_size BETWEEN 10 AND 30
+        |  AND p_name LIKE '%e%' AND p_retailprice IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+        |       CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """(SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        | INTERSECT
+        | SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM customer
+        |GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  lower(o_orderpriority) AS prio_low,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  o_orderstatus || '-' || substring(o_orderpriority, 1, 1) AS tag,
+        |  CAST(length(o_orderpriority) AS INT) AS prio_len
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_regex_split" ->
+      """SELECT p_partkey, string_split(p_name, ' ')[1] AS word1,
+        |  string_split(p_name, ' ')[2] AS word2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_expr_fn" ->
+      """SELECT o_orderkey, ((o_orderkey % 100003) * 31 + 7) % 1000 AS synth_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS k_avg,
+        |  MIN(k) AS k_min, MAX(k) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_time_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(v.ts AS TIMESTAMP) AS last_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin
+  )
+}

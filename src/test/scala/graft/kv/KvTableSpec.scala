@@ -1,0 +1,152 @@
+package graft.kv
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, TestSpark}
+import graft.ops.Ops
+
+/** Value-level parity tests for the KV table, reproducing the reference's
+  * two E2E scenarios (SURVEY.md §5) but asserting cell values, not just
+  * counts (stronger than the reference's count-only `verifySink`,
+  * `HBaseTestCase.java:46-61`).
+  */
+class KvTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The reference fixture, verbatim (`src/test/data/small.txt:1-13`):
+    * 13 space-delimited `num lower upper` lines, 5 distinct keys. */
+  val smallTxt: Seq[String] = Seq(
+    "1 a A", "1 b B", "1 c C", "2 b B", "2 c C", "2 d D", "3 c C",
+    "4 b B", "4 c C", "4 d D", "5 a A", "5 b B", "5 e E")
+
+  val schema: KvSchema = KvSchema.of("num",
+    "lower" -> ("left", "lower"),
+    "upper" -> ("right", "upper"))
+
+  def parsed: DataFrame = {
+    val lines = spark.createDataset(smallTxt).toDF("line").coalesce(1)
+    Ops.regexSplitter("line", " ", Seq("num", "lower", "upper"))(lines)
+  }
+
+  test("file -> table upsert collapses 13 lines to 5 rows, last write wins") {
+    val path = TestSpark.scratch("kv-upsert")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    val rows = KvTable.read(spark, path).orderBy("num")
+      .as[(String, String, String)].collect()
+    assert(rows.length === 5) // MultiFamilyHBaseTest.java:71
+    // Last line per key in file order wins — HBase Put overwrite semantics.
+    assert(rows === Array(
+      ("1", "c", "C"), ("2", "d", "D"), ("3", "c", "C"),
+      ("4", "d", "D"), ("5", "e", "E")))
+  }
+
+  test("round trip table -> table preserves values (fixes the reference's " +
+    "byte[]-write ClassCastException asymmetry)") {
+    val p1 = TestSpark.scratch("kv-rt1")
+    val p2 = TestSpark.scratch("kv-rt2")
+    KvTable.write(parsed, p1, schema, SinkMode.Replace)
+    val readBack = KvTable.read(spark, p1)
+    KvTable.write(readBack, p2, schema, SinkMode.Replace)
+    val rows = KvTable.read(spark, p2).orderBy("num")
+      .as[(String, String, String)].collect()
+    assert(rows.length === 5) // MultiFamilyHBaseTest.java:84
+    assert(rows.map(_._1) === Array("1", "2", "3", "4", "5"))
+  }
+
+  test("APPEND accumulates distinct keys: 13 then 26 rows") {
+    // MultiFamilyCascadeHBaseTest.java:89-104, with deterministic unique
+    // keys instead of the reference's Math.random().
+    val path = TestSpark.scratch("kv-append")
+    val unique1 = parsed.withColumn("num",
+      concat(lit("a-"), monotonically_increasing_id().cast("string")))
+    val unique2 = parsed.withColumn("num",
+      concat(lit("b-"), monotonically_increasing_id().cast("string")))
+    KvTable.write(unique1, path, schema, SinkMode.Replace)
+    assert(KvTable.read(spark, path).count() === 13)
+    KvTable.write(unique2, path, schema, SinkMode.Append)
+    assert(KvTable.read(spark, path).count() === 26)
+  }
+
+  test("newer version wins regardless of write order (versionFrom)") {
+    val path = TestSpark.scratch("kv-version")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    val newer = Seq(("k1", "new", 10L)).toDF("k", "v", "ver")
+    val older = Seq(("k1", "old", 5L)).toDF("k", "v", "ver")
+    KvTable.write(newer, path, s, SinkMode.Replace, Some(col("ver")))
+    KvTable.write(older, path, s, SinkMode.Append, Some(col("ver")))
+    val rows = KvTable.read(spark, path).as[(String, String)].collect()
+    assert(rows === Array(("k1", "new")))
+  }
+
+  test("tombstone delete removes a key; re-upsert resurrects it") {
+    val path = TestSpark.scratch("kv-tomb")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    KvTable.delete(Seq("2").toDF("num"), path, schema)
+    assert(KvTable.read(spark, path).orderBy("num")
+      .select("num").as[String].collect() === Array("1", "3", "4", "5"))
+    KvTable.write(parsed.filter($"num" === "2"), path, schema, SinkMode.Append)
+    assert(KvTable.read(spark, path).count() === 5)
+  }
+
+  test("range scan is closed-open [lower, upper)") {
+    val path = TestSpark.scratch("kv-range")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    val got = KvTable.readRange(spark, path, Some("2"), Some("4"))
+      .select("num").as[String].collect().sorted
+    assert(got === Array("2", "3")) // 4 excluded: fixes reference tail-split bug
+  }
+
+  test("Keep mode refuses to overwrite an existing table") {
+    val path = TestSpark.scratch("kv-keep")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    intercept[IllegalStateException] {
+      KvTable.write(parsed, path, schema, SinkMode.Keep)
+    }
+  }
+
+  test("schema persists with the table and derives families") {
+    val path = TestSpark.scratch("kv-schema")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    val loaded = KvTable.readSchema(spark, path)
+    assert(loaded === schema)
+    assert(loaded.families === Seq("left", "right")) // HBaseScheme.java:170-177
+    // (family, qualifier) metadata survives onto read columns
+    val md = KvTable.read(spark, path).schema("lower").metadata
+    assert(md.getString(KvSchema.FamilyKey) === "left")
+    assert(md.getString(KvSchema.QualifierKey) === "lower")
+  }
+
+  test("compact preserves the LWW view") {
+    val path = TestSpark.scratch("kv-compact")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    KvTable.delete(Seq("5").toDF("num"), path, schema)
+    val before = KvTable.read(spark, path).orderBy("num")
+      .as[(String, String, String)].collect()
+    KvTable.compact(spark, path)
+    val after = KvTable.read(spark, path).orderBy("num")
+      .as[(String, String, String)].collect()
+    assert(after === before)
+    assert(KvTable.readRaw(spark, path).count() === before.length)
+  }
+}
+
+class KvSchemaSpec extends SparkSpec {
+  test("single-key invariant and name collisions rejected") {
+    // HBaseScheme.java:151-155 analog
+    intercept[IllegalArgumentException] {
+      KvSchema.of("k", "k" -> ("f", "q"))
+    }
+    intercept[IllegalArgumentException] {
+      KvSchema.of("k", "v" -> ("f", "q"), "v" -> ("g", "q"))
+    }
+    intercept[IllegalArgumentException] { KvSchema("k", Nil) }
+  }
+
+  test("json round trip") {
+    val s = KvSchema.of("key",
+      "a" -> ("fam1", "q1"), "b" -> ("fam1", "q2"), "c" -> ("fam2", "q1"))
+    assert(KvSchema.fromJson(s.toJson) === s)
+    assert(s.families === Seq("fam1", "fam2"))
+    assert(s.fieldNames === Seq("key", "a", "b", "c"))
+  }
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run graft.Verify
+output against the DuckDB oracle and compare per-query (rows, schema,
+values). Usage: tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(got)}"
+            continue
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR {str(e)[:200]}"
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            results[name] = f"SCHEMA_MISMATCH got={list(g.columns)} want={list(w.columns)}"
+            continue
+        if len(g) != len(w):
+            results[name] = f"ROWCOUNT_MISMATCH got={len(g)} want={len(w)}"
+            continue
+        bad = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            try:
+                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                    eq = ((a.isna() & b.isna()) | (a == b)).all()
+                else:
+                    eq = a.astype(str).equals(b.astype(str))
+            except Exception as e:
+                eq = False
+            if not eq:
+                bad.append(c)
+        results[name] = "OK rows=%d" % len(g) if not bad else f"VALUE_MISMATCH cols={bad}"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("ROWS_ONLY"))
+    for k, v in sorted(results.items()):
+        print(f"{k:26s} {v}")
+    print(f"== {n_ok}/{len(results)} pass")
+    return 0 if n_ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
