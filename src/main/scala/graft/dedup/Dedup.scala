@@ -1,0 +1,226 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines (north-star EXT):
+  * exact, MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design: every stage is a DataFrame op with partial aggregation
+  * or a bounded equi-join — no cross joins against the full corpus.
+  * MinHash/LSH turns O(N²) near-dup search into |bucket|²-bounded
+  * equi-join work, the standard approach for trillion-token corpora
+  * (shingle → signature → band → bucket join).
+  *
+  * MinHash base-hashes each shingle ONCE (md5 → 60-bit int) and derives
+  * the k permutations arithmetically (a_i·h + b_i mod P) — the classic
+  * multiply-shift family, reproducible across engines because md5 and
+  * 63-bit modular arithmetic are engine-agnostic (the DuckDB oracle
+  * computes the identical signatures and band keys).
+  */
+object Dedup {
+
+  /** Deterministic exact dedup: group rows by `key` and keep the row
+    * with the smallest `tiebreak` (dropDuplicates keeps an ARBITRARY
+    * row — unacceptable for reproducible pipelines). One partial-agg
+    * shuffle via max_by/min_by.
+    */
+  def exactKeepMin(df: DataFrame, key: Column, tiebreak: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(key.as("__dedup_key"))
+      .agg(min_by(struct(cols.map(col): _*), tiebreak).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** Modulus for the MinHash permutation family: fits every intermediate
+    * in 63 bits (h < P, a ≤ 12·7919, so a·h + b < 2^63) — no overflow in
+    * Spark OR an overflow-checking oracle engine. */
+  val MinHashP = 1000000007L
+
+  /** 60-bit base hash of a string: the first 15 hex chars of its md5,
+    * reduced mod [[MinHashP]]. One md5 per token; reproducible on any
+    * engine with md5 + hex parsing. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashP
+
+  /** Per-token hashes for a token array — hash each token ONCE, then do
+    * everything downstream (shingles, signatures, bands, Jaccard) in
+    * long arithmetic. String shingles are never materialized: with
+    * higher-order functions evaluated interpreted (no codegen), string
+    * building dominates; integer folds are ~10× cheaper. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => hash60(t))
+
+  /** n-gram shingle hashes from token hashes: a base-31 polynomial roll
+    * of n consecutive token hashes mod P (th < P ≈ 2^30, so every
+    * intermediate fits a long for n ≤ 3). Hash-set Jaccard over these
+    * equals string-shingle Jaccard up to ~|set|²/P collision odds
+    * (negligible, and identically mirrored in the oracle). */
+  def shingleHashes(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - lit(n - 1)), i =>
+        (0 until n).map(j => element_at(th, i + lit(j)) *
+          lit(math.pow(31, n - 1 - j).toLong)).reduce(_ + _) % lit(MinHashP)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** MinHash signature: k min-order-statistics under the permutation
+    * family h_i(x) = (a_i·x + b_i) mod P over pre-hashed shingles.
+    * Feed a materialized long-array column (one base hash per shingle,
+    * computed once) — the k permutations are then pure arithmetic. */
+  def minHashSignature(hashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(hashes, h =>
+        ((i * lit(7919L) + lit(1L)) * h + i * lit(104729L)) % lit(MinHashP))))
+
+  /** LSH band keys: split the k-signature into `bands` groups of
+    * k/bands rows; each band key combines its slice arithmetically
+    * (values < P, so a base-P polynomial of r=2 terms fits a long).
+    * Docs sharing ANY (band_idx, band_key) become candidate pairs. */
+  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    require(r == 2, s"bands ($bands) must be k/2 (k=$k) for the long-packed band key")
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      element_at(sig, j * lit(r) + lit(1)) * lit(MinHashP) +
+        element_at(sig, j * lit(r) + lit(2)))
+  }
+
+  /** All unordered pairs {id1 < id2} from a bucket's id list, as an
+    * array of structs (order-canonicalized with least/greatest so the
+    * result is independent of collect_list's arrival order). */
+  def pairsFromIds(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(slice(ids, i + lit(1), size(ids) - i), y =>
+        struct(least(element_at(ids, i), y).as("id1"),
+          greatest(element_at(ids, i), y).as("id2")))))
+
+  /** Exact Jaccard similarity of two token/shingle arrays (set
+    * semantics, duplicate-safe, engine-reproducible). array_intersect /
+    * array_distinct are hash-based O(n+m) — never the O(n·m)
+    * contains-scan. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
+    inter.cast("double") / union
+  }
+
+  /** Full MinHash/LSH near-dup candidate pipeline over (id, text):
+    * returns candidate pairs (id1 < id2) with their exact shingle
+    * Jaccard, filtered to `minJaccard`. The only shuffles are the band
+    * self-equi-join and a distinct.
+    */
+  def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
+                          minJaccard: Double = 0.5): DataFrame = {
+    import graft.ops.Ops.materializedColumn
+    // Each stage evaluates ONCE per row behind generator barriers
+    // (inlined, the signature would recompute per band and the token
+    // hashes per permutation). md5 runs once per TOKEN; shingles,
+    // permutations, band keys and the Jaccard verify are long arithmetic.
+    val base = materializedColumn(
+      materializedColumn(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")),
+        "th", tokenHashes(TextOps.tokens(col("text")))),
+      "sh", shingleHashes(col("th"), shingleLen))
+      .select(col("id"), col("sh"))
+    val withSig = materializedColumn(base, "sig",
+      minHashSignature(col("sh"), k))
+    val bandsDf = withSig.select(col("id"),
+      posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
+    // Candidate pairs via ONE pass: group ids per bucket and expand i<j
+    // pairs locally (the self-join alternative scans the corpus twice).
+    // Bucket sizes bound the blowup; production corpora additionally cap
+    // pathological buckets before expansion.
+    val cand = bandsDf
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsFromIds(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over a token array: per bit, tokens vote ±1 by the
+    * corresponding xxhash64 bit; the sign becomes the fingerprint bit.
+    * The bit loop unrolls in Scala (shift amounts must be literals); each
+    * bit is one local aggregate over the token array — no shuffle.
+    */
+  def simHash64(toks: Column): Column =
+    simHash64FromHashes(transform(toks, t => xxhash64(t)))
+
+  /** SimHash from pre-computed token hashes: 64 bit-votes over a long
+    * array. Feed this an already-materialized hash column (see
+    * Ops.materializedColumn) so tokens are hashed once, not 64 times. */
+  def simHash64FromHashes(hashes: Column): Column =
+    (0 to 63).map { i =>
+      when(
+        aggregate(hashes, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))) >= 0L,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4 16-bit
+    * chunks (pigeonhole: hamming ≤ 3 guarantees one identical chunk),
+    * equi-join on chunks, then filter by exact hamming distance.
+    */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    import graft.ops.Ops.materializedColumn
+    // Hash tokens once per doc, then pin the fingerprint itself (it is
+    // referenced once per 16-bit chunk downstream).
+    val base = materializedColumn(
+      materializedColumn(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")),
+        "th", transform(TextOps.tokens(col("text")), t => xxhash64(t))),
+      "fp", simHash64FromHashes(col("th")))
+      .select(col("id"), col("fp"))
+    val chunked = base.select(col("id"), col("fp"),
+      posexplode(array((0 to 3).map(j =>
+        shiftright(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    // One pass: bucket by chunk, expand pairs locally carrying the
+    // fingerprints (struct comparison orders by id first).
+    chunked
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(collect_list(struct(col("id"), col("fp"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(pairsFromIds(col("xs"))).as("p"))
+      .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
+        col("p.id1.fp").as("fp1"), col("p.id2.fp").as("fp2"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("fp1"), col("fp2")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard over a candidate blocking key (e.g. same
+    * source + length bucket): pairwise similarity only within blocks,
+    * never across the full corpus.
+    */
+  def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                          blockKey: Column, ngram: Int): DataFrame = {
+    import graft.ops.Ops.materializedColumn
+    // Work on n-gram HASH sets (one md5 per token), not string shingles —
+    // see shingleHashes.
+    val base = materializedColumn(
+      docs.select(col(idCol).as("id"), blockKey.as("blk"), col(textCol).as("text")),
+      "th", tokenHashes(TextOps.tokens(col("text"))))
+      .select(col("id"), col("blk"), shingleHashes(col("th"), ngram).as("sh"))
+    val a = base.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
+    val b = base.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+}

@@ -61,4 +61,16 @@ object Ops {
   /** Compose transforms left-to-right like pipes in an assembly. */
   def pipe(stages: (DataFrame => DataFrame)*): DataFrame => DataFrame =
     stages.reduceLeft(_ andThen _)
+
+  /** Materialization barrier: force an expensive expression to evaluate
+    * exactly ONCE per row. Catalyst's CollapseProject inlines projection
+    * expressions into every downstream reference (an expression used k
+    * times is computed k times — disastrous for array-valued signatures
+    * referenced per-band/per-bit), but projections cannot collapse
+    * across a Generate node, so routing the value through
+    * `explode(array(c))` pins it. Row count and order are unchanged;
+    * cost is one array allocation per row.
+    */
+  def materializedColumn(df: DataFrame, name: String, c: Column): DataFrame =
+    df.withColumn(name, explode(array(c)))
 }

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** Deduplication EXT queries. The synthetic documents table has no real
+  * duplicates, so each query constructs a deterministic corpus-with-
+  * copies IN the query (exact copies or perturbed near-copies with
+  * shifted ids) — both engines build the identical corpus, so the
+  * dedup result is fully oracle-checkable.
+  */
+object DedupQueries {
+
+  /** documents ∪ exact copies of every 7th doc (id + 1_000_000). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies of every 10th doc (3 appended tokens). */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" xtra token pad")).as("text")))
+  }
+
+  private val corpusExactSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' xtra token pad' AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup by content fingerprint: deterministic keeper (min id)
+    // + copy count per group. One partial-agg shuffle at any scale.
+    "dedup_exact" -> { (s, dir) =>
+      corpusExact(s, dir)
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // MinHash + banded LSH near-dup pairs with exact Jaccard verify.
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minHashNearDupPairs(corpusNear(s, dir), "doc_id", "text",
+          shingleLen = 3, k = 12, bands = 6, minJaccard = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // SimHash near-dup pairs (xxhash64-based — no DuckDB equivalent, so
+    // this entry gets the driver's rows-only check).
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simHashNearDupPairs(corpusExact(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // Exact bigram Jaccard within (source, length-bucket) blocks.
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" pad")).as("text"), col("source")))
+      Dedup.blockedJaccardPairs(corpus, "doc_id", "text",
+          concat(col("source"), lit("|"),
+            expr("length(text) DIV 20").cast("string")), ngram = 2)
+        .filter(col("jaccard") >= 0.1)
+        .orderBy(col("id1"), col("id2"))
+    }
+  )
+
+  /** Shared hash-pipeline SQL: one md5 per token reduced to a 60-bit int
+    * mod P, then n-gram shingle hashes as a base-31 polynomial — the
+    * exact mirror of Dedup.tokenHashes/shingleHashes. */
+  private def thSql(src: String) =
+    raw"""SELECT doc_id,
+         |    list_transform(string_split_regex(trim(text), '\s+'),
+         |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS th
+         |  FROM $src""".stripMargin
+
+  private val minhashSql =
+    s"""WITH corpus AS ($corpusNearSql),
+       |th AS (${thSql("corpus")}),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(th) >= 3
+       |      THEN list_transform(range(1, len(th)-1),
+       |             i -> (th[i]*961 + th[i+1]*31 + th[i+2]) % 1000000007)
+       |      ELSE [] END AS sh
+       |  FROM th),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 12), i ->
+       |      list_min(list_transform(sh,
+       |        h -> ((i*7919 + 1) * h + i*104729) % 1000000007))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b.band_idx,
+       |    sig[b.band_idx*2+1] * 1000000007 + sig[b.band_idx*2+2] AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 6)) AS band_idx) b),
+       |candids AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT c.id1, c.id2, s1.sh AS sh1, s2.sh AS sh2
+       |  FROM candids c
+       |  JOIN sh s1 ON s1.doc_id = c.id1
+       |  JOIN sh s2 ON s2.doc_id = c.id2)
+       |SELECT id1, id2, jaccard FROM (
+       |  SELECT id1, id2,
+       |    CAST(len(list_filter(list_distinct(sh1), x -> list_contains(sh2, x))) AS DOUBLE)
+       |    / (len(list_distinct(sh1)) + len(list_distinct(sh2))
+       |       - len(list_filter(list_distinct(sh1), x -> list_contains(sh2, x)))) AS jaccard
+       |  FROM cand)
+       |WHERE jaccard >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+
+  private val jaccardSql = {
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' pad' AS text, source
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |th AS (
+       |  SELECT doc_id, source || '|' || CAST(length(text) // 20 AS VARCHAR) AS blk,
+       |    list_transform(string_split_regex(trim(text), '\\s+'),
+       |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS th
+       |  FROM corpus),
+       |base AS (
+       |  SELECT doc_id, blk,
+       |    CASE WHEN len(th) >= 2
+       |      THEN list_transform(range(1, len(th)),
+       |             i -> (th[i]*31 + th[i+1]) % 1000000007)
+       |      ELSE [] END AS sh
+       |  FROM th)
+       |SELECT id1, id2, jaccard FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))) AS DOUBLE)
+       |    / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+       |       - len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x)))) AS jaccard
+       |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.1
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM ($corpusExactSql)
+         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_minhash" -> minhashSql,
+    "dedup_ngram_jaccard" -> jaccardSql
+    // dedup_simhash intentionally omitted: rows-only check.
+  )
+}

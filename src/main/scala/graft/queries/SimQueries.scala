@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Similarity-search EXT queries over the embeddings table. All vector
+  * math runs on quantized integers (see [[graft.similarity.Similarity]])
+  * so cosine values are bit-identical across engines and partitionings.
+  */
+object SimQueries {
+
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT))"
+
+  val defs: Map[String, Q] = Map(
+    // Exact brute-force top-5 cosine neighbors for the first 10 vectors:
+    // query side broadcast, corpus scanned once, per-query heap via
+    // window rank.
+    "ann_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(queries, corpus, 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Angular-LSH bucketed near-dup pairs: corpus ∪ perturbed copies of
+    // every 10th vector (first component +0.05 → cosine ≈ 0.9987).
+    "ann_lsh_neardup" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val asDouble = transform(col("embedding"), x => x.cast("double"))
+      val base = e.select(col("vec_id").as("id"), asDouble.as("vec"))
+      val pert = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("id"),
+          concat(array(element_at(asDouble, 1) + lit(0.05)),
+            slice(asDouble, 2, 63)).as("vec"))
+      Similarity.lshNearDupPairs(base.unionByName(pert), "id", "vec",
+          dims = 64, minCosine = 0.995)
+        .orderBy(col("id1"), col("id2"))
+    }
+  )
+
+  private val annTopkSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, $quantSql AS qq
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS id, $quantSql AS cq FROM embeddings),
+       |s AS (
+       |  SELECT qid, id,
+       |    list_dot_product(qq, cq)
+       |      / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(cq, cq)))
+       |      AS cosine
+       |  FROM q, c WHERE qid <> id)
+       |SELECT qid, id, cosine, rank FROM (
+       |  SELECT qid, id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id)
+       |      AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val annLshSql = {
+    // The 8 deterministic hyperplane sign bits, generated to match
+    // Similarity.hyperplaneSig exactly (bit p has weight 2^(7-p)).
+    val bits = (0 to 7).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+         |  i -> q[i] * ((($p*73856093 + i*19349663) % 1999) - 999))) >= 0
+         |  THEN 1 ELSE 0 END) * ${1 << (7 - p)}""".stripMargin
+    }.mkString(" + ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS id,
+       |    [list_transform(embedding, x -> CAST(x AS DOUBLE))[1] + 0.05]
+       |      || list_transform(embedding, x -> CAST(x AS DOUBLE))[2:64] AS vec
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |qv AS (
+       |  SELECT id, list_transform(vec, x -> CAST(round(x*10000) AS BIGINT)) AS q
+       |  FROM corpus),
+       |sigs AS (SELECT id, q, $bits AS sig FROM qv)
+       |SELECT id1, id2, cosine FROM (
+       |  SELECT a.id AS id1, b.id AS id2,
+       |    list_dot_product(a.q, b.q)
+       |      / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
+       |      AS cosine
+       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id)
+       |WHERE cosine >= 0.995
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" -> annTopkSql,
+    "ann_lsh_neardup" -> annLshSql
+  )
+}

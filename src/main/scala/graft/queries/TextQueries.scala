@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Text-analysis EXT queries over the documents table. Regex patterns
+  * are restricted to the RE2 ∩ java.util.regex common subset so the
+  * DuckDB oracle computes byte-identical results; DuckDB's
+  * regexp_replace needs the 'g' flag to match Spark's replace-all
+  * default.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+
+  val defs: Map[String, Q] = Map(
+    // Token statistics: counts + average token length.
+    "text_tokens" -> { (s, dir) =>
+      val t = TextOps.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(t).as("n_tokens"),
+          size(TextOps.wordShingles(t, 3)).as("n_shingles"),
+          TextOps.tokenChars(t).as("total_chars"),
+          (TextOps.tokenChars(t).cast("double") / size(t)).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: stopword dominance + garbage ratio + length credit.
+    "text_quality" -> { (s, dir) =>
+      val t = TextOps.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(t).as("n_tokens"),
+          TextOps.stopwordRatio(t, stopwords).as("stop_ratio"),
+          TextOps.nonAlnumRatio(col("text")).as("nonalnum_ratio"),
+          TextOps.qualityScore(col("text"), stopwords).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Stopword-profile language ID (deterministic heuristic).
+    "text_langid" -> { (s, dir) =>
+      val t = TextOps.tokens(col("text"))
+      val scores = TextOps.langScores(t)
+      val scoreCols = scores.map { case (l, c) => c.as(s"s_$l") }
+      table(s, dir, "documents")
+        .select((col("doc_id") +: TextOps.langId(col("text")).as("lang_guess") +:
+          scoreCols): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // md5 fingerprint of whitespace-normalized lowercase text.
+    "text_fingerprint" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Global top-20 bigrams by frequency.
+    "text_ngrams" -> { (s, dir) =>
+      val t = TextOps.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(explode(TextOps.wordShingles(t, 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    }
+  )
+
+  private val toks = raw"string_split_regex(trim(text), '\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS INT) AS n_shingles,
+         |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
+         |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len
+         |FROM (SELECT doc_id, $toks AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+         |    / len(t) AS stop_ratio,
+         |  CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS nonalnum_ratio,
+         |  least(1.0, CAST(len(t) AS DOUBLE) / 100.0)
+         |    * (1.0 - CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t))
+         |    * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+         |    AS quality
+         |FROM (SELECT doc_id, text, $toks AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN m > 0 AND s_en = m THEN 'en'
+         |       WHEN m > 0 AND s_de = m THEN 'de'
+         |       WHEN m > 0 AND s_es = m THEN 'es'
+         |       WHEN m > 0 AND s_fr = m THEN 'fr'
+         |       ELSE 'und' END AS lang_guess,
+         |  s_en, s_de, s_es, s_fr
+         |FROM (SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |        greatest(s_en, s_de, s_es, s_fr) AS m
+         |      FROM (SELECT doc_id,
+         |        CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS INT) AS s_en,
+         |        CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+         |        CAST(len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS INT) AS s_es,
+         |        CAST(len(list_filter(t, x -> x IN ('le','les','et','est','une'))) AS INT) AS s_fr
+         |      FROM (SELECT doc_id, $toks AS t FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      raw"""SELECT doc_id,
+           |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngrams" ->
+      s"""SELECT bigram, COUNT(*) AS cnt
+         |FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i+1])) AS bigram
+         |      FROM (SELECT $toks AS t FROM documents))
+         |GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+  )
+}

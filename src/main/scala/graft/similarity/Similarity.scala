@@ -1,0 +1,104 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over embedding
+  * columns (north-star EXT).
+  *
+  * Numeric design: embeddings are quantized to integers
+  * (round(x * 10000)) before any reduction. Dot products and norms are
+  * then exact 64-bit integer sums — order-independent, reproducible on
+  * any engine and any partitioning (a float sum would drift with Spark's
+  * partition-dependent reduction order). 64 dims × |q| ≤ ~10^5 keeps
+  * every partial < 2^53, so even a DOUBLE-summing oracle agrees bit-for-
+  * bit. Cosine then needs one sqrt + one divide per pair — both exact
+  * IEEE single-ops.
+  *
+  * Scale design: brute-force top-k broadcasts only the QUERY side and
+  * streams the corpus (linear scan, embarrassingly parallel — the right
+  * baseline when queries are few). The LSH path buckets the corpus by
+  * 8 deterministic random-hyperplane sign bits, so pair generation is an
+  * equi-join within buckets (~N²/256 instead of N²), the standard
+  * angular-LSH recipe.
+  */
+object Similarity {
+
+  val Scale = 10000L
+
+  /** Quantize a float/double vector to exact longs. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from quantized vectors (exact up to quantization). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b) / (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Brute-force exact top-k cosine neighbors.
+    * `queries`: (qid, qvec raw float array); `corpus`: (id, vec).
+    * Returns (qid, id, cosine, rank) with rank 1..k, deterministic
+    * tiebreak by id. The corpus is scanned once; queries are broadcast.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq")))
+    val c = corpus.select(col("id"), quantize(col("vec")).as("cq"))
+    val scored = c.join(q, col("qid") =!= col("id"))
+      .withColumn("cosine", cosineQ(col("qq"), col("cq")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * 1-based dim i): an integer in [-999, 999]. Pure int arithmetic so
+    * any engine reproduces it. */
+  private def planeW(p: Column, i: Column): Column =
+    (p * lit(73856093L) + i * lit(19349663L)) % lit(1999L) - lit(999L)
+
+  /** 8-bit angular LSH signature of a quantized vector: bit p is the
+    * sign of the dot product with deterministic hyperplane p. Exact
+    * integer arithmetic throughout. */
+  def hyperplaneSig(qvec: Column, dims: Int, bits: Int = 8): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0),
+      (acc, p) => acc * 2 + when(
+        aggregate(sequence(lit(1), lit(dims)), lit(0L),
+          (s, i) => s + element_at(qvec, i) * planeW(p, i)) >= 0L,
+        1).otherwise(0))
+
+  /** Near-duplicate pairs by cosine ≥ `minCosine`, bucketed by the LSH
+    * signature (colinear vectors always share a signature, so exact
+    * duplicates are never missed; near-dups are found with the usual
+    * LSH recall).
+    */
+  def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                      dims: Int, minCosine: Double): DataFrame = {
+    import graft.ops.Ops.materializedColumn
+    // Pin the quantized vector behind a generator barrier: the signature
+    // reads it once per (plane, dim) — inlined, the whole quantize
+    // transform would re-run per element_at (dims × bits × per row).
+    val base = materializedColumn(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "q", quantize(col("v")))
+      .select(col("id"), col("q"))
+      .withColumn("sig", hyperplaneSig(col("q"), dims))
+    // One corpus pass: bucket by signature, expand i<j pairs locally
+    // carrying the quantized vectors (struct order = id order).
+    base
+      .groupBy(col("sig"))
+      .agg(collect_list(struct(col("id"), col("q"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(graft.dedup.Dedup.pairsFromIds(col("xs"))).as("p"))
+      .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
+        col("p.id1.q").as("q1"), col("p.id2.q").as("q2"))
+      .withColumn("cosine", cosineQ(col("q1"), col("q2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star EXT surface, SURVEY.md §2h). Everything is built from
+  * codegen'd Catalyst expressions and higher-order array functions — no
+  * UDFs, no shuffles: each operator is embarrassingly parallel per row,
+  * so it scales linearly with input splits at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the `RegexSplitter` lineage generalized). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles joined by single spaces: ["a b c", "b c d", …].
+    * Docs shorter than n tokens yield an empty array (sequence() would
+    * otherwise count DOWN for a negative span). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Total characters across tokens (excludes whitespace). */
+  def tokenChars(toks: Column): Column =
+    aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+
+  /** Ratio of tokens found in `stopwords` (frequency, not distinct). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      size(toks)
+  }
+
+  /** Fraction of characters outside [a-z0-9 ] after lowercasing — a
+    * punctuation/garbage signal for quality filtering. */
+  def nonAlnumRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double") /
+      length(text)
+
+  /** Composite quality score in [0,1]: length credit × (1 - stopword
+    * dominance) × (1 - garbage ratio). Deterministic double arithmetic. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    least(lit(1.0), size(t).cast("double") / 100.0) *
+      (lit(1.0) - stopwordRatio(t, stopwords)) *
+      (lit(1.0) - nonAlnumRatio(text))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Identical docs (mod spacing/case) share a fingerprint —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Language-ID by stopword-profile scoring: count tokens hitting each
+    * language's tiny function-word list, pick the max with a fixed
+    * priority tiebreak. An n-gram-free heuristic that needs no model
+    * and stays in codegen.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(tokens(text))
+    // First profile with the max score wins (stable priority order).
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+  }
+}

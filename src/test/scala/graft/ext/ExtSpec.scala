@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.multimodal.{MediaCodec, Multimodal}
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / shingles / counts") {
+    val df = Seq("  the quick brown fox  ", "a b").toDF("text")
+    val out = df.select(
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.wordShingles(TextOps.tokens($"text"), 3).as("sh3"))
+    val rows = out.as[(Int, Seq[String])].collect()
+    assert(rows(0) === ((4, Seq("the quick brown", "quick brown fox"))))
+    assert(rows(1) === ((2, Seq.empty))) // shorter than n -> empty, not desc-sequence
+  }
+
+  test("stopword ratio and quality score bounds") {
+    val df = Seq("the the the", "alpha beta gamma delta").toDF("text")
+    val r = df.select(
+      TextOps.stopwordRatio(TextOps.tokens($"text"), Seq("the")).as("sr"),
+      TextOps.qualityScore($"text", Seq("the")).as("q"))
+      .as[(Double, Double)].collect()
+    assert(r(0)._1 === 1.0)
+    assert(r(0)._2 === 0.0) // all stopwords -> zero quality
+    assert(r(1)._1 === 0.0)
+    assert(r(1)._2 > 0.0 && r(1)._2 <= 1.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("a", "Hello  World"), ("b", "hello world")).toDF("id", "text")
+    val fps = df.select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("langId picks the dominant profile with fixed tiebreak") {
+    val df = Seq("der und das ist gut", "xyzzy blorp", "the a of and").toDF("text")
+    val r = df.select(TextOps.langId($"text")).as[String].collect()
+    assert(r === Array("de", "und", "en"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactKeepMin keeps the smallest tiebreak row per key") {
+    val df = Seq((1L, "x", "keep"), (2L, "x", "drop"), (3L, "y", "only"))
+      .toDF("id", "key", "tag")
+    val out = Dedup.exactKeepMin(df, $"key", $"id")
+      .orderBy("id").as[(Long, String, String)].collect()
+    assert(out === Array((1L, "x", "keep"), (3L, "y", "only")))
+  }
+
+  test("jaccard is exact set similarity") {
+    val df = Seq((Seq(1L, 2L, 3L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+    val j = df.select(Dedup.jaccard($"a", $"b")).as[Double].head()
+    assert(j === 0.5) // {1,2,3} vs {2,3,4}: 2 / 4
+  }
+
+  test("pairsFromIds expands unordered unique pairs") {
+    val df = Seq(Seq(3L, 1L, 2L)).toDF("ids")
+    val pairs = df.select(explode(Dedup.pairsFromIds($"ids")).as("p"))
+      .select("p.id1", "p.id2").as[(Long, Long)].collect().sorted
+    assert(pairs === Array((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minHashNearDupPairs finds planted near-duplicates") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => s"tok${i}_$j").mkString(" "))
+    }
+    val planted = docs.take(4).map { case (id, text) =>
+      (id + 1000L, text + " extra pad tail")
+    }
+    val df = (docs ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert((0 until 4).forall(i => found.contains((i.toLong, i + 1000L))))
+    assert(pairs.forall(_._3 >= 0.5))
+    // no cross-document false positives among unrelated docs
+    assert(pairs.forall(p => p._2 - p._1 == 1000L))
+  }
+
+  test("simHash: identical docs hamming 0, perturbed docs close, " +
+    "unrelated docs far") {
+    val df = Seq(
+      ("same", "a b c d e f g h i j"),
+      ("same2", "a b c d e f g h i j"),
+      ("other", "completely different words entirely here now ok"))
+      .toDF("name", "text")
+    val fps = df.select($"name", Dedup.simHash64(TextOps.tokens($"text")).as("fp"))
+      .as[(String, Long)].collect().toMap
+    assert(fps("same") === fps("same2"))
+    assert(java.lang.Long.bitCount(fps("same") ^ fps("other")) > 10)
+  }
+
+  test("simHashNearDupPairs catches exact copies via chunk banding") {
+    val docs = (0 until 20).map(i =>
+      (i.toLong, (0 until 25).map(j => s"w${i}_$j").mkString(" ")))
+    val copies = docs.take(3).map { case (id, t) => (id + 100L, t) }
+    val out = Dedup.simHashNearDupPairs((docs ++ copies).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long, Int)].collect()
+    val found = out.map(p => (p._1, p._2)).toSet
+    assert((0 until 3).forall(i => found.contains((i.toLong, i + 100L))))
+    assert(out.filter(p => p._2 - p._1 == 100L).forall(_._3 === 0))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineQ: colinear vectors -> 1.0, orthogonal -> 0.0") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 0.0), Seq(2.0, 4.0, 0.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))).toDF("a", "b")
+    val r = df.select(Similarity.cosineQ(
+      Similarity.quantize($"a"), Similarity.quantize($"b"))).as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-9)
+    assert(r(1) === 0.0)
+  }
+
+  test("bruteForceTopK returns k nearest with deterministic ranks") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.05f)), (4L, Seq(-1.0f, 0.0f))).toDF("id", "vec")
+    val queries = corpus.filter($"id" === 0L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val top = Similarity.bruteForceTopK(queries, corpus, 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.map(_._2).toSeq === Seq(3L, 1L)) // nearest first
+    assert(top.map(_._4).toSeq === Seq(1, 2))
+  }
+
+  test("lshNearDupPairs finds planted near-identical vectors") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 8 + d + 1).toFloat * 2).toSeq)
+    }
+    val df = vecs.toDF("id", "fvec")
+      .select($"id", transform($"fvec", x => x.cast("double")).as("vec"))
+    val planted = df.filter($"id" < 3)
+      .select(($"id" + 100L).as("id"), $"vec")
+    val out = Similarity.lshNearDupPairs(df.unionByName(planted), "id", "vec",
+      dims = 8, minCosine = 0.9999).as[(Long, Long, Double)].collect()
+    val found = out.map(p => (p._1, p._2)).toSet
+    assert((0 until 3).forall(i => found.contains((i.toLong, i + 100L))))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload plumbing: byte length, content key, fake features") {
+    val df = Seq("hello", "hello", "other").toDF("text")
+      .select(Multimodal.asPayload($"text").as("p"))
+    val out = df.select(
+      Multimodal.byteLen($"p").as("n"),
+      Multimodal.contentKey($"p").as("k"),
+      Multimodal.fakeFeatures($"p", 4).as("f"))
+      .as[(Int, String, Seq[Double])].collect()
+    assert(out(0)._1 === 5)
+    assert(out(0)._2 === out(1)._2) // content-addressed
+    assert(out(0)._2 !== out(2)._2)
+    assert(out(0)._3 === out(1)._3) // deterministic fake decode
+    assert(out(0)._3.length === 4)
+    assert(out(0)._3.forall(v => v >= 0.0 && v < 1.0))
+  }
+
+  test("decodePartitioned runs the codec once per payload, batched") {
+    val payloads = spark.createDataset(
+      Seq("aa", "bbb", "cccc").map(_.getBytes("UTF-8")))
+    val out = Multimodal.decodePartitioned(payloads, MediaCodec.stub)
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(2, 3, 4))
+    assert(out.map(_._2).distinct.length === 3)
+  }
+}
