@@ -112,19 +112,23 @@ object Dedup {
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
                           minJaccard: Double = 0.5): DataFrame = {
+    import graft.functions.Native
     import graft.ops.Ops.materializedColumn
+    Native.register(docs.sparkSession)
     // Each stage evaluates ONCE per row behind generator barriers
     // (inlined, the signature would recompute per band and the token
     // hashes per permutation). md5 runs once per TOKEN; shingles,
-    // permutations, band keys and the Jaccard verify are long arithmetic.
+    // permutations, band keys and the Jaccard verify are long arithmetic
+    // in single-pass native expressions (same math as the HOF column
+    // API, same oracle).
     val base = materializedColumn(
       materializedColumn(
         docs.select(col(idCol).as("id"), col(textCol).as("text")),
-        "th", tokenHashes(TextOps.tokens(col("text")))),
-      "sh", shingleHashes(col("th"), shingleLen))
+        "th", Native.tokenHashes(TextOps.tokens(col("text")))),
+      "sh", Native.shingleHashes(col("th"), shingleLen))
       .select(col("id"), col("sh"))
     val withSig = materializedColumn(base, "sig",
-      minHashSignature(col("sh"), k))
+      Native.minHashSig(col("sh"), k))
     val bandsDf = withSig.select(col("id"),
       posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
     // Candidate pairs via ONE pass: group ids per bucket and expand i<j
@@ -175,14 +179,16 @@ object Dedup {
     */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
+    import graft.functions.Native
     import graft.ops.Ops.materializedColumn
+    Native.register(docs.sparkSession)
     // Hash tokens once per doc, then pin the fingerprint itself (it is
     // referenced once per 16-bit chunk downstream).
     val base = materializedColumn(
       materializedColumn(
         docs.select(col(idCol).as("id"), col(textCol).as("text")),
         "th", transform(TextOps.tokens(col("text")), t => xxhash64(t))),
-      "fp", simHash64FromHashes(col("th")))
+      "fp", Native.simHash64(col("th")))
       .select(col("id"), col("fp"))
     val chunked = base.select(col("id"), col("fp"),
       posexplode(array((0 to 3).map(j =>
@@ -209,13 +215,15 @@ object Dedup {
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockKey: Column, ngram: Int): DataFrame = {
+    import graft.functions.Native
     import graft.ops.Ops.materializedColumn
+    Native.register(docs.sparkSession)
     // Work on n-gram HASH sets (one md5 per token), not string shingles —
     // see shingleHashes.
     val base = materializedColumn(
       docs.select(col(idCol).as("id"), blockKey.as("blk"), col(textCol).as("text")),
-      "th", tokenHashes(TextOps.tokens(col("text"))))
-      .select(col("id"), col("blk"), shingleHashes(col("th"), ngram).as("sh"))
+      "th", Native.tokenHashes(TextOps.tokens(col("text"))))
+      .select(col("id"), col("blk"), Native.shingleHashes(col("th"), ngram).as("sh"))
     val a = base.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
     val b = base.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, Seq("blk"))

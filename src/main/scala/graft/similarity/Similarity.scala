@@ -45,10 +45,11 @@ object Similarity {
     * tiebreak by id. The corpus is scanned once; queries are broadcast.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.Native.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq")))
     val c = corpus.select(col("id"), quantize(col("vec")).as("cq"))
     val scored = c.join(q, col("qid") =!= col("id"))
-      .withColumn("cosine", cosineQ(col("qq"), col("cq")))
+      .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -79,7 +80,9 @@ object Similarity {
     */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                       dims: Int, minCosine: Double): DataFrame = {
+    import graft.functions.Native
     import graft.ops.Ops.materializedColumn
+    Native.register(vectors.sparkSession)
     // Pin the quantized vector behind a generator barrier: the signature
     // reads it once per (plane, dim) — inlined, the whole quantize
     // transform would re-run per element_at (dims × bits × per row).
@@ -87,7 +90,7 @@ object Similarity {
       vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
       "q", quantize(col("v")))
       .select(col("id"), col("q"))
-      .withColumn("sig", hyperplaneSig(col("q"), dims))
+      .withColumn("sig", Native.hyperplaneSig(col("q"), 8))
     // One corpus pass: bucket by signature, expand i<j pairs locally
     // carrying the quantized vectors (struct order = id order).
     base
@@ -97,7 +100,7 @@ object Similarity {
       .select(explode(graft.dedup.Dedup.pairsFromIds(col("xs"))).as("p"))
       .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
         col("p.id1.q").as("q1"), col("p.id2.q").as("q2"))
-      .withColumn("cosine", cosineQ(col("q1"), col("q2")))
+      .withColumn("cosine", Native.cosineQ(col("q1"), col("q2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), col("cosine"))
   }

@@ -15,6 +15,8 @@ object TestSpark {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
+  graft.functions.Native.register(spark)
+
   def scratch(name: String): String = {
     val dir = s"/root/repo/target/testtmp/$name-${System.nanoTime()}"
     new java.io.File(dir).getParentFile.mkdirs()
