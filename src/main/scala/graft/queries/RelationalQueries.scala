@@ -239,6 +239,152 @@ object RelationalQueries {
     }
   )
 
+  /** Second batch: join shapes + grouping analytics completing the §2
+    * inventory (full outer, range/theta, cube, rank battery, multiset
+    * set-ops, approx distinct, typed Dataset). */
+  val defs2: Map[String, Q] = Map(
+    // FULL OUTER join of two yearly activity aggregates.
+    "q_join_full" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      def yearAgg(from: String, until: String, out: String) =
+        o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as(out))
+      yearAgg("1995-01-01", "1996-01-01", "n95")
+        .join(yearAgg("1996-01-01", "1997-01-01", "n96"), Seq("o_custkey"), "full")
+        .orderBy(col("o_custkey"))
+    },
+
+    // Range (theta) join against a tiny broadcast band table — planned
+    // as BroadcastNestedLoopJoin, the right shape when one side is tiny.
+    "q_join_range" -> { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        ("A_low", 0.0, 150000.0), ("B_mid", 150000.0, 300000.0),
+        ("C_high", 300000.0, 1e18)).toDF("band", "lo", "hi")
+      table(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+        .orderBy(col("band"))
+    },
+
+    // CUBE over two dimensions with grouping id.
+    "q_cube" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    },
+
+    // Ranking battery: rank, dense_rank, ntile, lead, first/last value.
+    "q_window_rank" -> { (s, dir) =>
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(byPrice))
+        .withColumn("drnk", dense_rank().over(byPrice))
+        .withColumn("nt", ntile(4).over(byPrice))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(byPrice))
+        .withColumn("top_key", first(col("o_orderkey")).over(
+          byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+
+    // Multiset EXCEPT ALL / INTERSECT ALL.
+    "q_set_ops_all" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      def keys(from: String, until: String) =
+        o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .select(col("o_custkey"))
+      keys("1995-01-01", "1996-01-01").exceptAll(keys("1996-01-01", "1997-01-01"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // HLL sketch cardinality — engine-specific algorithm, rows-only check.
+    "q_approx_distinct" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Typed Dataset surface: case-class Encoder, typed filter/map.
+    "q_typed_ds" -> { (s, dir) =>
+      import s.implicits._
+      val ds = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+      ds.filter(_._3 > 400000.0)
+        .map { case (ok, ck, tp) => (ok, ck, tp * 0.9) }
+        .toDF("o_orderkey", "o_custkey", "discounted")
+        .orderBy(col("o_orderkey"))
+    }
+  )
+
+  val oracles2: Map[String, String] = Map(
+    "q_join_full" ->
+      """SELECT o_custkey, n95, n96 FROM
+        |  (SELECT o_custkey, COUNT(*) AS n95 FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |     AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey) a
+        |FULL JOIN
+        |  (SELECT o_custkey, COUNT(*) AS n96 FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |     AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey) b
+        |USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES ('A_low', 0.0, 150000.0), ('B_mid', 150000.0, 300000.0),
+        |             ('C_high', 300000.0, 1e18)) bands(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS nt,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q_set_ops_all" ->
+      """SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |   AND o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_typed_ds" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * 0.9 AS discounted
+        |FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY o_orderkey""".stripMargin
+    // q_approx_distinct intentionally omitted: rows-only check.
+  )
+
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.{SparkSpec, TestSpark}
+import graft.kv.{KvSchema, KvTable}
+
+class KvStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batch stream upserts into a KvTable: each batch is a flow run") {
+    // Streaming analog of the reference's APPEND cascade re-run
+    // (13 -> 26 raw rows but LWW-distinct keys; here: same 5 keys
+    // upserted twice, second batch wins).
+    val path = TestSpark.scratch("kv-stream")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = KvStream.kvUpsertWriter(
+      input.toDF().toDF("k", "v"), path, schema)
+      .start()
+    try {
+      input.addData(("1", "a"), ("2", "b"), ("3", "c"))
+      q.processAllAvailable()
+      assert(KvTable.read(spark, path).count() === 3)
+      input.addData(("2", "B2"), ("4", "d"))
+      q.processAllAvailable()
+      val rows = KvTable.read(spark, path).orderBy("k")
+        .as[(String, String)].collect()
+      assert(rows === Array(("1", "a"), ("2", "B2"), ("3", "c"), ("4", "d")))
+      assert(KvTable.readRaw(spark, path).count() === 5) // log keeps history
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling-window aggregation over event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "key", "value")
+    val agg = KvStream.windowedAgg(events, "ts", "10 minutes", "30 minutes",
+      col("key"))
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(12), "a", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("winagg")
+        .select(col("window.start").cast("string"), col("key"), col("n"), col("total"))
+        .as[(String, String, Long, Double)].collect().sortBy(_._1)
+      assert(out.map(r => (r._3, r._4)).toSeq === Seq((2L, 3.0), (1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val stats = KvStream.runningStats(input.toDS())
+    val q = stats.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("u1", 1.0), ("u1", 7.0), ("u2", 3.0))
+      q.processAllAvailable()
+      input.addData(("u1", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("running").as[(String, Long, Double)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(last("u1") === (("u1", 3L, 7.0)))
+      assert(last("u2") === (("u2", 1L, 3.0)))
+    } finally q.stop()
+  }
+}
