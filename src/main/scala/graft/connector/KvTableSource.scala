@@ -1,0 +1,308 @@
+package graft.connector
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTypeParser, PrimitiveType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 provider for the KV table log: `format("kvtable")`.
+  *
+  * This is the engine's analog of the reference's table-scan input
+  * format (`TableInputFormatWrap.java`), re-expressed V2-style:
+  *
+  *  - one `InputPartition` per data file = one split per region
+  *    (`getSplits`, `TableInputFormatWrap.java:40-82`);
+  *  - rowkey-range file pruning from parquet footer min/max statistics =
+  *    region pruning against `[startRow, stopRow)`
+  *    (`TableInputFormatWrap.java:55-65`) — with CORRECT closed-open
+  *    boundary handling (a file whose range straddles the bound is kept;
+  *    the reference drops regions containing startRow and force-extends
+  *    the tail split, SURVEY.md §2b);
+  *  - `preferredLocations` from HDFS block locations = the split's
+  *    region-server hostname pin (`TableSplitWrap.java:7-17`);
+  *  - column pruning pushed into the parquet reader = the improvement
+  *    over the reference's client-side full-row projection
+  *    (`HBaseScheme.java:96-103`);
+  *  - key filters are used for pruning and ALSO returned to Spark as
+  *    residuals, so correctness never depends on reader-side filtering.
+  *
+  * The relation exposes the RAW log (engine columns included) — the
+  * last-write-wins collapse is an aggregation, which V2 scans cannot
+  * express; `KvTable.read` applies it on top. Fault tolerance comes
+  * from Spark task retry over immutable files (the reference's
+  * restart-and-skip-one-row scanner heuristic, which can drop or
+  * duplicate a row, is deliberately NOT reproduced).
+  *
+  * Supported column types: string, binary, boolean, int, long, double,
+  * timestamp (micros) — the KvTable value domain.
+  */
+class KvTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kvtable"
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "kvtable requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvV2Util.inferSchema(path(options), new Configuration())
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KvBatchTable(properties.get("path"), schema)
+}
+
+class KvBatchTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"kvtable($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(path, tableSchema)
+}
+
+class KvScanBuilder(path: String, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Keep every filter as a Spark-side residual (return value) while
+    * remembering the ones usable for file pruning (pushedFilters). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(KvV2Util.prunable)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new KvScan(path, fullSchema, required, pushed)
+}
+
+class KvScan(path: String, fullSchema: StructType, required: StructType,
+             pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kvtable($path) PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val files = KvV2Util.dataFiles(path, conf)
+    val projection = KvV2Util.projectionString(files.headOption, required, conf)
+    files.flatMap { f =>
+      if (KvV2Util.filePassesFilters(f, pushed, conf))
+        Some(KvInputPartition(f.getPath.toString, f.getLen,
+          KvV2Util.hosts(f, conf), projection): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(required)
+}
+
+case class KvInputPartition(file: String, length: Long, hostnames: Array[String],
+                            projection: String) extends InputPartition {
+  override def preferredLocations(): Array[String] = hostnames
+}
+
+class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvPartitionReader(partition.asInstanceOf[KvInputPartition], required)
+}
+
+class KvPartitionReader(part: KvInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  if (part.projection.nonEmpty)
+    conf.set("parquet.read.schema", part.projection)
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(part.file))
+      .withConf(conf).build()
+
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val name = required(i).name
+      val gIdx = current.getType.getFieldIndex(name)
+      if (current.getFieldRepetitionCount(gIdx) == 0) row.update(i, null)
+      else row.update(i, KvV2Util.readValue(current, gIdx, required(i).dataType))
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+object KvV2Util {
+
+  def dataFiles(path: String, conf: Configuration): Seq[FileStatus] = {
+    val dir = new HPath(s"$path/data")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+  }
+
+  def hosts(f: FileStatus, conf: Configuration): Array[String] = {
+    val fs = f.getPath.getFileSystem(conf)
+    fs.getFileBlockLocations(f, 0, f.getLen)
+      .flatMap(_.getHosts).distinct.filterNot(_ == "localhost")
+  }
+
+  /** StructType from the first data file's parquet footer. */
+  def inferSchema(path: String, conf: Configuration): StructType = {
+    val files = dataFiles(path, conf)
+    require(files.nonEmpty, s"kvtable at $path has no data files")
+    val msg = footerSchema(files.head, conf)
+    StructType(msg.getFields.asScala.map { f =>
+      val p = f.asPrimitiveType()
+      StructField(f.getName, sparkType(p), nullable = true)
+    }.toSeq)
+  }
+
+  private def footerSchema(f: FileStatus, conf: Configuration): MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  def sparkType(p: PrimitiveType): DataType = p.getPrimitiveTypeName match {
+    case BINARY if p.getLogicalTypeAnnotation.isInstanceOf[StringLogicalTypeAnnotation] =>
+      StringType
+    case BINARY => BinaryType
+    case BOOLEAN => BooleanType
+    case INT32 => IntegerType
+    case INT64 if p.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation] =>
+      TimestampType
+    case INT64 => LongType
+    case DOUBLE => DoubleType
+    case FLOAT => FloatType
+    case other =>
+      throw new IllegalArgumentException(s"kvtable: unsupported parquet type $other")
+  }
+
+  /** Projection MessageType (string form) for the pruned columns, cut
+    * from the file's own schema so physical types line up. */
+  def projectionString(first: Option[FileStatus], required: StructType,
+                       conf: Configuration): String = first match {
+    case None => ""
+    case Some(f) =>
+      val full = footerSchema(f, conf)
+      val kept: Seq[org.apache.parquet.schema.Type] =
+        required.fieldNames.toSeq.flatMap { n =>
+          if (full.containsField(n)) Some(full.getType(Seq(n): _*)) else None
+        }
+      if (kept.isEmpty) ""
+      else new MessageType("spark_schema",
+        new util.ArrayList[org.apache.parquet.schema.Type](kept.asJava)).toString
+  }
+
+  def readValue(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes
+    case BooleanType => g.getBoolean(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case LongType => g.getLong(idx, 0)
+    case TimestampType => g.getLong(idx, 0) // parquet micros == catalyst micros
+    case DoubleType => g.getDouble(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case other =>
+      throw new IllegalArgumentException(s"kvtable: unsupported read type $other")
+  }
+
+  /** Filters usable for footer min/max pruning: comparisons against a
+    * string or long column. */
+  def prunable(f: Filter): Boolean = f match {
+    case GreaterThan(_, _: String) | GreaterThanOrEqual(_, _: String) |
+         LessThan(_, _: String) | LessThanOrEqual(_, _: String) |
+         EqualTo(_, _: String) => true
+    case GreaterThan(_, _: Long) | GreaterThanOrEqual(_, _: Long) |
+         LessThan(_, _: Long) | LessThanOrEqual(_, _: Long) |
+         EqualTo(_, _: Long) => true
+    case _ => false
+  }
+
+  /** Closed-open-correct pruning: keep the file unless a pushed filter
+    * provably excludes its entire [min, max] column range. */
+  def filePassesFilters(f: FileStatus, pushed: Array[Filter],
+                        conf: Configuration): Boolean = {
+    if (pushed.isEmpty) return true
+    val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      pushed.forall { filter =>
+        val (colName, check) = bound(filter)
+        if (!schema.containsField(colName)) true
+        else {
+          val ranges = for {
+            block <- reader.getFooter.getBlocks.asScala.toSeq
+            cc <- block.getColumns.asScala
+              .find(_.getPath.toDotString == colName).toSeq
+            stats = cc.getStatistics
+            if stats != null && stats.hasNonNullValue
+          } yield (stats.genericGetMin, stats.genericGetMax)
+          // No stats -> cannot prune; any block surviving -> keep file.
+          ranges.isEmpty || ranges.exists { case (mn, mx) => check(mn, mx) }
+        }
+      }
+    } finally reader.close()
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Binary, y: String) => new String(x.getBytes, "UTF-8").compareTo(y)
+    case (x: java.lang.Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: Long) => java.lang.Long.compare(x.toLong, y)
+    case _ => 0 // unknown combination -> treat as overlapping (no pruning)
+  }
+
+  /** (column, survives(min, max)) for a prunable filter. */
+  private def bound(f: Filter): (String, (Any, Any) => Boolean) = f match {
+    case GreaterThan(c, v) => (c, (_, mx) => cmp(mx, any(v)) > 0)
+    case GreaterThanOrEqual(c, v) => (c, (_, mx) => cmp(mx, any(v)) >= 0)
+    case LessThan(c, v) => (c, (mn, _) => cmp(mn, any(v)) < 0)
+    case LessThanOrEqual(c, v) => (c, (mn, _) => cmp(mn, any(v)) <= 0)
+    case EqualTo(c, v) =>
+      (c, (mn, mx) => cmp(mn, any(v)) <= 0 && cmp(mx, any(v)) >= 0)
+    case other => (other.references.headOption.getOrElse(""), (_, _) => true)
+  }
+
+  private def any(v: Any): Any = v
+}

@@ -169,6 +169,26 @@ object KvTable {
   def read(spark: SparkSession, path: String): DataFrame =
     readRange(spark, path, None, None)
 
+  /** LWW view over the custom V2 connector (`format("kvtable")`,
+    * graft.connector) instead of the built-in parquet source: same
+    * result, but split planning, footer-stats file pruning and locality
+    * go through the engine's own region-scan analog. */
+  def readV2(spark: SparkSession, path: String): DataFrame = {
+    val schema = readSchema(spark, path)
+    val raw = spark.read.format("kvtable").load(path)
+    collapse(raw, schema)
+  }
+
+  private def collapse(raw: DataFrame, schema: KvSchema): DataFrame = {
+    val payload = struct(
+      (col(TombstoneCol) +: schema.valueFields.map(f => col(f.name))): _*)
+    raw.groupBy(col(schema.keyField))
+      .agg(max_by(payload, struct(col(VersionCol), col(SeqCol))).as("__row"))
+      .filter(!col("__row")(TombstoneCol))
+      .select(col(schema.keyField) +:
+        schema.valueFields.map(f => col("__row")(f.name).as(f.name, f.metadata)): _*)
+  }
+
   /** Rowkey-range scan (`Scan(startRow, stopRow)` analog,
     * `HBaseScheme.java:61-71`): closed-open `[lower, upper)` — fixing the
     * reference's two boundary bugs (SURVEY.md §2b). The predicate lands on
@@ -181,15 +201,7 @@ object KvTable {
     var raw = readRaw(spark, path)
     lower.foreach(l => raw = raw.filter(col(key) >= lit(l)))
     upper.foreach(u => raw = raw.filter(col(key) < lit(u)))
-    val payload = struct(
-      (col(TombstoneCol) +: schema.valueFields.map(f => col(f.name))): _*)
-    val latest = raw
-      .groupBy(col(key))
-      .agg(max_by(payload, struct(col(VersionCol), col(SeqCol))).as("__row"))
-      .filter(!col("__row")(TombstoneCol))
-    val valueCols = schema.valueFields.map(f =>
-      col("__row")(f.name).as(f.name, f.metadata))
-    latest.select(col(key) +: valueCols: _*)
+    collapse(raw, schema)
   }
 
   /** Rewrite the log so each key holds exactly its current version (the

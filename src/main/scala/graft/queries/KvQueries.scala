@@ -69,6 +69,20 @@ object KvQueries {
       KvTable.read(s, path).orderBy(col("o_custkey"))
     },
 
+    // Same round trip through the custom V2 connector (format("kvtable"),
+    // file-pruning region-scan analog) instead of the parquet source.
+    "kv_v2_scan" -> { (s, dir) =>
+      val path = scratchDir("kv_v2_scan", dir)
+      val schema = KvSchema.of("o_custkey",
+        "o_orderkey" -> ("o", "orderkey"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val o = table(s, dir, "orders")
+      KvTable.write(o, path, schema, SinkMode.Replace,
+        versionFrom = Some(orderVersion))
+      KvTable.readV2(s, path).filter(col("o_custkey") < 700)
+        .orderBy(col("o_custkey"))
+    },
+
     // Rowkey-range scan over a byte-lex string rowkey (the HBase Scan
     // [startRow, stopRow) analog with correct closed-open bounds —
     // SURVEY.md §2b documents the reference's boundary bugs we fix).
@@ -125,6 +139,12 @@ object KvQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_v2_scan" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 AND o_custkey < 700
         |ORDER BY o_custkey""".stripMargin,
     "kv_scan_range" ->
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,

@@ -1,0 +1,75 @@
+package graft.connector
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, TestSpark}
+import graft.kv.{KvSchema, KvTable, SinkMode}
+
+class KvTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTwoBatches(): String = {
+    val path = TestSpark.scratch("v2-table")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"), "n" -> ("f", "n"))
+    // Two writes -> at least two files with disjoint key ranges.
+    val low = Seq(("a1", "x", 1L), ("a2", "y", 2L)).toDF("k", "v", "n").coalesce(1)
+    val high = Seq(("z8", "p", 8L), ("z9", "q", 9L)).toDF("k", "v", "n").coalesce(1)
+    KvTable.write(low, path, schema, SinkMode.Replace)
+    KvTable.write(high, path, schema, SinkMode.Append)
+    path
+  }
+
+  test("format(kvtable) reads the raw log with engine columns") {
+    val path = writeTwoBatches()
+    val df = spark.read.format("kvtable").load(path)
+    assert(df.columns.toSet ===
+      Set("k", "v", "n", "__version", "__seq", "__tombstone"))
+    val rows = df.select("k", "v", "n").orderBy("k")
+      .as[(String, String, Long)].collect()
+    assert(rows === Array(("a1", "x", 1L), ("a2", "y", 2L),
+      ("z8", "p", 8L), ("z9", "q", 9L)))
+    // matches the parquet-path read exactly
+    val viaParquet = KvTable.readRaw(spark, path)
+      .select("k", "v", "n").orderBy("k").as[(String, String, Long)].collect()
+    assert(rows === viaParquet)
+  }
+
+  test("key-range filter prunes whole files from the plan (region pruning)") {
+    val path = writeTwoBatches()
+    val df = spark.read.format("kvtable").load(path)
+    def partitions(d: org.apache.spark.sql.DataFrame): Int =
+      d.rdd.getNumPartitions
+    val all = partitions(df.select("k", "v"))
+    val pruned = partitions(df.filter($"k" >= "z").select("k", "v"))
+    assert(all >= 2)
+    assert(pruned < all) // the low-key file never becomes a partition
+    // correctness of the residual filter
+    assert(df.filter($"k" >= "z").select("k").as[String].collect().sorted ===
+      Array("z8", "z9"))
+    // closed-open boundary: filter INSIDE a file's range keeps the file
+    assert(df.filter($"k" >= "a2" && $"k" < "z9").select("k")
+      .as[String].collect().sorted === Array("a2", "z8"))
+  }
+
+  test("column pruning reaches the scan description") {
+    val path = writeTwoBatches()
+    val df = spark.read.format("kvtable").load(path)
+      .filter($"k" >= "z").select("v")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters"))
+    assert(df.as[String].collect().sorted === Array("p", "q"))
+  }
+
+  test("long-key tables prune by numeric footer stats") {
+    val path = TestSpark.scratch("v2-longkey")
+    val schema = KvSchema.of("id", "v" -> ("f", "v"))
+    KvTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      path, schema, SinkMode.Replace)
+    KvTable.write(Seq((100L, "c"), (200L, "d")).toDF("id", "v").coalesce(1),
+      path, schema, SinkMode.Append)
+    val df = spark.read.format("kvtable").load(path)
+    assert(df.filter($"id" > 50L).rdd.getNumPartitions <
+      df.rdd.getNumPartitions)
+    assert(df.filter($"id" > 50L).select("v").as[String].collect().sorted ===
+      Array("c", "d"))
+  }
+}
