@@ -317,6 +317,43 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // 2D skyline (Pareto front: minimize price, maximize date) via the
+    // sort + running-max formulation — one sort, no O(N²) self-join
+    // (cf. "Integration of Skyline Queries into Spark SQL", EDBT 2023).
+    // A row is dominated iff an earlier row in (price ASC, date DESC)
+    // order has a strictly later date.
+    "q_skyline" -> { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderdate").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .withColumn("best_prev", max(col("o_orderdate")).over(w))
+        .filter(col("best_prev").isNull ||
+          col("o_orderdate") > col("best_prev"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice"))
+    },
+
+    // Gap-based sessionization over the event stream (batch view):
+    // session boundary when the per-user gap exceeds 30 minutes; one
+    // sort per user partition, then a running session counter.
+    "q_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("prev_t", lag(col("t"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_t").isNull ||
+            unix_micros(col("t")) - unix_micros(col("prev_t")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(run).cast("long"))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t")).as("sess_start"), max(col("t")).as("sess_end"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+
     // Typed Dataset surface: case-class Encoder, typed filter/map.
     "q_typed_ds" -> { (s, dir) =>
       import s.implicits._
@@ -378,6 +415,34 @@ object RelationalQueries {
         | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |   AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_custkey""".stripMargin,
+    "q_skyline" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate,
+        |    max(o_orderdate) OVER (ORDER BY o_totalprice, o_orderdate DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |  FROM orders)
+        |WHERE best_prev IS NULL OR o_orderdate > best_prev
+        |ORDER BY o_totalprice""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  MIN(t) AS sess_start, MAX(t) AS sess_end
+        |FROM (
+        |  SELECT user_id, t,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sess_id
+        |  FROM (
+        |    SELECT user_id, t,
+        |      CASE WHEN prev_t IS NULL
+        |             OR epoch_us(t) - epoch_us(prev_t) > 1800000000 THEN 1 ELSE 0 END
+        |        AS new_sess
+        |    FROM (
+        |      SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |        lag(CAST(ts AS TIMESTAMP), 1) OVER
+        |          (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_t
+        |      FROM events)))
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
     "q_typed_ds" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 0.9 AS discounted
         |FROM orders WHERE o_totalprice > 400000.0

@@ -56,6 +56,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Lexicon (sentiment-style) scoring with a map-literal lookup.
+    "text_sentiment" -> { (s, dir) =>
+      val lex = Map("fast" -> 2, "big" -> 1, "slow" -> -2, "small" -> -1)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.lexiconScore(TextOps.tokens(col("text")), lex).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
     // Global top-20 bigrams by frequency.
     "text_ngrams" -> { (s, dir) =>
       val t = TextOps.tokens(col("text"))
@@ -113,6 +122,14 @@ object TextQueries {
       raw"""SELECT doc_id,
            |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sentiment" ->
+      s"""SELECT doc_id,
+         |  CAST(COALESCE(list_sum(list_transform(t, x ->
+         |    CASE WHEN x='fast' THEN 2 WHEN x='big' THEN 1
+         |         WHEN x='slow' THEN -2 WHEN x='small' THEN -1
+         |         ELSE 0 END)), 0) AS BIGINT) AS score
+         |FROM (SELECT doc_id, $toks AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "text_ngrams" ->
       s"""SELECT bigram, COUNT(*) AS cnt
          |FROM (SELECT unnest(list_transform(range(1, len(t)),

@@ -73,6 +73,18 @@ object TextOps {
       lang -> size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
     }
 
+  /** Lexicon scoring (sentiment-style, cf. "Large Scale Sentiment
+    * Analysis on Twitter with Spark", EDBT 2016): sum of per-token
+    * weights. For small lexicons a map-literal lookup beats an
+    * explode + broadcast join (no row blowup, stays per-row local);
+    * for lexicons too large to inline, switch to a broadcast join.
+    */
+  def lexiconScore(toks: Column, lexicon: Map[String, Int]): Column = {
+    val m = map(lexicon.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0)).cast("long"))
+  }
+
   def langId(text: Column): Column = {
     val scores = langScores(tokens(text))
     // First profile with the max score wins (stable priority order).
