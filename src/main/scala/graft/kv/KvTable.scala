@@ -134,11 +134,18 @@ object KvTable {
   /** Delete by key: append tombstone markers (`Delete` mutations,
     * `TableOutputFormatWrap.java:79-84`); rows disappear from the LWW
     * read view. `keys` must contain the key column.
+    *
+    * Version domains must be consistent, exactly like HBase cell
+    * timestamps: if the table is written with a custom `versionFrom`
+    * (e.g. event time), pass a `version` in the same domain that is
+    * newer than the cells to delete — the default batch counter only
+    * dominates batch-counter-versioned writes.
     */
-  def delete(keys: DataFrame, path: String, schema: KvSchema): Unit = {
+  def delete(keys: DataFrame, path: String, schema: KvSchema,
+             version: Option[Long] = None): Unit = {
     val spark = keys.sparkSession
     require(exists(spark, path), s"KvTable $path does not exist")
-    val batch = readMetaVersion(spark, path) + 1
+    val batch = version.getOrElse(readMetaVersion(spark, path) + 1)
     var out = keys.select(col(schema.keyField))
     schema.valueFields.foreach { f =>
       out = out.withColumn(f.name, lit(null).cast("binary"))
@@ -202,6 +209,18 @@ object KvTable {
     lower.foreach(l => raw = raw.filter(col(key) >= lit(l)))
     upper.foreach(u => raw = raw.filter(col(key) < lit(u)))
     collapse(raw, schema)
+  }
+
+  /** Client-side direct read (`HBaseTap.openForRead` ->
+    * `TupleEntryIterator`, `HBaseTap.java:107-113`): a driver-local
+    * iterator over the LWW view in key order, streaming partitions one
+    * at a time (no full collect). Used by the reference's tests to
+    * verify sinks; same role here.
+    */
+  def openForRead(spark: SparkSession, path: String): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    read(spark, path).orderBy(col(readSchema(spark, path).keyField))
+      .toLocalIterator().asScala
   }
 
   /** Rewrite the log so each key holds exactly its current version (the

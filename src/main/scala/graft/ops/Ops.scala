@@ -62,6 +62,24 @@ object Ops {
   def pipe(stages: (DataFrame => DataFrame)*): DataFrame => DataFrame =
     stages.reduceLeft(_ andThen _)
 
+  /** Skew-resistant two-phase sum: salt the key space, partially
+    * aggregate per (key, salt), then merge per key. For a key whose row
+    * count dwarfs the others, this spreads the partial work over
+    * `salts` reducers instead of one hot one (AQE's skew handling
+    * covers joins; aggregation skew needs the explicit salt). Works for
+    * any algebraic aggregate — sum shown; the salt assignment can be
+    * anything (it only partitions work).
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column, out: String,
+                salts: Int = 16): DataFrame =
+    df.select(key.as("__key"), value.as("__v"),
+        pmod(xxhash64(value), lit(salts)).as("__salt"))
+      .groupBy(col("__key"), col("__salt"))
+      .agg(sum(col("__v")).as("__partial"))
+      .groupBy(col("__key"))
+      .agg(sum(col("__partial")).as(out))
+      .withColumnRenamed("__key", key.toString)
+
   /** Materialization barrier: force an expensive expression to evaluate
     * exactly ONCE per row. Catalyst's CollapseProject inlines projection
     * expressions into every downstream reference (an expression used k

@@ -354,6 +354,29 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("sess_id"))
     },
 
+    // Skew-resistant salted aggregation (two-phase) — same answer as a
+    // plain GROUP BY, verified by the oracle.
+    "q_salted_agg" -> { (s, dir) =>
+      graft.ops.Ops.saltedSum(
+          table(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity").cast(dec), "sum_qty")
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // GROUPING SETS through the SQL surface.
+    "q_grouping_sets" -> { (s, dir) =>
+      table(s, dir, "customer").createOrReplaceTempView("customer_gs")
+      s.sql(
+        """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+          |  CAST(grouping_id() AS BIGINT) AS gid
+          |FROM customer_gs
+          |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+          |ORDER BY gid, c_mktsegment, c_nationkey""".stripMargin)
+        .orderBy(col("gid"), asc_nulls_first("c_mktsegment"),
+          asc_nulls_first("c_nationkey"))
+    },
+
     // Typed Dataset surface: case-class Encoder, typed filter/map.
     "q_typed_ds" -> { (s, dir) =>
       import s.implicits._
@@ -443,6 +466,16 @@ object RelationalQueries {
         |      FROM events)))
         |GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
     "q_typed_ds" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 0.9 AS discounted
         |FROM orders WHERE o_totalprice > 400000.0
