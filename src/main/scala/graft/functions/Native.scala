@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's array-heavy hot paths.
   *
@@ -32,7 +33,8 @@ object Native {
     "graft_minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_hyperplane_sig" -> (es => HyperplaneSigExpr(es(0), es(1))),
-    "graft_cosine_q" -> (es => CosineQExpr(es(0), es(1))))
+    "graft_cosine_q" -> (es => CosineQExpr(es(0), es(1))),
+    "graft_word_shingles" -> (es => WordShinglesExpr(es(0), es(1))))
 
   /** Idempotent per-session registration; call before analysis of any
     * plan using these columns. */
@@ -54,6 +56,8 @@ object Native {
     call_function("graft_hyperplane_sig", q, org.apache.spark.sql.functions.lit(bits))
   def cosineQ(a: Column, b: Column): Column =
     call_function("graft_cosine_q", a, b)
+  def wordShingles(toks: Column, n: Int): Column =
+    call_function("graft_word_shingles", toks, org.apache.spark.sql.functions.lit(n))
 
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -209,6 +213,38 @@ case class HyperplaneSigExpr(child: Expression, bitsExpr: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, bitsExpr = r)
+}
+
+/** array<string> -> array<string>: word n-gram shingles joined by a
+  * single space, one pass with a reused StringBuilder. Mirrors
+  * TextOps.wordShingles (HOF) byte-for-byte. */
+case class WordShinglesExpr(child: Expression, nExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  private lazy val n: Int = nExpr.eval().asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any, ignored: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val strs = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { strs(i) = toks.getUTF8String(i); i += 1 }
+    val out = new Array[Any](len - n + 1)
+    val space = UTF8String.fromString(" ")
+    i = 0
+    while (i <= len - n) {
+      var s = strs(i)
+      var j = 1
+      while (j < n) { s = UTF8String.concat(s, space, strs(i + j)); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(child = l, nExpr = r)
 }
 
 /** (array<long>, array<long>) -> double: cosine similarity of quantized

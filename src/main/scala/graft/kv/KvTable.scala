@@ -211,6 +211,32 @@ object KvTable {
     collapse(raw, schema)
   }
 
+  /** Multi-version read: the newest `n` live versions per key, newest
+    * first (`version_rank` = 1 is the LWW row). Goes beyond the
+    * reference, which never surfaces versions (`row.getValue` returns
+    * only the newest cell, `HBaseScheme.java:101`), but matches HBase's
+    * own VERSIONS>1 scans: versions older than a key's newest tombstone
+    * stay hidden.
+    */
+  def readVersions(spark: SparkSession, path: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = readSchema(spark, path)
+    val key = schema.keyField
+    val ord = struct(col(VersionCol), col(SeqCol))
+    val wAll = Window.partitionBy(col(key))
+    val wRank = Window.partitionBy(col(key))
+      .orderBy(col(VersionCol).desc, col(SeqCol).desc)
+    readRaw(spark, path)
+      .withColumn("__latest_tomb",
+        max(when(col(TombstoneCol), ord)).over(wAll))
+      .filter(!col(TombstoneCol) &&
+        (col("__latest_tomb").isNull || ord > col("__latest_tomb")))
+      .withColumn("version_rank", row_number().over(wRank))
+      .filter(col("version_rank") <= n)
+      .select((col(key) +: schema.valueFields.map(f => col(f.name).as(f.name, f.metadata))) :+
+        col(VersionCol).as("version") :+ col("version_rank"): _*)
+  }
+
   /** Client-side direct read (`HBaseTap.openForRead` ->
     * `TupleEntryIterator`, `HBaseTap.java:107-113`): a driver-local
     * iterator over the LWW view in key order, streaming partitions one

@@ -65,11 +65,12 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Global top-20 bigrams by frequency.
+    // Global top-20 bigrams by frequency (native shingle expression).
     "text_ngrams" -> { (s, dir) =>
+      graft.functions.Native.register(s)
       val t = TextOps.tokens(col("text"))
       table(s, dir, "documents")
-        .select(explode(TextOps.wordShingles(t, 2)).as("bigram"))
+        .select(explode(graft.functions.Native.wordShingles(t, 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))

@@ -116,6 +116,28 @@ class KvTableSpec extends SparkSpec {
     assert(md.getString(KvSchema.QualifierKey) === "lower")
   }
 
+  test("readVersions surfaces version history, newest first, " +
+    "tombstone hides older versions") {
+    val path = TestSpark.scratch("kv-versions")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    def put(k: String, v: String, ver: Long): Unit =
+      KvTable.write(Seq((k, v, ver)).toDF("k", "v", "ver"), path,
+        s, if (KvTable.exists(spark, path)) SinkMode.Append else SinkMode.Replace,
+        Some(col("ver")))
+    put("a", "v1", 1); put("a", "v2", 2); put("a", "v3", 3); put("b", "x", 1)
+    val hist = KvTable.readVersions(spark, path, 2)
+      .orderBy("k", "version_rank")
+      .select("k", "v", "version_rank").as[(String, String, Int)].collect()
+    assert(hist === Array(("a", "v3", 1), ("a", "v2", 2), ("b", "x", 1)))
+    // delete at version 10 hides everything older; a later put resurrects
+    KvTable.delete(Seq("a").toDF("k"), path, s, version = Some(10L))
+    assert(KvTable.readVersions(spark, path, 5).filter($"k" === "a").count() === 0)
+    put("a", "v4", 11)
+    val after = KvTable.readVersions(spark, path, 5).filter($"k" === "a")
+      .select("v").as[String].collect()
+    assert(after === Array("v4"))
+  }
+
   test("compact preserves the LWW view") {
     val path = TestSpark.scratch("kv-compact")
     KvTable.write(parsed, path, schema, SinkMode.Replace)
