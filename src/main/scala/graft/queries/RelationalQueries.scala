@@ -271,6 +271,29 @@ object RelationalQueries {
         .orderBy(col("band"))
     },
 
+    // RIGHT outer join (orders right-joined to customers preserves
+    // order-less customers on the right side).
+    "q_join_right" -> { (s, dir) =>
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      val c = table(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_pending"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Multiset INTERSECT ALL.
+    "q_intersect_all" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      def keys(from: String, until: String) =
+        o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .select(col("o_custkey"))
+      keys("1995-01-01", "1996-01-01")
+        .intersectAll(keys("1996-01-01", "1997-01-01"))
+        .orderBy(col("o_custkey"))
+    },
+
     // CUBE over two dimensions with grouping id.
     "q_cube" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -410,6 +433,21 @@ object RelationalQueries {
         |             ('C_high', 300000.0, 1e18)) bands(band, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_pending
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |   AND o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
