@@ -53,6 +53,24 @@ class KvTableSpec extends SparkSpec {
     assert(rows.map(_._1) === Array("1", "2", "3", "4", "5"))
   }
 
+  test("binary cell values round-trip byte-for-byte") {
+    // The reference casts every sink value to String and would
+    // ClassCastException on a byte[] write-back (HBaseScheme.java:120);
+    // here BinaryType cells are first-class.
+    val path = TestSpark.scratch("kv-binary")
+    val s = KvSchema.of("k", "payload" -> ("f", "payload"))
+    val data = Seq(("a", Array[Byte](0, 1, -1, 127)), ("b", Array[Byte]()))
+      .toDF("k", "payload")
+    KvTable.write(data, path, s, SinkMode.Replace)
+    val back = KvTable.read(spark, path)
+    KvTable.write(back, path + "-copy", s, SinkMode.Replace)
+    val rows = KvTable.read(spark, path + "-copy").orderBy("k")
+      .as[(String, Array[Byte])].collect()
+    assert(rows.map(_._1) === Array("a", "b"))
+    assert(rows(0)._2.toSeq === Seq[Byte](0, 1, -1, 127))
+    assert(rows(1)._2.toSeq === Seq.empty)
+  }
+
   test("APPEND accumulates distinct keys: 13 then 26 rows") {
     // MultiFamilyCascadeHBaseTest.java:89-104, with deterministic unique
     // keys instead of the reference's Math.random().
