@@ -80,9 +80,10 @@ object Native {
 
 /** array<string> -> array<long>: md5-derived 60-bit hash mod P per
   * token. Mirrors Dedup.tokenHashes / the oracle's
-  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT) % P`. */
-case class TokenHashes60(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT) % P`. Participates in
+  * whole-stage codegen (the generated loop calls the static hash
+  * helper). */
+case class TokenHashes60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -95,6 +96,22 @@ case class TokenHashes60(child: Expression) extends UnaryExpression
     }
     new GenericArrayData(out)
   }
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.functions.Native.md5Hash60(
+         |    $a.getUTF8String($i).getBytes());
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): TokenHashes60 = copy(c)
 }
 
@@ -249,10 +266,33 @@ case class WordShinglesExpr(child: Expression, nExpr: Expression)
 
 /** (array<long>, array<long>) -> double: cosine similarity of quantized
   * vectors — dot, |a|², |b|² in one pass, then dot/(√|a|²·√|b|²).
-  * Mirrors Similarity.cosineQ (all intermediates exact: < 2^53). */
+  * Mirrors Similarity.cosineQ (all intermediates exact: < 2^53).
+  * Generates a primitive loop under whole-stage codegen. */
 case class CosineQExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L, $na = 0L, $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt((double) $na)
+         |  * java.lang.Math.sqrt((double) $nb));
+       """.stripMargin
+    })
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
