@@ -25,6 +25,19 @@ object SimQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF-flat ANN: deterministic centroid subset (every 40th vector),
+    // nprobe=4 of the inverted lists searched per query.
+    "ann_ivf_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = e.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(queries, corpus, cents, nprobe = 4, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Angular-LSH bucketed near-dup pairs: corpus ∪ perturbed copies of
     // every 10th vector (first component +0.05 → cosine ≈ 0.9987).
     "ann_lsh_neardup" -> { (s, dir) =>
@@ -90,8 +103,42 @@ object SimQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  private val annIvfSql = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, $quantSql AS cq
+       |  FROM embeddings WHERE vec_id % 40 = 0),
+       |corpus AS (SELECT vec_id AS id, $quantSql AS vq FROM embeddings),
+       |assigned AS (
+       |  SELECT id, cid, vq FROM (
+       |    SELECT c.id, ct.cid, c.vq,
+       |      row_number() OVER (PARTITION BY c.id
+       |        ORDER BY ${cos("c.vq", "ct.cq")} DESC, ct.cid) AS rn
+       |    FROM corpus c, cents ct)
+       |  WHERE rn = 1),
+       |queries AS (
+       |  SELECT vec_id AS qid, $quantSql AS qq
+       |  FROM embeddings WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT qid, cid, qq FROM (
+       |    SELECT q.qid, ct.cid, q.qq,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos("q.qq", "ct.cq")} DESC, ct.cid) AS rn
+       |    FROM queries q, cents ct)
+       |  WHERE rn <= 4)
+       |SELECT qid, id, cosine, rank FROM (
+       |  SELECT p.qid, a.id, ${cos("p.qq", "a.vq")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cos("p.qq", "a.vq")} DESC, a.id) AS INT) AS rank
+       |  FROM probed p JOIN assigned a ON p.cid = a.cid
+       |  WHERE p.qid <> a.id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
+    "ann_ivf_topk" -> annIvfSql,
     "ann_lsh_neardup" -> annLshSql
   )
 }

@@ -73,6 +73,52 @@ object Similarity {
           (s, i) => s + element_at(qvec, i) * planeW(p, i)) >= 0L,
         1).otherwise(0))
 
+  /** IVF-flat approximate top-k: the corpus is partitioned into inverted
+    * lists by nearest centroid; a query probes only its `nprobe` nearest
+    * lists, scanning |corpus|·nprobe/|centroids| vectors instead of all.
+    *
+    * Centroid "training" is pluggable; here the caller passes centroids
+    * (the tests/queries use a deterministic subset of the corpus — a
+    * k-means step would slot in without changing the search). All
+    * assignment/scoring is quantized-integer cosine, so results are
+    * engine-reproducible. Ties (assignment and ranking) break by id.
+    *
+    * Scale shape: centroids and queries broadcast; the corpus is scanned
+    * once to build assignments (at 100 TB the assignment would be
+    * precomputed and stored, making search a partition-pruned read).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              nprobe: Int, k: Int): DataFrame = {
+    graft.functions.Native.register(corpus.sparkSession)
+    val cosine = graft.functions.Native.cosineQ _
+    val cents = broadcast(centroids.select(col("cid"), quantize(col("cvec")).as("cq")))
+
+    def nearestLists(df: DataFrame, vecCol: String, idCol: String,
+                     n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__ccos").desc, col("cid"))
+      df.crossJoin(cents)
+        .withColumn("__ccos", cosine(col(vecCol), col("cq")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= n)
+        .drop("__ccos", "__crank", "cq")
+    }
+
+    val corpusQ = corpus.select(col("id"), quantize(col("vec")).as("vq"))
+    val assigned = nearestLists(corpusQ, "vq", "id", 1) // inverted lists
+    val queriesQ = broadcast(
+      nearestLists(queries.select(col("qid"), quantize(col("qvec")).as("qq")),
+        "qq", "qid", nprobe))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    assigned.join(queriesQ, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cosine", cosine(col("qq"), col("vq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ `minCosine`, bucketed by the LSH
     * signature (colinear vectors always share a signature, so exact
     * duplicates are never missed; near-dups are found with the usual
