@@ -1,0 +1,178 @@
+package graft.connector
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** V2 write path for `format("kvtable")` (see [[KvTableProvider]] for
+  * the read path). The sink appends immutable parquet files to the log;
+  * `SaveMode.Overwrite` arrives as V2 `SupportsTruncate` and the
+  * truncation happens exactly once, DRIVER-side, at commit — the
+  * semantics the reference guards with its `mapred.task.partition ==
+  * null` check (`HBaseTap.java:123-127`). Each task buffers into its
+  * own uniquely-named file (the `setAutoFlush(false)` + flush-at-close
+  * batching of `TableOutputFormatWrap.java:35-69`, done properly:
+  * rename-free, abortable).
+  *
+  * Contract: the incoming rows are RAW log rows (key + values +
+  * `__version/__seq/__tombstone`) — `KvTable.writeV2` prepares them and
+  * passes the logical schema via the `kvschema` option.
+  */
+class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new KvBatchWrite(path, info.schema(),
+        Option(info.options.get("kvschema")), doTruncate)
+  }
+}
+
+case class KvCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+class KvBatchWrite(path: String, schema: StructType,
+                   kvSchemaJson: Option[String], truncate: Boolean)
+    extends BatchWrite {
+
+  // Snapshot the pre-job files on the DRIVER at job start; commit-time
+  // truncation removes exactly these (task files are new unique names).
+  private val preExisting: Seq[String] =
+    KvV2Util.dataFiles(path, new Configuration()).map(_.getPath.toString)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val fs = new HPath(path).getFileSystem(conf)
+    if (truncate) preExisting.foreach(f => fs.delete(new HPath(f), false))
+    kvSchemaJson.foreach { json =>
+      val out = fs.create(new HPath(s"$path/_kvschema.json"), true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+    // bump the batch counter like the direct write path
+    val metaFile = new HPath(s"$path/_kvmeta.json")
+    val prev =
+      if (!fs.exists(metaFile)) 0L
+      else {
+        val in = fs.open(metaFile)
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        "\\d+".r.findFirstIn(s).map(_.toLong).getOrElse(0L)
+      }
+    val out = fs.create(metaFile, true)
+    try out.write(s"""{"lastVersion":${prev + 1}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case KvCommitMessage(files) =>
+        files.foreach(f => fs.delete(new HPath(f), false))
+      case _ => ()
+    }
+  }
+}
+
+class KvWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, schema, partitionId, taskId)
+}
+
+class KvDataWriter(path: String, schema: StructType, partitionId: Int,
+                   taskId: Long) extends DataWriter[InternalRow] {
+
+  private val file =
+    s"$path/data/part-v2-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
+
+  private val messageType: MessageType = KvWriteUtil.toParquetSchema(schema)
+  private val conf = new Configuration()
+  GroupWriteSupport.setSchema(messageType, conf)
+
+  private val writer: ParquetWriter[org.apache.parquet.example.data.Group] =
+    ExampleParquetWriter.builder(new HPath(file)).withConf(conf).build()
+
+  private val factory = new SimpleGroupFactory(messageType)
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema(i).name
+        schema(i).dataType match {
+          case StringType => g.add(name, row.getUTF8String(i).toString)
+          case BinaryType => g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
+          case BooleanType => g.add(name, row.getBoolean(i))
+          case IntegerType => g.add(name, row.getInt(i))
+          case LongType | TimestampType => g.add(name, row.getLong(i))
+          case DoubleType => g.add(name, row.getDouble(i))
+          case FloatType => g.add(name, row.getFloat(i))
+          case other =>
+            throw new IllegalArgumentException(s"kvtable write: unsupported $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close() // single buffered flush per task, like flushCommits()
+    KvCommitMessage(Seq(file))
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    new HPath(file).getFileSystem(new Configuration())
+      .delete(new HPath(file), false)
+  }
+
+  override def close(): Unit = ()
+}
+
+object KvWriteUtil {
+  /** StructType -> parquet MessageType for the KvTable value domain. */
+  def toParquetSchema(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim = f.dataType match {
+        case StringType =>
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+        case LongType => Types.optional(PrimitiveTypeName.INT64)
+        case TimestampType =>
+          Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+        case other =>
+          throw new IllegalArgumentException(s"kvtable write: unsupported $other")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+}

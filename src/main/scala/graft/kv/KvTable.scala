@@ -176,6 +176,37 @@ object KvTable {
   def read(spark: SparkSession, path: String): DataFrame =
     readRange(spark, path, None, None)
 
+  /** Write through the V2 connector's BatchWrite path instead of the
+    * parquet writer: per-task buffered files, driver-side commit, V2
+    * truncate for REPLACE. Same log layout — readable by both read
+    * paths. */
+  def writeV2(df: DataFrame, path: String, schema: KvSchema,
+              mode: SinkMode = SinkMode.Append,
+              versionFrom: Option[Column] = None): Unit = {
+    val spark = df.sparkSession
+    mode match {
+      case SinkMode.Keep if exists(spark, path) =>
+        throw new IllegalStateException(s"KvTable $path exists and mode is Keep")
+      case _ => ()
+    }
+    if (exists(spark, path)) {
+      val existing = readSchema(spark, path)
+      require(existing == schema,
+        s"KvTable $path schema mismatch: $existing vs $schema")
+    }
+    val batch = readMetaVersion(spark, path) + 1
+    val version = versionFrom.getOrElse(lit(batch)).cast("long")
+    val out = df
+      .withColumn(VersionCol, version)
+      .select(schema.fieldNames.map(col) :+ col(VersionCol): _*)
+      .withColumn(SeqCol, monotonically_increasing_id())
+      .withColumn(TombstoneCol, lit(false))
+    out.write.format("kvtable")
+      .option("kvschema", schema.toJson)
+      .mode(if (mode == SinkMode.Replace) "overwrite" else "append")
+      .save(path)
+  }
+
   /** LWW view over the custom V2 connector (`format("kvtable")`,
     * graft.connector) instead of the built-in parquet source: same
     * result, but split planning, footer-stats file pruning and locality

@@ -59,6 +59,27 @@ class KvTableSourceSpec extends SparkSpec {
     assert(df.as[String].collect().sorted === Array("p", "q"))
   }
 
+  test("V2 write path: append + overwrite-truncate round trip") {
+    val path = TestSpark.scratch("v2-write")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.writeV2(Seq(("a", "1"), ("b", "2")).toDF("k", "v"), path, schema,
+      graft.kv.SinkMode.Replace)
+    assert(KvTable.read(spark, path).count() === 2)
+    // append: upsert b, add c
+    KvTable.writeV2(Seq(("b", "2x"), ("c", "3")).toDF("k", "v"), path, schema)
+    val rows = KvTable.read(spark, path).orderBy("k")
+      .as[(String, String)].collect()
+    assert(rows === Array(("a", "1"), ("b", "2x"), ("c", "3")))
+    // overwrite truncates driver-side: only the new generation remains
+    KvTable.writeV2(Seq(("z", "9")).toDF("k", "v"), path, schema,
+      graft.kv.SinkMode.Replace)
+    assert(KvTable.read(spark, path).as[(String, String)].collect() ===
+      Array(("z", "9")))
+    // V2-written files are readable through the V2 scan too
+    assert(KvTable.readV2(spark, path).as[(String, String)].collect() ===
+      Array(("z", "9")))
+  }
+
   test("long-key tables prune by numeric footer stats") {
     val path = TestSpark.scratch("v2-longkey")
     val schema = KvSchema.of("id", "v" -> ("f", "v"))
