@@ -340,6 +340,25 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // TPC-H Q3-shaped shipping-priority pipeline: selective filters on
+    // all three tables pushed to the scans, customer broadcast, one
+    // shuffle join on orderkey, top-10 by revenue.
+    "q_tpch_q3" -> { (s, dir) =>
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val c = broadcast(table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"))
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // 2D skyline (Pareto front: minimize price, maximize date) via the
     // sort + running-max formulation — one sort, no O(N²) self-join
     // (cf. "Integration of Skyline Queries into Spark SQL", EDBT 2023).
@@ -476,6 +495,19 @@ object RelationalQueries {
         | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |   AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_custkey""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_skyline" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM (
         |  SELECT o_orderkey, o_totalprice, o_orderdate,
