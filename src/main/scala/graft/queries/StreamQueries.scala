@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, StructType}
+import graft.kv.{KvSchema, KvTable, SinkMode}
+
+/** Structured-Streaming queries made oracle-checkable: each runs a REAL
+  * streaming query (file source, Trigger.AvailableNow, foreachBatch
+  * micro-batch upserts into a KvTable), then returns the table's LWW
+  * view — which must equal the equivalent BATCH query, so DuckDB can
+  * check a streaming execution. Works because the KV upsert is
+  * order/batching-insensitive (the ScalaCheck LWW properties) and all
+  * aggregates accumulate in DECIMAL.
+  */
+object StreamQueries {
+
+  private def schemaOf(s: SparkSession, dir: String, t: String): StructType =
+    table(s, dir, t).schema
+
+  /** The file stream source needs a DIRECTORY; the testdata tables are
+    * single parquet files — expose each through a symlinked scratch dir. */
+  private def streamDir(dir: String, t: String): String = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(scratchDir(s"streamsrc_$t", dir))
+    Files.createDirectories(d)
+    val link = d.resolve(s"$t.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/$t.parquet"))
+    d.toString
+  }
+
+  /** Run a stream to completion with AvailableNow. */
+  private def runStream(df: DataFrame)(sink: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .outputMode("update")
+      .foreachBatch(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Streamed upsert: orders flow through a file stream into the KV
+    // table; the LWW view equals the batch latest-order-per-customer.
+    "kv_stream_upsert" -> { (s, dir) =>
+      val path = scratchDir("kv_stream_upsert", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("o_custkey",
+        "o_orderkey" -> ("o", "orderkey"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val version =
+        unix_timestamp(col("o_orderdate")) * lit(1000000000L) + col("o_orderkey")
+      val stream = s.readStream
+        .schema(schemaOf(s, dir, "orders"))
+        .parquet(streamDir(dir, "orders"))
+      runStream(stream) { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append, Some(version))
+      }
+      KvTable.read(s, path).orderBy(col("o_custkey"))
+    },
+
+    // Streamed windowed aggregation: per-hour event counts/sums upserted
+    // into a KV table keyed by (hour, type) — equals the batch tumbling
+    // window. DECIMAL accumulation keeps sums batching-insensitive.
+    "kv_stream_window" -> { (s, dir) =>
+      val path = scratchDir("kv_stream_window", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("win_key",
+        "hour_ts" -> ("w", "hour_ts"),
+        "event_type" -> ("w", "event_type"),
+        "n" -> ("w", "n"),
+        "total_value" -> ("w", "total_value"))
+      val stream = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("hour_ts", date_trunc("hour", col("t")))
+        .groupBy(col("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+        .withColumn("win_key",
+          concat(col("hour_ts").cast("string"), lit("|"), col("event_type")))
+      runStream(stream) { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path)
+        .select(col("hour_ts"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "kv_stream_upsert" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_stream_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
+  )
+}

@@ -56,6 +56,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token counting with a BPE-ish regex (letter runs / digit runs /
+    // single other-symbols) alongside whitespace tokens — the RE2 ∩
+    // java.util.regex common subset so both engines extract identically.
+    "text_bpe_tokens" -> { (s, dir) =>
+      val bpe = regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(bpe).as("n_bpe"),
+          size(array_distinct(bpe)).as("n_bpe_distinct"),
+          size(TextOps.tokens(col("text"))).as("n_ws"))
+        .orderBy(col("doc_id"))
+    },
+
     // Lexicon (sentiment-style) scoring with a map-literal lookup.
     "text_sentiment" -> { (s, dir) =>
       val lex = Map("fast" -> 2, "big" -> 1, "slow" -> -2, "small" -> -1)
@@ -123,6 +137,15 @@ object TextQueries {
       raw"""SELECT doc_id,
            |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(b) AS INT) AS n_bpe,
+         |  CAST(len(list_distinct(b)) AS INT) AS n_bpe_distinct,
+         |  CAST(len($toks) AS INT) AS n_ws
+         |FROM (SELECT doc_id, text,
+         |        regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS b
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "text_sentiment" ->
       s"""SELECT doc_id,
          |  CAST(COALESCE(list_sum(list_transform(t, x ->
