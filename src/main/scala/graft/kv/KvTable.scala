@@ -146,9 +146,13 @@ object KvTable {
     val spark = keys.sparkSession
     require(exists(spark, path), s"KvTable $path does not exist")
     val batch = version.getOrElse(readMetaVersion(spark, path) + 1)
+    // Tombstone rows must carry the TABLE's value types: parquet reads
+    // resolve the schema from an arbitrary file footer, so a marker file
+    // with differently-typed null columns would poison the whole log.
+    val dataSchema = readRaw(spark, path).schema
     var out = keys.select(col(schema.keyField))
     schema.valueFields.foreach { f =>
-      out = out.withColumn(f.name, lit(null).cast("binary"))
+      out = out.withColumn(f.name, lit(null).cast(dataSchema(f.name).dataType))
     }
     out = out
       .withColumn(VersionCol, lit(batch))
