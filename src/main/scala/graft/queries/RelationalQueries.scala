@@ -340,6 +340,23 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Array function battery: collect_list normalized by sort_array (the
+    // deterministic way to aggregate into arrays), size, element access.
+    "q_array_funcs" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("line_numbers"))
+        .select(col("l_orderkey"),
+          // scalar rendering: array-typed result columns don't survive
+          // every downstream comparator; the array ops still run
+          concat_ws(",", col("line_numbers")).as("line_numbers_csv"),
+          size(col("line_numbers")).as("n_lines"),
+          element_at(col("line_numbers"), 1).as("first_line"),
+          array_contains(col("line_numbers"), 3).as("has_line3"))
+        .orderBy(col("l_orderkey"))
+    },
+
     // TPC-H Q3-shaped shipping-priority pipeline: selective filters on
     // all three tables pushed to the scans, customer broadcast, one
     // shuffle join on orderkey, top-10 by revenue.
@@ -495,6 +512,17 @@ object RelationalQueries {
         | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |   AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_custkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT l_orderkey,
+        |  array_to_string(line_numbers, ',') AS line_numbers_csv,
+        |  CAST(len(line_numbers) AS INT) AS n_lines,
+        |  line_numbers[1] AS first_line,
+        |  list_contains(line_numbers, 3) AS has_line3
+        |FROM (SELECT l_orderkey,
+        |        list_sort(list(l_linenumber)) AS line_numbers
+        |      FROM lineitem WHERE l_orderkey < 2000
+        |      GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -12,6 +12,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array/list columns are unhashable for sort_values -> stringify
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
+            try:
+                df[c] = df[c].map(lambda v: str(list(v)) if v is not None and
+                                  not isinstance(v, (str, bytes, float, int)) else v)
+            except Exception:
+                pass
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
