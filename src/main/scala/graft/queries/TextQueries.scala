@@ -56,6 +56,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Content-defined chunking by rolling hash: a 3-token rolling hash
+    // (the same base-31 poly roll the dedup pipeline uses) marks a chunk
+    // boundary wherever hash % 8 == 0 — boundaries move with content,
+    // not position, so an insertion only reshapes neighboring chunks
+    // (the rsync/CDC trick, here for document-level incremental dedup).
+    "text_chunks" -> { (s, dir) =>
+      graft.functions.Native.register(s)
+      import graft.functions.Native
+      val th = Native.tokenHashes(TextOps.tokens(col("text")))
+      val rh = Native.shingleHashes(th, 3)
+      val boundaries = filter(
+        transform(sequence(lit(1), size(rh)),
+          i => when(element_at(rh, i) % 8 === 0, i).otherwise(-1)),
+        x => x > 0)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(boundaries).as("n_boundaries"),
+          (size(boundaries) + 1).as("n_chunks"),
+          try_element_at(boundaries, lit(1)).cast("int").as("first_boundary"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token counting with a BPE-ish regex (letter runs / digit runs /
     // single other-symbols) alongside whitespace tokens — the RE2 ∩
     // java.util.regex common subset so both engines extract identically.
@@ -137,6 +159,28 @@ object TextQueries {
       raw"""SELECT doc_id,
            |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_chunks" ->
+      s"""SELECT doc_id,
+         |  CAST(len(b) AS INT) AS n_boundaries,
+         |  CAST(len(b) + 1 AS INT) AS n_chunks,
+         |  CAST(b[1] AS INT) AS first_boundary
+         |FROM (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(range(1, len(rh) + 1),
+         |      i -> CASE WHEN rh[i] % 8 = 0 THEN i ELSE -1 END),
+         |      x -> x > 0) AS b
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(th) >= 3
+         |        THEN list_transform(range(1, len(th)-1),
+         |               i -> (th[i]*961 + th[i+1]*31 + th[i+2]) % 1000000007)
+         |        ELSE [] END AS rh
+         |    FROM (
+         |      SELECT doc_id,
+         |        list_transform($toks,
+         |          x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS th
+         |      FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(b) AS INT) AS n_bpe,
