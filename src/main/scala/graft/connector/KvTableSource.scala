@@ -185,9 +185,16 @@ object KvV2Util {
     val dir = new HPath(s"$path/data")
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    else {
+      // recursive: bucket-compacted tables nest files under __bucket=N/
+      val it = fs.listFiles(dir, true)
+      val buf = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result().sortBy(_.getPath.toString)
+    }
   }
 
   def hosts(f: FileStatus, conf: Configuration): Array[String] = {

@@ -81,15 +81,33 @@ object KvTable {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMetaVersion(spark: SparkSession, path: String): Long = {
+  private def readMeta(spark: SparkSession, path: String): (Long, Int) = {
     val f = fs(spark, path)
-    if (!f.exists(new HPath(metaFile(path)))) 0L
+    if (!f.exists(new HPath(metaFile(path)))) (0L, 0)
     else {
       val in = f.open(new HPath(metaFile(path)))
       val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      "\\d+".r.findFirstIn(s).map(_.toLong).getOrElse(0L)
+      val ver = "\"lastVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)
+      val buckets = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0)
+      (ver, buckets)
     }
   }
+
+  private def readMetaVersion(spark: SparkSession, path: String): Long =
+    readMeta(spark, path)._1
+
+  /** Bucket count of a bucket-compacted table (0 = unbucketed). */
+  def numBuckets(spark: SparkSession, path: String): Int =
+    readMeta(spark, path)._2
+
+  val BucketCol = "__bucket"
+
+  private def writeMeta(spark: SparkSession, path: String, version: Long,
+                        buckets: Int): Unit =
+    writeString(spark, metaFile(path),
+      s"""{"lastVersion":$version,"buckets":$buckets}""")
 
   /** Write `df` (whose columns must include the schema's key + value
     * fields) into the table at `path`.
@@ -164,9 +182,15 @@ object KvTable {
   private def appendRaw(df: DataFrame, path: String, schema: KvSchema,
                         batch: Long): Unit = {
     val spark = df.sparkSession
-    df.write.mode("append").parquet(dataDir(path))
+    val buckets = numBuckets(spark, path)
+    if (buckets > 0)
+      // bucketed layout: appends stay aligned with the compacted buckets
+      df.withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
+        .write.mode("append").partitionBy(BucketCol).parquet(dataDir(path))
+    else
+      df.write.mode("append").parquet(dataDir(path))
     writeString(spark, schemaFile(path), schema.toJson)
-    writeString(spark, metaFile(path), s"""{"lastVersion":$batch}""")
+    writeMeta(spark, path, batch, buckets)
   }
 
   /** Raw log scan (all versions + tombstones), for debugging/compaction. */
@@ -294,11 +318,53 @@ object KvTable {
       .withColumn(VersionCol, lit(1L))
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(false))
+    swapData(spark, path, current, buckets = 0)
+  }
+
+  /** Major compaction INTO a hash-bucketed layout: the log is rewritten
+    * as `__bucket=<pmod(hash(key), n)>/...` partition directories, one
+    * current version per key, and every later append follows the same
+    * bucketing. Point lookups (`get`) and any key-equality scan then
+    * touch exactly one bucket directory via ordinary partition pruning —
+    * the HBase region-addressing analog for read-mostly tables.
+    */
+  def compactBucketed(spark: SparkSession, path: String, buckets: Int): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val schema = readSchema(spark, path)
+    val current = read(spark, path)
+      .withColumn(VersionCol, lit(1L))
+      .withColumn(SeqCol, monotonically_increasing_id())
+      .withColumn(TombstoneCol, lit(false))
+      .withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
+      .repartition(buckets, col(BucketCol))
+    swapData(spark, path, current, buckets)
+  }
+
+  private def swapData(spark: SparkSession, path: String, current: DataFrame,
+                       buckets: Int): Unit = {
     val tmp = s"$path/.compact-tmp"
-    current.write.mode("overwrite").parquet(tmp)
+    val w = current.write.mode("overwrite")
+    (if (buckets > 0) w.partitionBy(BucketCol) else w).parquet(tmp)
     val f = fs(spark, path)
     f.delete(new HPath(dataDir(path)), true)
     f.rename(new HPath(tmp), new HPath(dataDir(path)))
-    writeString(spark, metaFile(path), s"""{"lastVersion":1}""")
+    writeMeta(spark, path, 1L, buckets)
+  }
+
+  /** Point lookup (the HBase `Get`): the LWW row for one key. On a
+    * bucket-compacted table only the key's bucket directory is read
+    * (partition pruning); on an unbucketed table it is a filtered scan
+    * with the key predicate pushed to the parquet footers.
+    */
+  def get(spark: SparkSession, path: String, key: Any): DataFrame = {
+    val schema = readSchema(spark, path)
+    val buckets = numBuckets(spark, path)
+    var raw = readRaw(spark, path)
+    if (buckets > 0) {
+      val b = spark.range(1)
+        .select(pmod(hash(lit(key)), lit(buckets)).cast("int")).head.getInt(0)
+      raw = raw.filter(col(BucketCol) === b)
+    }
+    collapse(raw.filter(col(schema.keyField) === lit(key)), schema)
   }
 }

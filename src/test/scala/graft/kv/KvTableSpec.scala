@@ -156,6 +156,30 @@ class KvTableSpec extends SparkSpec {
     assert(after === Array("v4"))
   }
 
+  test("bucketed compaction: point lookups prune to one bucket; " +
+    "appends stay bucket-aligned") {
+    val path = TestSpark.scratch("kv-bucketed")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, buckets = 4)
+    assert(KvTable.numBuckets(spark, path) === 4)
+    // LWW view unchanged by the layout rewrite
+    assert(KvTable.read(spark, path).orderBy("num")
+      .as[(String, String, String)].collect() === Array(
+      ("1", "c", "C"), ("2", "d", "D"), ("3", "c", "C"),
+      ("4", "d", "D"), ("5", "e", "E")))
+    // point lookup returns exactly the key's row and prunes partitions
+    val got = KvTable.get(spark, path, "2")
+    assert(got.as[(String, String, String)].collect() === Array(("2", "d", "D")))
+    val scanned = got.queryExecution.executedPlan.toString()
+    assert(scanned.contains("__bucket"), "bucket filter missing from plan")
+    // appends after bucketing keep working and stay visible
+    KvTable.write(Seq(("2", "z", "Z")).toDF("num", "lower", "upper"),
+      path, schema, SinkMode.Append)
+    assert(KvTable.get(spark, path, "2").as[(String, String, String)]
+      .collect() === Array(("2", "z", "Z")))
+    assert(KvTable.read(spark, path).count() === 5)
+  }
+
   test("compact preserves the LWW view") {
     val path = TestSpark.scratch("kv-compact")
     KvTable.write(parsed, path, schema, SinkMode.Replace)
