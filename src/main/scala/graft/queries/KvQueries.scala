@@ -83,6 +83,20 @@ object KvQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Point lookup on a bucket-compacted table (the HBase Get): only the
+    // key's bucket directory is read.
+    "kv_point_get" -> { (s, dir) =>
+      val path = scratchDir("kv_point_get", dir)
+      val schema = KvSchema.of("o_custkey",
+        "o_orderkey" -> ("o", "orderkey"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val o = table(s, dir, "orders")
+      KvTable.write(o, path, schema, SinkMode.Replace,
+        versionFrom = Some(orderVersion))
+      KvTable.compactBucketed(s, path, buckets = 8)
+      KvTable.get(s, path, 42L)
+    },
+
     // Rowkey-range scan over a byte-lex string rowkey (the HBase Scan
     // [startRow, stopRow) analog with correct closed-open bounds —
     // SURVEY.md §2b documents the reference's boundary bugs we fix).
@@ -146,6 +160,11 @@ object KvQueries {
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1 AND o_custkey < 700
         |ORDER BY o_custkey""".stripMargin,
+    "kv_point_get" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 AND o_custkey = 42""".stripMargin,
     "kv_scan_range" ->
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,
         |       c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment
