@@ -32,7 +32,7 @@ object MmQueries {
         |  md5(text) AS content_key,
         |  CAST(64 + doc_id % 64 AS INT) AS width,
         |  CAST(64 + (doc_id * 7) % 64 AS INT) AS height,
-        |  greatest(1, CAST(n_chars // 100 AS INT)) AS n_frames
+        |  CAST(greatest(1, n_chars // 100) AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -48,6 +48,8 @@ def main(sf_dir, out_dir):
         if list(g.columns) != list(w.columns):
             results[name] = f"SCHEMA_MISMATCH got={list(g.columns)} want={list(w.columns)}"
             continue
+        dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+              if str(g[c].dtype) != str(w[c].dtype)]
         if len(g) != len(w):
             results[name] = f"ROWCOUNT_MISMATCH got={len(g)} want={len(w)}"
             continue
@@ -63,7 +65,9 @@ def main(sf_dir, out_dir):
                 eq = False
             if not eq:
                 bad.append(c)
-        results[name] = "OK rows=%d" % len(g) if not bad else f"VALUE_MISMATCH cols={bad}"
+        suffix = f" DTYPE_DIFF={dt}" if dt else ""
+        results[name] = ("OK rows=%d" % len(g)) + suffix if not bad \
+            else f"VALUE_MISMATCH cols={bad}"
     n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("ROWS_ONLY"))
     for k, v in sorted(results.items()):
         print(f"{k:26s} {v}")
