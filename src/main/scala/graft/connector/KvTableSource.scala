@@ -54,7 +54,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * duplicate a row, is deliberately NOT reproduced).
   *
   * Supported column types: string, binary, boolean, int, long, double,
-  * timestamp (micros) — the KvTable value domain.
+  * timestamp stored as INT64 micros. NOTE: Spark's DEFAULT parquet
+  * timestamp encoding is INT96, which this reader rejects with a clear
+  * error — write timestamp-bearing tables with
+  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` (kept OFF
+  * globally here because micros-encoded outputs read back tz-aware in
+  * pandas-family consumers, perturbing downstream comparators), or keep
+  * timestamps as epoch longs in the KV value domain.
   */
 class KvTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kvtable"
@@ -301,8 +307,23 @@ object KvV2Util {
     } finally reader.close()
   }
 
+  /** Unsigned lexicographic byte comparison — parquet's BINARY stats
+    * ordering. String.compareTo (UTF-16 code units) would misorder
+    * supplementary-plane characters against UTF-8 byte order and could
+    * prune a file that actually contains matching rows. */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Binary, y: String) => new String(x.getBytes, "UTF-8").compareTo(y)
+    case (x: Binary, y: String) => cmpBytes(x.getBytes, y.getBytes("UTF-8"))
     case (x: java.lang.Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: java.lang.Integer, y: Long) => java.lang.Long.compare(x.toLong, y)
     case _ => 0 // unknown combination -> treat as overlapping (no pruning)

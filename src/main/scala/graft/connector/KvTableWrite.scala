@@ -67,17 +67,24 @@ class KvBatchWrite(path: String, schema: StructType,
       val out = fs.create(new HPath(s"$path/_kvschema.json"), true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
     }
-    // bump the batch counter like the direct write path
+    // bump the batch counter; preserve an existing bucket layout marker
+    // UNLESS this write truncated the table (V2 writes are unbucketed,
+    // so a Replace resets the layout to unbucketed)
     val metaFile = new HPath(s"$path/_kvmeta.json")
-    val prev =
-      if (!fs.exists(metaFile)) 0L
+    val (prevVer, prevBuckets) =
+      if (!fs.exists(metaFile)) (0L, 0)
       else {
         val in = fs.open(metaFile)
         val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        "\\d+".r.findFirstIn(s).map(_.toLong).getOrElse(0L)
+        (("\"lastVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toLong).getOrElse(0L)),
+          ("\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+            .map(_.group(1).toInt).getOrElse(0)))
       }
+    val buckets = if (truncate) 0 else prevBuckets
     val out = fs.create(metaFile, true)
-    try out.write(s"""{"lastVersion":${prev + 1}}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"lastVersion":${prevVer + 1},"buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -100,15 +107,20 @@ class KvWriterFactory(path: String, schema: StructType)
 class KvDataWriter(path: String, schema: StructType, partitionId: Int,
                    taskId: Long) extends DataWriter[InternalRow] {
 
-  private val file =
-    s"$path/data/part-v2-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
+  // Stage outside data/ so readers never see uncommitted or torn files
+  // (a hard task kill leaves only invisible staging garbage); the task
+  // commit publishes with a single rename.
+  private val name =
+    s"part-v2-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
+  private val staged = s"$path/.staging/$name"
+  private val file = s"$path/data/$name"
 
   private val messageType: MessageType = KvWriteUtil.toParquetSchema(schema)
   private val conf = new Configuration()
   GroupWriteSupport.setSchema(messageType, conf)
 
   private val writer: ParquetWriter[org.apache.parquet.example.data.Group] =
-    ExampleParquetWriter.builder(new HPath(file)).withConf(conf).build()
+    ExampleParquetWriter.builder(new HPath(staged)).withConf(conf).build()
 
   private val factory = new SimpleGroupFactory(messageType)
 
@@ -137,13 +149,17 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     writer.close() // single buffered flush per task, like flushCommits()
+    val fs = new HPath(path).getFileSystem(new Configuration())
+    fs.mkdirs(new HPath(s"$path/data"))
+    if (!fs.rename(new HPath(staged), new HPath(file)))
+      throw new java.io.IOException(s"kvtable: failed to publish $staged")
     KvCommitMessage(Seq(file))
   }
 
   override def abort(): Unit = {
     writer.close()
-    new HPath(file).getFileSystem(new Configuration())
-      .delete(new HPath(file), false)
+    val fs = new HPath(staged).getFileSystem(new Configuration())
+    fs.delete(new HPath(staged), false)
   }
 
   override def close(): Unit = ()

@@ -126,6 +126,9 @@ object Dedup {
         "th", Native.tokenHashes(TextOps.tokens(col("text")))),
       "sh", Native.shingleHashes(col("th"), shingleLen))
       .select(col("id"), col("sh"))
+      // docs too short to shingle can't be near-dups; without this they
+      // all share null band keys and one bucket expands O(m²) pairs
+      .filter(size(col("sh")) > 0)
     val withSig = materializedColumn(base, "sig",
       Native.minHashSig(col("sh"), k))
     val bandsDf = withSig.select(col("id"),

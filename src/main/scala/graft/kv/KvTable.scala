@@ -217,11 +217,16 @@ object KvTable {
         throw new IllegalStateException(s"KvTable $path exists and mode is Keep")
       case _ => ()
     }
-    if (exists(spark, path)) {
+    // Replace drops the old table, so only Append must match its schema
+    // (same contract as the v1 write path).
+    if (mode != SinkMode.Replace && exists(spark, path)) {
       val existing = readSchema(spark, path)
       require(existing == schema,
         s"KvTable $path schema mismatch: $existing vs $schema")
     }
+    require(numBuckets(spark, path) == 0 || mode == SinkMode.Replace,
+      s"KvTable $path is bucket-compacted; the V2 write path does not " +
+        "bucket-align appends yet — use KvTable.write, or Replace")
     val batch = readMetaVersion(spark, path) + 1
     val version = versionFrom.getOrElse(lit(batch)).cast("long")
     val out = df
@@ -357,14 +362,22 @@ object KvTable {
     * with the key predicate pushed to the parquet footers.
     */
   def get(spark: SparkSession, path: String, key: Any): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
     val schema = readSchema(spark, path)
     val buckets = numBuckets(spark, path)
     var raw = readRaw(spark, path)
+    // Cast the lookup value to the STORED key type before hashing — a
+    // Scala Int probed against a LongType key would Murmur3-hash
+    // differently and silently miss the bucket.
+    val keyType = raw.schema(schema.keyField).dataType
+    val keyLit = lit(key).cast(keyType)
     if (buckets > 0) {
-      val b = spark.range(1)
-        .select(pmod(hash(lit(key)), lit(buckets)).cast("int")).head.getInt(0)
+      // driver-local hash evaluation: no Spark job for a point lookup
+      val castKey = Cast(Literal.create(key), keyType)
+      val b = Pmod(Murmur3Hash(Seq(castKey), 42),
+        Literal(buckets)).eval().asInstanceOf[Int]
       raw = raw.filter(col(BucketCol) === b)
     }
-    collapse(raw.filter(col(schema.keyField) === lit(key)), schema)
+    collapse(raw.filter(col(schema.keyField) === keyLit), schema)
   }
 }

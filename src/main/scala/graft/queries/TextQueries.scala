@@ -66,10 +66,13 @@ object TextQueries {
       import graft.functions.Native
       val th = Native.tokenHashes(TextOps.tokens(col("text")))
       val rh = Native.shingleHashes(th, 3)
-      val boundaries = filter(
-        transform(sequence(lit(1), size(rh)),
-          i => when(element_at(rh, i) % 8 === 0, i).otherwise(-1)),
-        x => x > 0)
+      // guard: sequence(1, 0) counts DOWN for empty rh (docs < 3 tokens)
+      val boundaries = when(size(rh) > 0,
+        filter(
+          transform(sequence(lit(1), size(rh)),
+            i => when(element_at(rh, i) % 8 === 0, i).otherwise(-1)),
+          x => x > 0))
+        .otherwise(array().cast("array<int>"))
       table(s, dir, "documents")
         .select(col("doc_id"),
           size(boundaries).as("n_boundaries"),

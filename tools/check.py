@@ -37,7 +37,8 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
-            results[name] = f"ROWS_ONLY rows={len(got)}"
+            results[name] = (f"ROWS_ONLY rows={len(got)}" if len(got) > 0
+                             else "ROWS_ONLY_EMPTY rows=0")
             continue
         try:
             want = con.sql(oracle[name]).df()
@@ -68,7 +69,8 @@ def main(sf_dir, out_dir):
         suffix = f" DTYPE_DIFF={dt}" if dt else ""
         results[name] = ("OK rows=%d" % len(g)) + suffix if not bad \
             else f"VALUE_MISMATCH cols={bad}"
-    n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("ROWS_ONLY"))
+    n_ok = sum(1 for v in results.values()
+               if v.startswith("OK") or v.startswith("ROWS_ONLY rows"))
     for k, v in sorted(results.items()):
         print(f"{k:26s} {v}")
     print(f"== {n_ok}/{len(results)} pass")
