@@ -80,6 +80,38 @@ class KvTableSourceSpec extends SparkSpec {
       Array(("z", "9")))
   }
 
+  test("V2 write stages invisibly and publishes atomically; Replace may change schema") {
+    val path = TestSpark.scratch("v2-staging")
+    val s1 = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.writeV2(Seq(("a", "1")).toDF("k", "v"), path, s1,
+      graft.kv.SinkMode.Replace)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/.staging")
+    // after commit the staging area holds no files
+    assert(!fs.exists(staging) || fs.listStatus(staging).forall(!_.isFile))
+    // Replace with a DIFFERENT schema succeeds (drop + recreate contract)
+    val s2 = KvSchema.of("k", "w" -> ("g", "w"))
+    KvTable.writeV2(Seq(("x", 5L)).toDF("k", "w"), path, s2,
+      graft.kv.SinkMode.Replace)
+    assert(KvTable.readSchema(spark, path) === s2)
+    assert(KvTable.read(spark, path).as[(String, Long)].collect() ===
+      Array(("x", 5L)))
+  }
+
+  test("point get casts the probe to the stored key type (Int vs Long)") {
+    val path = TestSpark.scratch("v2-getcast")
+    val s = KvSchema.of("id", "v" -> ("f", "v"))
+    KvTable.write((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      path, s, graft.kv.SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, 8)
+    // probe with a Scala Int against the LongType key column
+    assert(KvTable.get(spark, path, 42).as[(Long, String)].collect() ===
+      Array((42L, "v42")))
+    assert(KvTable.get(spark, path, 42L).as[(Long, String)].collect() ===
+      Array((42L, "v42")))
+  }
+
   test("long-key tables prune by numeric footer stats") {
     val path = TestSpark.scratch("v2-longkey")
     val schema = KvSchema.of("id", "v" -> ("f", "v"))
