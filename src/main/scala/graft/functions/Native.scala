@@ -118,11 +118,31 @@ case class TokenHashes60(child: Expression) extends UnaryExpression {
 /** array<long> -> array<long>: base-31 polynomial n-gram combine mod P.
   * Mirrors Dedup.shingleHashes. */
 case class PolyShingleHashes(child: Expression, nExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = nExpr
   private lazy val n: Int = nExpr.eval().asInstanceOf[Int]
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val len = ctx.freshName("len")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val terms = (0 until n).map(j =>
+        s"$a.getLong($i + $j) * ${math.pow(31, n - 1 - j).toLong}L")
+        .mkString(" + ")
+      s"""
+         |final int $len = $a.numElements();
+         |final long[] $out = new long[$len < $n ? 0 : $len - $n + 1];
+         |for (int $i = 0; $i + $n <= $len; $i++) {
+         |  final long $acc = $terms;
+         |  $out[$i] = $acc % ${Native.P}L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any, ignored: Any): Any = {
     val th = v.asInstanceOf[ArrayData]
     val len = th.numElements()
@@ -147,11 +167,39 @@ case class PolyShingleHashes(child: Expression, nExpr: Expression)
   * h_i(x) = ((i*7919+1)x + i*104729) mod P, single pass maintaining k
   * minima. Mirrors Dedup.minHashSignature. */
 case class MinHashSig(child: Expression, kExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = kExpr
   private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val len = ctx.freshName("len")
+      val mins = ctx.freshName("mins")
+      val boxed = ctx.freshName("boxed")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val hp = ctx.freshName("hp")
+      s"""
+         |final int $len = $a.numElements();
+         |final long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $len; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $p = 0; $p < $k; $p++) {
+         |    final long $hp = (($p * 7919L + 1L) * $h + $p * 104729L) % ${Native.P}L;
+         |    if ($hp < $mins[$p]) $mins[$p] = $hp;
+         |  }
+         |}
+         |final Object[] $boxed = new Object[$k];
+         |for (int $p = 0; $p < $k; $p++) {
+         |  $boxed[$p] = ($len == 0) ? null : (Object) java.lang.Long.valueOf($mins[$p]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any, ignored: Any): Any = {
     val sh = v.asInstanceOf[ArrayData]
     val len = sh.numElements()
@@ -176,9 +224,33 @@ case class MinHashSig(child: Expression, kExpr: Expression)
 
 /** array<long> -> long: 64-bit SimHash, one pass accumulating all 64
   * bit-votes. Mirrors Dedup.simHash64FromHashes. */
-case class SimHash64Expr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] >= 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val hs = v.asInstanceOf[ArrayData]
     val n = hs.numElements()
