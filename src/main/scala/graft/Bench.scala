@@ -39,6 +39,15 @@ object Bench {
     // Warm the JVM (codegen, parquet reader, shuffle paths) on the tiny SF
     // so the first timed query doesn't absorb session startup.
     SparkEntry.entry(spark).count()
+    // Warm the broadcast machinery (BroadcastExchange thread pool, hashed
+    // relation build, BroadcastHashJoin codegen) — otherwise the first
+    // timed broadcast join pays several seconds of one-time cost.
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val big = spark.range(10000).toDF("k")
+      val dim = spark.range(100).toDF("k")
+      big.join(broadcast(dim), "k").count()
+    }
 
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }

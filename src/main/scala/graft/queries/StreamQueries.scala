@@ -31,14 +31,31 @@ object StreamQueries {
     d.toString
   }
 
-  /** Run a stream to completion with AvailableNow. */
+  /** Run a stream to completion with AvailableNow.
+    *
+    * Streaming aggregations allocate one state store PER shuffle
+    * partition, and every micro-batch pays per-store snapshot/commit IO
+    * — at local[32] that is 32 stores for a query whose state is a few
+    * thousand rows. Bound the stream's shuffle partitions to a small
+    * constant (results are partition-count-insensitive: LWW upserts +
+    * DECIMAL sums), restoring the session conf afterwards. On a real
+    * cluster this knob is sized to state volume, not core count.
+    */
+  private val StreamShufflePartitions = 8
+
   private def runStream(df: DataFrame)(sink: (DataFrame, Long) => Unit): Unit = {
-    val q = df.writeStream
-      .outputMode("update")
-      .foreachBatch(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions)
+    try {
+      val q = df.writeStream
+        .outputMode("update")
+        .foreachBatch(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
   }
 
   val defs: Map[String, Q] = Map(
