@@ -108,9 +108,29 @@ object Dedup {
     * Jaccard, filtered to `minJaccard`. The only shuffles are the band
     * self-equi-join and a distinct.
     */
+  /** Upper bound on candidate-bucket size before pair expansion. A bucket
+    * of m ids expands m·(m-1)/2 pairs inside ONE task; a pathological
+    * bucket (boilerplate text hashing to one band key) would otherwise do
+    * O(m²) work and OOM the task at corpus scale. Buckets above the cap
+    * are dropped — their members are by construction low-signal
+    * boilerplate, the standard production trade (recall on spam-sized
+    * clusters for bounded worst-case work). Drops are observable via the
+    * named `observe` metrics (`<name>: dropped_buckets, max_bucket`). */
+  val DefaultMaxBucket = 10000
+
+  private[graft] def capBuckets(grouped: DataFrame, sizeOf: Column,
+                                metricName: String, maxBucket: Int): DataFrame =
+    grouped
+      .filter(sizeOf > 1)
+      .observe(metricName,
+        sum(when(sizeOf > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        coalesce(max(sizeOf), lit(0)).as("max_bucket"))
+      .filter(sizeOf <= maxBucket)
+
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
-                          minJaccard: Double = 0.5): DataFrame = {
+                          minJaccard: Double = 0.5,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)
@@ -135,12 +155,13 @@ object Dedup {
       posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
     // Candidate pairs via ONE pass: group ids per bucket and expand i<j
     // pairs locally (the self-join alternative scans the corpus twice).
-    // Bucket sizes bound the blowup; production corpora additionally cap
-    // pathological buckets before expansion.
-    val cand = bandsDf
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+    // Buckets above `maxBucket` are dropped before expansion (capBuckets)
+    // so one hot bucket can never blow up a task.
+    val cand = capBuckets(
+      bandsDf
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(collect_list(col("id")).as("ids")),
+      size(col("ids")), "graft_minhash_buckets", maxBucket)
       .select(explode(pairsFromIds(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
@@ -180,7 +201,8 @@ object Dedup {
     * equi-join on chunks, then filter by exact hamming distance.
     */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)
@@ -197,11 +219,13 @@ object Dedup {
         shiftright(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
     // One pass: bucket by chunk, expand pairs locally carrying the
-    // fingerprints (struct comparison orders by id first).
-    chunked
-      .groupBy(col("chunk_idx"), col("chunk"))
-      .agg(collect_list(struct(col("id"), col("fp"))).as("xs"))
-      .filter(size(col("xs")) > 1)
+    // fingerprints (struct comparison orders by id first). Hot chunks
+    // above `maxBucket` are dropped before expansion (capBuckets).
+    capBuckets(
+      chunked
+        .groupBy(col("chunk_idx"), col("chunk"))
+        .agg(collect_list(struct(col("id"), col("fp"))).as("xs")),
+      size(col("xs")), "graft_simhash_buckets", maxBucket)
       .select(explode(pairsFromIds(col("xs"))).as("p"))
       .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
         col("p.id1.fp").as("fp1"), col("p.id2.fp").as("fp2"))

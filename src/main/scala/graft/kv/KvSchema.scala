@@ -39,6 +39,9 @@ final case class KvSchema(keyField: String, valueFields: Seq[KvField]) {
     s"key field '$keyField' must not also be a value field")
   require(valueFields.map(_.name).distinct.size == valueFields.size,
     "duplicate value field names")
+  require(!fieldNames.exists(KvSchema.ReservedNames),
+    s"field names ${fieldNames.filter(KvSchema.ReservedNames).mkString(", ")} " +
+      "collide with engine columns (__version/__seq/__tombstone/__bucket)")
 
   /** key ++ value field names, the logical tuple schema. */
   def fieldNames: Seq[String] = keyField +: valueFields.map(_.name)
@@ -67,6 +70,12 @@ final case class KvSchema(keyField: String, valueFields: Seq[KvField]) {
 object KvSchema {
   val FamilyKey = "kv.family"
   val QualifierKey = "kv.qualifier"
+
+  /** Engine-internal column names a user field must not shadow: write()
+    * would silently overwrite the user column and the LWW collapse would
+    * then fail or return wrong data. */
+  val ReservedNames: Set[String] =
+    Set("__version", "__seq", "__tombstone", "__bucket")
 
   /** Convenience: fields declared as name -> (family, qualifier). */
   def of(keyField: String, fields: (String, (String, String))*): KvSchema =

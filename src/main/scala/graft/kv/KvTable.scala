@@ -313,17 +313,37 @@ object KvTable {
       .toLocalIterator().asScala
   }
 
+  /** LWW collapse that KEEPS each surviving row's original `__version`.
+    * Compaction must not renumber versions: a table written with
+    * `versionFrom` (event-time versions) would otherwise have any
+    * post-compaction append — even one carrying an OLDER event time —
+    * win against the reset version and silently invert LWW ordering.
+    */
+  private def collapseKeepVersion(raw: DataFrame, schema: KvSchema): DataFrame = {
+    val payload = struct(
+      (col(TombstoneCol) +: col(VersionCol) +:
+        schema.valueFields.map(f => col(f.name))): _*)
+    raw.groupBy(col(schema.keyField))
+      .agg(max_by(payload, struct(col(VersionCol), col(SeqCol))).as("__row"))
+      .filter(!col("__row")(TombstoneCol))
+      .select((col(schema.keyField) +:
+        schema.valueFields.map(f => col("__row")(f.name).as(f.name, f.metadata))) :+
+        col("__row")(VersionCol).as(VersionCol): _*)
+  }
+
   /** Rewrite the log so each key holds exactly its current version (the
     * HBase major-compaction analog). Restores tight parquet min/max stats
-    * and bounds read amplification after many appends.
+    * and bounds read amplification after many appends. Original
+    * `__version` values and the meta version counter are preserved so
+    * LWW ordering survives compaction in every version domain.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val schema = readSchema(spark, path)
-    val current = read(spark, path)
-      .withColumn(VersionCol, lit(1L))
-      .withColumn(SeqCol, monotonically_increasing_id())
+    val lastVer = readMetaVersion(spark, path)
+    val current = collapseKeepVersion(readRaw(spark, path), schema)
+      .withColumn(SeqCol, lit(0L))
       .withColumn(TombstoneCol, lit(false))
-    swapData(spark, path, current, buckets = 0)
+    swapData(spark, path, current, buckets = 0, lastVersion = lastVer)
   }
 
   /** Major compaction INTO a hash-bucketed layout: the log is rewritten
@@ -336,24 +356,33 @@ object KvTable {
   def compactBucketed(spark: SparkSession, path: String, buckets: Int): Unit = {
     require(buckets > 0, "buckets must be positive")
     val schema = readSchema(spark, path)
-    val current = read(spark, path)
-      .withColumn(VersionCol, lit(1L))
-      .withColumn(SeqCol, monotonically_increasing_id())
+    val lastVer = readMetaVersion(spark, path)
+    val current = collapseKeepVersion(readRaw(spark, path), schema)
+      .withColumn(SeqCol, lit(0L))
       .withColumn(TombstoneCol, lit(false))
       .withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
       .repartition(buckets, col(BucketCol))
-    swapData(spark, path, current, buckets)
+    swapData(spark, path, current, buckets, lastVersion = lastVer)
   }
 
+  /** Swap the rewritten log in WITHOUT a window where no data dir exists:
+    * old data is renamed ASIDE (not deleted) before the new generation
+    * renames into place, so a crash at any step leaves either the old or
+    * the new generation readable under `data/`. The aside copy is removed
+    * last; a stale one from a prior crash is cleaned on entry.
+    */
   private def swapData(spark: SparkSession, path: String, current: DataFrame,
-                       buckets: Int): Unit = {
+                       buckets: Int, lastVersion: Long): Unit = {
     val tmp = s"$path/.compact-tmp"
+    val old = s"$path/.data-old"
     val w = current.write.mode("overwrite")
     (if (buckets > 0) w.partitionBy(BucketCol) else w).parquet(tmp)
     val f = fs(spark, path)
-    f.delete(new HPath(dataDir(path)), true)
+    f.delete(new HPath(old), true)
+    f.rename(new HPath(dataDir(path)), new HPath(old))
     f.rename(new HPath(tmp), new HPath(dataDir(path)))
-    writeMeta(spark, path, 1L, buckets)
+    writeMeta(spark, path, lastVersion, buckets)
+    f.delete(new HPath(old), true)
   }
 
   /** Point lookup (the HBase `Get`): the LWW row for one key. On a

@@ -72,8 +72,13 @@ object Ops {
     */
   def saltedSum(df: DataFrame, key: Column, value: Column, out: String,
                 salts: Int = 16): DataFrame =
+    // Salt from a ROW-LOCAL source, never from the data: a hot key whose
+    // values are constant (the common skew case — default/sentinel
+    // values) would map every row to one salt and defeat the spread. The
+    // salt only partitions work, so any per-row value keeps the result
+    // unchanged; monotonically_increasing_id is uniform within each task.
     df.select(key.as("__key"), value.as("__v"),
-        pmod(xxhash64(value), lit(salts)).as("__salt"))
+        pmod(monotonically_increasing_id(), lit(salts.toLong)).as("__salt"))
       .groupBy(col("__key"), col("__salt"))
       .agg(sum(col("__v")).as("__partial"))
       .groupBy(col("__key"))

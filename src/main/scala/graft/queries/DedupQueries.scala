@@ -111,11 +111,15 @@ object DedupQueries {
        |  SELECT doc_id, b.band_idx,
        |    sig[b.band_idx*2+1] * 1000000007 + sig[b.band_idx*2+2] AS band_key
        |  FROM sigs, (SELECT unnest(range(0, 6)) AS band_idx) b),
+       |okb AS (
+       |  SELECT band_idx, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 10000),
        |candids AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id),
+       |   AND a.doc_id < b.doc_id
+       |  JOIN okb o ON o.band_idx = a.band_idx AND o.band_key = a.band_key),
        |cand AS (
        |  SELECT c.id1, c.id2, s1.sh AS sh1, s2.sh AS sh2
        |  FROM candids c

@@ -92,13 +92,16 @@ object SimQueries {
        |qv AS (
        |  SELECT id, list_transform(vec, x -> CAST(round(x*10000) AS BIGINT)) AS q
        |  FROM corpus),
-       |sigs AS (SELECT id, q, $bits AS sig FROM qv)
+       |sigs AS (SELECT id, q, $bits AS sig FROM qv),
+       |oks AS (
+       |  SELECT sig FROM sigs GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10000)
        |SELECT id1, id2, cosine FROM (
        |  SELECT a.id AS id1, b.id AS id2,
        |    list_dot_product(a.q, b.q)
        |      / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
        |      AS cosine
-       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id)
+       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+       |  JOIN oks o ON o.sig = a.sig)
        |WHERE cosine >= 0.995
        |ORDER BY id1, id2""".stripMargin
   }

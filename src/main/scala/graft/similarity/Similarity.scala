@@ -123,9 +123,18 @@ object Similarity {
     * signature (colinear vectors always share a signature, so exact
     * duplicates are never missed; near-dups are found with the usual
     * LSH recall).
+    *
+    * `bits` sizes the signature space (2^bits buckets): at corpus scale
+    * raise it so expected bucket size N/2^bits stays in the hundreds —
+    * 8 bits is right for 10^4..10^5 vectors, 20+ for 10^9. Buckets above
+    * `maxBucket` are dropped before pair expansion (one degenerate
+    * bucket — e.g. the zero vector — would otherwise do O(m²) work in a
+    * single task); drops are observable via the `graft_lsh_buckets`
+    * observe metric.
     */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                      dims: Int, minCosine: Double): DataFrame = {
+                      dims: Int, minCosine: Double, bits: Int = 8,
+                      maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(vectors.sparkSession)
@@ -136,13 +145,14 @@ object Similarity {
       vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
       "q", quantize(col("v")))
       .select(col("id"), col("q"))
-      .withColumn("sig", Native.hyperplaneSig(col("q"), 8))
+      .withColumn("sig", Native.hyperplaneSig(col("q"), bits))
     // One corpus pass: bucket by signature, expand i<j pairs locally
     // carrying the quantized vectors (struct order = id order).
-    base
-      .groupBy(col("sig"))
-      .agg(collect_list(struct(col("id"), col("q"))).as("xs"))
-      .filter(size(col("xs")) > 1)
+    graft.dedup.Dedup.capBuckets(
+      base
+        .groupBy(col("sig"))
+        .agg(collect_list(struct(col("id"), col("q"))).as("xs")),
+      size(col("xs")), "graft_lsh_buckets", maxBucket)
       .select(explode(graft.dedup.Dedup.pairsFromIds(col("xs"))).as("p"))
       .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
         col("p.id1.q").as("q1"), col("p.id2.q").as("q2"))

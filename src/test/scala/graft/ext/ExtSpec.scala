@@ -86,6 +86,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 - p._1 == 1000L))
   }
 
+  test("maxBucket caps pathological-bucket pair expansion") {
+    // 120 identical docs: every band bucket holds all 120 ids. Uncapped,
+    // that expands 120·119/2 pairs; with the cap the hot buckets are
+    // dropped (and counted in the observe metric) so work stays bounded.
+    val df = (0 until 120).map(i =>
+      (i.toLong, "same boiler plate text repeated again and again"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashNearDupPairs(df, "doc_id", "text")
+    assert(uncapped.count() === 120L * 119 / 2)
+    val capped = Dedup.minHashNearDupPairs(df, "doc_id", "text", maxBucket = 50)
+    assert(capped.collect().isEmpty)
+  }
+
+  test("capBuckets drops oversized buckets and reports them via observe") {
+    val grouped = Seq(
+      (1, (1L to 3L).toSeq), (2, (1L to 100L).toSeq), (3, (1L to 2L).toSeq))
+      .toDF("b", "ids")
+    val capped = Dedup.capBuckets(grouped, size($"ids"), "graft_test_buckets", 50)
+    // survivors: the two small buckets (size 3 and 2); the 100-bucket drops
+    // (collect capped ITSELF so its QueryExecution carries the metrics)
+    assert(capped.collect().map(_.getInt(0)).sorted === Array(1, 3))
+    val m = capped.queryExecution.observedMetrics("graft_test_buckets")
+    assert(m.getAs[Long]("dropped_buckets") === 1L)
+    assert(m.getAs[Int]("max_bucket") === 100)
+  }
+
   test("simHash: identical docs hamming 0, perturbed docs close, " +
     "unrelated docs far") {
     val df = Seq(
@@ -148,6 +174,20 @@ class SimilaritySpec extends SparkSpec {
       dims = 8, minCosine = 0.9999).as[(Long, Long, Double)].collect()
     val found = out.map(p => (p._1, p._2)).toSet
     assert((0 until 3).forall(i => found.contains((i.toLong, i + 100L))))
+  }
+
+  test("lshNearDupPairs caps degenerate buckets and honours bit width") {
+    // 80 copies of one vector: a single signature bucket. Capped at 20,
+    // the bucket is dropped and no O(m²) expansion happens.
+    val df = (0 until 80).map(i => (i.toLong, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("id", "vec")
+    val capped = Similarity.lshNearDupPairs(df, "id", "vec",
+      dims = 4, minCosine = 0.5, maxBucket = 20)
+    assert(capped.collect().isEmpty)
+    // wider signatures still bucket exact duplicates together
+    val wide = Similarity.lshNearDupPairs(df.limit(3), "id", "vec",
+      dims = 4, minCosine = 0.5, bits = 20)
+    assert(wide.count() === 3L) // 3 ids -> 3 pairs
   }
 }
 

@@ -180,6 +180,30 @@ class KvTableSpec extends SparkSpec {
     assert(KvTable.read(spark, path).count() === 5)
   }
 
+  test("compaction preserves versionFrom LWW ordering (no version reset)") {
+    val path = TestSpark.scratch("kv-compact-ver")
+    def putAt(row: (String, String, String), ts: Long): Unit =
+      KvTable.write(Seq(row).toDF("num", "lower", "upper")
+          .withColumn("ts", lit(ts)),
+        path, schema, SinkMode.Append, versionFrom = Some(col("ts")))
+    KvTable.drop(spark, path)
+    putAt(("1", "a", "A"), 100L)
+    KvTable.compact(spark, path)
+    // an append carrying an OLDER event time must NOT win post-compaction
+    putAt(("1", "b", "B"), 50L)
+    assert(KvTable.read(spark, path).as[(String, String, String)]
+      .collect() === Array(("1", "a", "A")))
+    // a genuinely newer event time still wins
+    putAt(("1", "c", "C"), 150L)
+    assert(KvTable.read(spark, path).as[(String, String, String)]
+      .collect() === Array(("1", "c", "C")))
+    // same invariant through the bucketed compaction path
+    KvTable.compactBucketed(spark, path, buckets = 2)
+    putAt(("1", "d", "D"), 120L)
+    assert(KvTable.read(spark, path).as[(String, String, String)]
+      .collect() === Array(("1", "c", "C")))
+  }
+
   test("compact preserves the LWW view") {
     val path = TestSpark.scratch("kv-compact")
     KvTable.write(parsed, path, schema, SinkMode.Replace)
@@ -204,6 +228,13 @@ class KvSchemaSpec extends SparkSpec {
       KvSchema.of("k", "v" -> ("f", "q"), "v" -> ("g", "q"))
     }
     intercept[IllegalArgumentException] { KvSchema("k", Nil) }
+    // engine-column collisions rejected (write() would silently clobber)
+    intercept[IllegalArgumentException] {
+      KvSchema.of("__version", "v" -> ("f", "q"))
+    }
+    intercept[IllegalArgumentException] {
+      KvSchema.of("k", "__tombstone" -> ("f", "q"))
+    }
   }
 
   test("json round trip") {
