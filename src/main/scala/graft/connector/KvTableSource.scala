@@ -30,14 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * This is the engine's analog of the reference's table-scan input
   * format (`TableInputFormatWrap.java`), re-expressed V2-style:
   *
-  *  - one `InputPartition` per data file = one split per region
-  *    (`getSplits`, `TableInputFormatWrap.java:40-82`);
-  *  - rowkey-range file pruning from parquet footer min/max statistics =
+  *  - one `InputPartition` per parquet ROW GROUP = one split per region
+  *    (`getSplits`, `TableInputFormatWrap.java:40-82`), planned from the
+  *    persisted stats manifest ([[KvStats]]) with no driver footer IO;
+  *  - rowkey-range row-group pruning from manifest min/max statistics =
   *    region pruning against `[startRow, stopRow)`
   *    (`TableInputFormatWrap.java:55-65`) — with CORRECT closed-open
-  *    boundary handling (a file whose range straddles the bound is kept;
-  *    the reference drops regions containing startRow and force-extends
-  *    the tail split, SURVEY.md §2b);
+  *    boundary handling (a group whose range straddles the bound is
+  *    kept; the reference drops regions containing startRow and
+  *    force-extends the tail split, SURVEY.md §2b);
   *  - `preferredLocations` from HDFS block locations = the split's
   *    region-server hostname pin (`TableSplitWrap.java:7-17`);
   *  - column pruning pushed into the parquet reader = the improvement
@@ -120,33 +121,84 @@ class KvScanBuilder(path: String, fullSchema: StructType)
   override def build(): Scan = new KvScan(path, fullSchema, required, pushed)
 }
 
+/** V2 scan over the KV log.
+  *
+  * Scale properties (all load-bearing at 100 TB):
+  *  - planning reads the persisted stats manifest ([[KvStats]]) — no
+  *    per-file driver footer IO (footer fallback only for files missing
+  *    from the manifest, e.g. hand-placed ones);
+  *  - one `InputPartition` per parquet ROW GROUP (not per file), so one
+  *    giant file still parallelizes — the analog of the reference's one
+  *    split per region (`TableInputFormatWrap.java:40-82`);
+  *  - row groups are pruned by manifest min/max before tasks launch;
+  *  - bucket-compacted tables report `KeyGroupedPartitioning(__bucket)`
+  *    ([[org.apache.spark.sql.connector.read.SupportsReportPartitioning]])
+  *    so a LWW collapse grouped on (__bucket, key) runs WITHOUT a
+  *    shuffle — the engine's region-local scan
+  *    (`TableInputFormatWrap.java:74-78`). Requires
+  *    `spark.sql.sources.v2.bucketing.enabled=true`.
+  */
 class KvScan(path: String, fullSchema: StructType, required: StructType,
-             pushed: Array[Filter]) extends Scan with Batch {
+             pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"kvtable($path) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val planned: Array[KvInputPartition] = {
     val conf = new Configuration()
     val files = KvV2Util.dataFiles(path, conf)
-    val projection = KvV2Util.projectionString(files.headOption, required, conf)
+    val manifest = KvStats.read(path, conf)
+    val byRel: Map[String, KvStats.FileStat] =
+      manifest.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
     files.flatMap { f =>
-      if (KvV2Util.filePassesFilters(f, pushed, conf))
-        Some(KvInputPartition(f.getPath.toString, f.getLen,
-          KvV2Util.hosts(f, conf), projection): InputPartition)
-      else None
+      val rel = KvStats.relativize(path, f.getPath, conf)
+      val bucket = KvV2Util.bucketOf(rel)
+      val hosts = KvV2Util.hosts(f, conf)
+      val groups = byRel.get(rel).filter(_.len == f.getLen) match {
+        case Some(st) => st.groups
+        case None => // not in manifest: one footer read (the slow path)
+          KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
+      }
+      groups.collect {
+        case g if KvStats.groupPasses(g.stats, pushed) =>
+          KvInputPartition(f.getPath.toString, g.start, g.len, hosts, bucket)
+      }
     }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.map(p => p: InputPartition)
+
+  /** Per-bucket grouped partitioning for bucket-compacted tables. Only
+    * reported when the query keeps `__bucket` in the read schema (the
+    * identity transform must resolve against the scan output) and every
+    * planned partition belongs to a bucket. */
+  override def outputPartitioning(): partitioning.Partitioning = {
+    val bucketed = required.fieldNames.contains(KvV2Util.BucketCol) &&
+      planned.nonEmpty && planned.forall(_.bucket >= 0)
+    if (bucketed) {
+      val distinct = planned.map(_.bucket).distinct.length
+      new partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(KvV2Util.BucketCol)), distinct)
+    } else new partitioning.UnknownPartitioning(planned.length)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required)
 }
 
-case class KvInputPartition(file: String, length: Long, hostnames: Array[String],
-                            projection: String) extends InputPartition {
+/** One parquet row group: `[start, start+length)` byte range. `bucket`
+  * is the `__bucket=N` partition-directory value (-1 when unbucketed). */
+case class KvInputPartition(file: String, start: Long, length: Long,
+                            hostnames: Array[String], bucket: Int)
+    extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = hostnames
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
 }
 
 class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
@@ -158,12 +210,33 @@ class KvPartitionReader(part: KvInputPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
-  if (part.projection.nonEmpty)
-    conf.set("parquet.read.schema", part.projection)
 
+  // Cut the column projection from THIS file's own schema, task-side:
+  // parquet requires the requested repetition to match the file exactly,
+  // and the log legitimately mixes provenance (Spark-written files mark
+  // non-null columns `required`; the V2 writer marks everything
+  // `optional`), so no single driver-computed projection fits all files.
+  private val projection: String = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(part.file), conf))
+    val full = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    val kept: Seq[org.apache.parquet.schema.Type] =
+      required.fieldNames.toSeq.flatMap { n =>
+        if (full.containsField(n)) Some(full.getType(Seq(n): _*)) else None
+      }
+    if (kept.isEmpty) ""
+    else new MessageType("spark_schema",
+      new util.ArrayList[org.apache.parquet.schema.Type](kept.asJava)).toString
+  }
+  if (projection.nonEmpty) conf.set("parquet.read.schema", projection)
+
+  // withFileRange selects exactly the row groups whose midpoint falls in
+  // [start, start+length) — this partition's single group.
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(part.file))
-      .withConf(conf).build()
+      .withConf(conf)
+      .withFileRange(part.start, part.start + part.length)
+      .build()
 
   private var current: Group = _
 
@@ -174,9 +247,15 @@ class KvPartitionReader(part: KvInputPartition, required: StructType)
     var i = 0
     while (i < required.length) {
       val name = required(i).name
-      val gIdx = current.getType.getFieldIndex(name)
-      if (current.getFieldRepetitionCount(gIdx) == 0) row.update(i, null)
-      else row.update(i, KvV2Util.readValue(current, gIdx, required(i).dataType))
+      // __bucket lives in the directory name, not the file — synthesize
+      // it from the partition (same as Spark's parquet partition columns)
+      if (name == KvV2Util.BucketCol) {
+        row.update(i, if (part.bucket >= 0) part.bucket else null)
+      } else {
+        val gIdx = current.getType.getFieldIndex(name)
+        if (current.getFieldRepetitionCount(gIdx) == 0) row.update(i, null)
+        else row.update(i, KvV2Util.readValue(current, gIdx, required(i).dataType))
+      }
       i += 1
     }
     row
@@ -186,6 +265,31 @@ class KvPartitionReader(part: KvInputPartition, required: StructType)
 }
 
 object KvV2Util {
+
+  val BucketCol = "__bucket"
+
+  /** Driver-side parquet footer opens — observable so tests can assert
+    * the manifest-planned path does ZERO of them. */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `__bucket=N` partition-directory value from a relative path, -1 if
+    * unbucketed. */
+  def bucketOf(relPath: String): Int =
+    "__bucket=(\\d+)/".r.findFirstMatchIn(relPath)
+      .map(_.group(1).toInt).getOrElse(-1)
+
+  /** Bucket count from `_kvmeta.json` (0 = unbucketed). */
+  def readBuckets(path: String, conf: Configuration): Int = {
+    val f = new HPath(s"$path/_kvmeta.json")
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) 0
+    else {
+      val in = fs.open(f)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(0)
+    }
+  }
 
   def dataFiles(path: String, conf: Configuration): Seq[FileStatus] = {
     val dir = new HPath(s"$path/data")
@@ -209,18 +313,30 @@ object KvV2Util {
       .flatMap(_.getHosts).distinct.filterNot(_ == "localhost")
   }
 
-  /** StructType from the first data file's parquet footer. */
+  /** StructType from the stats manifest (preferred — no footer IO) or
+    * the first data file's parquet footer. Bucket-compacted tables get a
+    * synthesized `__bucket` column (the partition-directory value), like
+    * Spark's own parquet partition-column discovery. */
   def inferSchema(path: String, conf: Configuration): StructType = {
-    val files = dataFiles(path, conf)
-    require(files.nonEmpty, s"kvtable at $path has no data files")
-    val msg = footerSchema(files.head, conf)
-    StructType(msg.getFields.asScala.map { f =>
+    val msg = KvStats.read(path, conf).map(_.schema).filter(_.nonEmpty) match {
+      case Some(s) =>
+        org.apache.parquet.schema.MessageTypeParser.parseMessageType(s)
+      case None =>
+        val files = dataFiles(path, conf)
+        require(files.nonEmpty, s"kvtable at $path has no data files")
+        footerSchema(files.head, conf)
+    }
+    val base = StructType(msg.getFields.asScala.map { f =>
       val p = f.asPrimitiveType()
       StructField(f.getName, sparkType(p), nullable = true)
     }.toSeq)
+    if (readBuckets(path, conf) > 0)
+      base.add(StructField(BucketCol, IntegerType, nullable = true))
+    else base
   }
 
-  private def footerSchema(f: FileStatus, conf: Configuration): MessageType = {
+  private[connector] def footerSchema(f: FileStatus, conf: Configuration): MessageType = {
+    footerOpens.incrementAndGet()
     val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
@@ -238,22 +354,6 @@ object KvV2Util {
     case FLOAT => FloatType
     case other =>
       throw new IllegalArgumentException(s"kvtable: unsupported parquet type $other")
-  }
-
-  /** Projection MessageType (string form) for the pruned columns, cut
-    * from the file's own schema so physical types line up. */
-  def projectionString(first: Option[FileStatus], required: StructType,
-                       conf: Configuration): String = first match {
-    case None => ""
-    case Some(f) =>
-      val full = footerSchema(f, conf)
-      val kept: Seq[org.apache.parquet.schema.Type] =
-        required.fieldNames.toSeq.flatMap { n =>
-          if (full.containsField(n)) Some(full.getType(Seq(n): _*)) else None
-        }
-      if (kept.isEmpty) ""
-      else new MessageType("spark_schema",
-        new util.ArrayList[org.apache.parquet.schema.Type](kept.asJava)).toString
   }
 
   def readValue(g: Group, idx: Int, dt: DataType): Any = dt match {
@@ -281,64 +381,4 @@ object KvV2Util {
     case _ => false
   }
 
-  /** Closed-open-correct pruning: keep the file unless a pushed filter
-    * provably excludes its entire [min, max] column range. */
-  def filePassesFilters(f: FileStatus, pushed: Array[Filter],
-                        conf: Configuration): Boolean = {
-    if (pushed.isEmpty) return true
-    val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      pushed.forall { filter =>
-        val (colName, check) = bound(filter)
-        if (!schema.containsField(colName)) true
-        else {
-          val ranges = for {
-            block <- reader.getFooter.getBlocks.asScala.toSeq
-            cc <- block.getColumns.asScala
-              .find(_.getPath.toDotString == colName).toSeq
-            stats = cc.getStatistics
-            if stats != null && stats.hasNonNullValue
-          } yield (stats.genericGetMin, stats.genericGetMax)
-          // No stats -> cannot prune; any block surviving -> keep file.
-          ranges.isEmpty || ranges.exists { case (mn, mx) => check(mn, mx) }
-        }
-      }
-    } finally reader.close()
-  }
-
-  /** Unsigned lexicographic byte comparison — parquet's BINARY stats
-    * ordering. String.compareTo (UTF-16 code units) would misorder
-    * supplementary-plane characters against UTF-8 byte order and could
-    * prune a file that actually contains matching rows. */
-  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    a.length - b.length
-  }
-
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Binary, y: String) => cmpBytes(x.getBytes, y.getBytes("UTF-8"))
-    case (x: java.lang.Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: java.lang.Integer, y: Long) => java.lang.Long.compare(x.toLong, y)
-    case _ => 0 // unknown combination -> treat as overlapping (no pruning)
-  }
-
-  /** (column, survives(min, max)) for a prunable filter. */
-  private def bound(f: Filter): (String, (Any, Any) => Boolean) = f match {
-    case GreaterThan(c, v) => (c, (_, mx) => cmp(mx, any(v)) > 0)
-    case GreaterThanOrEqual(c, v) => (c, (_, mx) => cmp(mx, any(v)) >= 0)
-    case LessThan(c, v) => (c, (mn, _) => cmp(mn, any(v)) < 0)
-    case LessThanOrEqual(c, v) => (c, (mn, _) => cmp(mn, any(v)) <= 0)
-    case EqualTo(c, v) =>
-      (c, (mn, mx) => cmp(mn, any(v)) <= 0 && cmp(mx, any(v)) >= 0)
-    case other => (other.references.headOption.getOrElse(""), (_, _) => true)
-  }
-
-  private def any(v: Any): Any = v
 }

@@ -45,7 +45,13 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-case class KvCommitMessage(files: Seq[String]) extends WriterCommitMessage
+/** Task-commit message: published file paths plus their stats, extracted
+  * TASK-side from the just-written footer — the driver merges them into
+  * the [[KvStats]] manifest without opening any footer itself (the 100 TB
+  * path: stats cost is distributed across writers, planning is one JSON
+  * read). */
+case class KvCommitMessage(files: Seq[String],
+                           stats: Seq[KvStats.FileStat]) extends WriterCommitMessage
 
 class KvBatchWrite(path: String, schema: StructType,
                    kvSchemaJson: Option[String], truncate: Boolean)
@@ -53,8 +59,8 @@ class KvBatchWrite(path: String, schema: StructType,
 
   // Snapshot the pre-job files on the DRIVER at job start; commit-time
   // truncation removes exactly these (task files are new unique names).
-  private val preExisting: Seq[String] =
-    KvV2Util.dataFiles(path, new Configuration()).map(_.getPath.toString)
+  private val preExisting: Seq[org.apache.hadoop.fs.FileStatus] =
+    KvV2Util.dataFiles(path, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KvWriterFactory(path, schema)
@@ -62,11 +68,31 @@ class KvBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val fs = new HPath(path).getFileSystem(conf)
-    if (truncate) preExisting.foreach(f => fs.delete(new HPath(f), false))
+    if (truncate) preExisting.foreach(f => fs.delete(f.getPath, false))
     kvSchemaJson.foreach { json =>
       val out = fs.create(new HPath(s"$path/_kvschema.json"), true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
     }
+    // Merge task-extracted stats into the manifest: zero driver footer IO
+    // for the files THIS job wrote. Pre-existing files missing from the
+    // manifest (legacy tables) are back-filled here, once.
+    val newStats = messages.toSeq.flatMap {
+      case KvCommitMessage(_, stats) => stats
+      case _ => Seq.empty
+    }
+    val priorByRel: Map[String, KvStats.FileStat] =
+      KvStats.read(path, conf).map(_.files.map(f => f.path -> f).toMap)
+        .getOrElse(Map.empty)
+    val kept =
+      if (truncate) Seq.empty
+      else preExisting.map { f =>
+        val rel = KvStats.relativize(path, f.getPath, conf)
+        priorByRel.get(rel).filter(_.len == f.getLen)
+          .getOrElse(KvStats.fromFooter(f.getPath, rel, f.getLen, conf))
+      }
+    val schemaStr = KvWriteUtil.toParquetSchema(
+      StructType(schema.fields.filterNot(_.name == KvV2Util.BucketCol))).toString
+    KvStats.write(path, KvStats.Manifest(schemaStr, kept ++ newStats), conf)
     // bump the batch counter; preserve an existing bucket layout marker
     // UNLESS this write truncated the table (V2 writes are unbucketed,
     // so a Replace resets the layout to unbucketed)
@@ -91,7 +117,7 @@ class KvBatchWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(path).getFileSystem(new Configuration())
     messages.foreach {
-      case KvCommitMessage(files) =>
+      case KvCommitMessage(files, _) =>
         files.foreach(f => fs.delete(new HPath(f), false))
       case _ => ()
     }
@@ -104,62 +130,98 @@ class KvWriterFactory(path: String, schema: StructType)
     new KvDataWriter(path, schema, partitionId, taskId)
 }
 
+/** Per-task buffered writer. Rows carrying a `__bucket` column are
+  * routed to per-bucket files under `data/__bucket=N/` (the column is a
+  * DIRECTORY coordinate, excluded from the parquet schema — the same
+  * layout the v1 `partitionBy` writer produces), so appends to a
+  * bucket-compacted table stay bucket-aligned. Unbucketed input writes
+  * one file, as before.
+  */
 class KvDataWriter(path: String, schema: StructType, partitionId: Int,
                    taskId: Long) extends DataWriter[InternalRow] {
 
-  // Stage outside data/ so readers never see uncommitted or torn files
-  // (a hard task kill leaves only invisible staging garbage); the task
-  // commit publishes with a single rename.
-  private val name =
-    s"part-v2-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
-  private val staged = s"$path/.staging/$name"
-  private val file = s"$path/data/$name"
-
-  private val messageType: MessageType = KvWriteUtil.toParquetSchema(schema)
-  private val conf = new Configuration()
-  GroupWriteSupport.setSchema(messageType, conf)
-
-  private val writer: ParquetWriter[org.apache.parquet.example.data.Group] =
-    ExampleParquetWriter.builder(new HPath(staged)).withConf(conf).build()
-
+  private val bucketIdx: Int = schema.fieldNames.indexOf(KvV2Util.BucketCol)
+  private val fileSchema: StructType =
+    StructType(schema.fields.filterNot(_.name == KvV2Util.BucketCol))
+  private val messageType: MessageType = KvWriteUtil.toParquetSchema(fileSchema)
   private val factory = new SimpleGroupFactory(messageType)
 
+  // Stage outside data/ so readers never see uncommitted or torn files
+  // (a hard task kill leaves only invisible staging garbage); the task
+  // commit publishes with one rename per file.
+  private def newName() =
+    s"part-v2-$partitionId-$taskId-${UUID.randomUUID().toString.take(8)}.parquet"
+
+  /** bucket (-1 = unbucketed) -> (staged path, published path, writer) */
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[Int, (String, String, ParquetWriter[org.apache.parquet.example.data.Group])]
+
+  private def writerFor(bucket: Int) = writers.getOrElseUpdate(bucket, {
+    val name = newName()
+    val sub = if (bucket >= 0) s"${KvV2Util.BucketCol}=$bucket/" else ""
+    val staged = s"$path/.staging/$sub$name"
+    val file = s"$path/data/$sub$name"
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(messageType, conf)
+    (staged, file,
+      ExampleParquetWriter.builder(new HPath(staged)).withConf(conf).build())
+  })
+
   override def write(row: InternalRow): Unit = {
+    val bucket =
+      if (bucketIdx < 0 || row.isNullAt(bucketIdx)) -1 else row.getInt(bucketIdx)
     val g = factory.newGroup()
     var i = 0
+    var out = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        val name = schema(i).name
-        schema(i).dataType match {
-          case StringType => g.add(name, row.getUTF8String(i).toString)
-          case BinaryType => g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
-          case BooleanType => g.add(name, row.getBoolean(i))
-          case IntegerType => g.add(name, row.getInt(i))
-          case LongType | TimestampType => g.add(name, row.getLong(i))
-          case DoubleType => g.add(name, row.getDouble(i))
-          case FloatType => g.add(name, row.getFloat(i))
-          case other =>
-            throw new IllegalArgumentException(s"kvtable write: unsupported $other")
+      if (i != bucketIdx) {
+        if (!row.isNullAt(i)) {
+          val name = fileSchema(out).name
+          fileSchema(out).dataType match {
+            case StringType => g.add(name, row.getUTF8String(i).toString)
+            case BinaryType => g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
+            case BooleanType => g.add(name, row.getBoolean(i))
+            case IntegerType => g.add(name, row.getInt(i))
+            case LongType | TimestampType => g.add(name, row.getLong(i))
+            case DoubleType => g.add(name, row.getDouble(i))
+            case FloatType => g.add(name, row.getFloat(i))
+            case other =>
+              throw new IllegalArgumentException(s"kvtable write: unsupported $other")
+          }
         }
+        out += 1
       }
       i += 1
     }
-    writer.write(g)
+    writerFor(bucket)._3.write(g)
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close() // single buffered flush per task, like flushCommits()
-    val fs = new HPath(path).getFileSystem(new Configuration())
-    fs.mkdirs(new HPath(s"$path/data"))
-    if (!fs.rename(new HPath(staged), new HPath(file)))
-      throw new java.io.IOException(s"kvtable: failed to publish $staged")
-    KvCommitMessage(Seq(file))
+    val conf = new Configuration()
+    val fs = new HPath(path).getFileSystem(conf)
+    val published = writers.values.toSeq.map { case (staged, file, w) =>
+      w.close() // single buffered flush per task, like flushCommits()
+      fs.mkdirs(new HPath(file).getParent)
+      if (!fs.rename(new HPath(staged), new HPath(file)))
+        throw new java.io.IOException(s"kvtable: failed to publish $staged")
+      file
+    }
+    // Extract this task's file stats from the footers IT just wrote —
+    // distributed stats collection, merged driver-side at job commit.
+    val stats = published.map { file =>
+      val p = new HPath(file)
+      val len = fs.getFileStatus(p).getLen
+      KvStats.fromFooter(p, KvStats.relativize(path, p, conf), len, conf)
+    }
+    KvCommitMessage(published, stats)
   }
 
   override def abort(): Unit = {
-    writer.close()
-    val fs = new HPath(staged).getFileSystem(new Configuration())
-    fs.delete(new HPath(staged), false)
+    val fs = new HPath(path).getFileSystem(new Configuration())
+    writers.values.foreach { case (staged, _, w) =>
+      w.close()
+      fs.delete(new HPath(staged), false)
+    }
   }
 
   override def close(): Unit = ()

@@ -191,6 +191,10 @@ object KvTable {
       df.write.mode("append").parquet(dataDir(path))
     writeString(spark, schemaFile(path), schema.toJson)
     writeMeta(spark, path, batch, buckets)
+    // back-fill the stats manifest for the files this write added (the
+    // V2 write path extracts stats task-side instead; see KvStats)
+    graft.connector.KvStats.refresh(path,
+      spark.sparkContext.hadoopConfiguration)
   }
 
   /** Raw log scan (all versions + tombstones), for debugging/compaction. */
@@ -224,9 +228,6 @@ object KvTable {
       require(existing == schema,
         s"KvTable $path schema mismatch: $existing vs $schema")
     }
-    require(numBuckets(spark, path) == 0 || mode == SinkMode.Replace,
-      s"KvTable $path is bucket-compacted; the V2 write path does not " +
-        "bucket-align appends yet — use KvTable.write, or Replace")
     val batch = readMetaVersion(spark, path) + 1
     val version = versionFrom.getOrElse(lit(batch)).cast("long")
     val out = df
@@ -234,6 +235,43 @@ object KvTable {
       .select(schema.fieldNames.map(col) :+ col(VersionCol): _*)
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(false))
+    rawV2Write(out, path, schema, mode)
+  }
+
+  /** Delete by key through the V2 connector: the same writer dispatches
+    * Put-rows and Delete-tombstones (`TableOutputFormatWrap.java:79-84`'s
+    * single-writer mutation dispatch). Version-domain contract matches
+    * [[delete]]. */
+  def deleteV2(keys: DataFrame, path: String, schema: KvSchema,
+               version: Option[Long] = None): Unit = {
+    val spark = keys.sparkSession
+    require(exists(spark, path), s"KvTable $path does not exist")
+    val batch = version.getOrElse(readMetaVersion(spark, path) + 1)
+    val dataSchema = readRaw(spark, path).schema
+    var out = keys.select(col(schema.keyField))
+    schema.valueFields.foreach { f =>
+      out = out.withColumn(f.name, lit(null).cast(dataSchema(f.name).dataType))
+    }
+    out = out
+      .withColumn(VersionCol, lit(batch))
+      .withColumn(SeqCol, monotonically_increasing_id())
+      .withColumn(TombstoneCol, lit(true))
+    rawV2Write(out, path, schema, SinkMode.Append)
+  }
+
+  /** Shared V2 sink tail: bucket-compacted tables get the `__bucket`
+    * routing column (same murmur3 bucketing as the v1 path — the writer
+    * turns it into `__bucket=N/` directories), then the connector's
+    * BatchWrite stages, publishes and commits. */
+  private def rawV2Write(out0: DataFrame, path: String, schema: KvSchema,
+                         mode: SinkMode): Unit = {
+    val spark = out0.sparkSession
+    val buckets =
+      if (mode == SinkMode.Replace) 0 else numBuckets(spark, path)
+    val out =
+      if (buckets > 0)
+        out0.withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
+      else out0
     out.write.format("kvtable")
       .option("kvschema", schema.toJson)
       .mode(if (mode == SinkMode.Replace) "overwrite" else "append")
@@ -242,18 +280,28 @@ object KvTable {
 
   /** LWW view over the custom V2 connector (`format("kvtable")`,
     * graft.connector) instead of the built-in parquet source: same
-    * result, but split planning, footer-stats file pruning and locality
-    * go through the engine's own region-scan analog. */
+    * result, but split planning, manifest-stats pruning and locality go
+    * through the engine's own region-scan analog.
+    *
+    * On a bucket-compacted table the collapse groups by (`__bucket`,
+    * key): the bucket is a pure function of the key so the result is
+    * identical, but the scan's reported per-bucket KeyGroupedPartitioning
+    * then satisfies the aggregation's distribution and the plan runs
+    * with NO shuffle (with `spark.sql.sources.v2.bucketing.enabled`) —
+    * the region-local scan of `TableInputFormatWrap.java:74-78`. */
   def readV2(spark: SparkSession, path: String): DataFrame = {
     val schema = readSchema(spark, path)
     val raw = spark.read.format("kvtable").load(path)
-    collapse(raw, schema)
+    if (raw.columns.contains(BucketCol))
+      collapse(raw, schema, groupExtra = Seq(col(BucketCol)))
+    else collapse(raw, schema)
   }
 
-  private def collapse(raw: DataFrame, schema: KvSchema): DataFrame = {
+  private def collapse(raw: DataFrame, schema: KvSchema,
+                       groupExtra: Seq[Column] = Nil): DataFrame = {
     val payload = struct(
       (col(TombstoneCol) +: schema.valueFields.map(f => col(f.name))): _*)
-    raw.groupBy(col(schema.keyField))
+    raw.groupBy(groupExtra :+ col(schema.keyField): _*)
       .agg(max_by(payload, struct(col(VersionCol), col(SeqCol))).as("__row"))
       .filter(!col("__row")(TombstoneCol))
       .select(col(schema.keyField) +:
@@ -383,6 +431,10 @@ object KvTable {
     f.rename(new HPath(tmp), new HPath(dataDir(path)))
     writeMeta(spark, path, lastVersion, buckets)
     f.delete(new HPath(old), true)
+    // compaction replaced every file: rebuild the stats manifest
+    f.delete(new HPath(graft.connector.KvStats.statsFile(path)), false)
+    graft.connector.KvStats.refresh(path,
+      spark.sparkContext.hadoopConfiguration)
   }
 
   /** Point lookup (the HBase `Get`): the LWW row for one key. On a

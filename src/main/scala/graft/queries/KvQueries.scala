@@ -109,6 +109,29 @@ object KvQueries {
     path
   }
 
+  private def setupV2Bucketed(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_v2_bucketed_delete", dir)
+    ensureSetup(path) {
+      val schema = KvSchema.of("rowkey",
+        "name" -> ("f", "name"),
+        "mktsegment" -> ("f", "mktsegment"))
+      val c = table(s, dir, "customer")
+        .select(lpad(col("c_custkey").cast("string"), 10, "0").as("rowkey"),
+          col("c_name").as("name"), col("c_mktsegment").as("mktsegment"))
+      // full V2 lifecycle on a bucket-compacted table: Replace-write,
+      // bucket-compact, bucket-aligned upsert append, tombstone delete —
+      // all through the V2 connector's single Put/Delete writer
+      // (TableOutputFormatWrap.java:79-84).
+      KvTable.writeV2(c, path, schema, SinkMode.Replace)
+      KvTable.compactBucketed(s, path, buckets = 4)
+      KvTable.writeV2(c.filter(col("mktsegment") === "MACHINERY")
+        .withColumn("name", upper(col("name"))), path, schema)
+      KvTable.deleteV2(c.filter(col("mktsegment") === "BUILDING")
+        .select(col("rowkey")), path, schema)
+    }
+    path
+  }
+
   /** Bench runs these untimed before timing the query bodies. */
   val prepares: Map[String, (SparkSession, String) => Unit] = Map(
     "kv_roundtrip" -> ((s, d) => { setupRoundtrip(s, d); () }),
@@ -116,7 +139,8 @@ object KvQueries {
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
-    "kv_tombstone_delete" -> ((s, d) => { setupTombstone(s, d); () })
+    "kv_tombstone_delete" -> ((s, d) => { setupTombstone(s, d); () }),
+    "kv_v2_bucketed_delete" -> ((s, d) => { setupV2Bucketed(s, d); () })
   )
 
   val defs: Map[String, Q] = Map(
@@ -177,6 +201,13 @@ object KvQueries {
     // TableOutputFormatWrap.java:79-84).
     "kv_tombstone_delete" -> { (s, dir) =>
       KvTable.read(s, setupTombstone(s, dir)).orderBy(col("rowkey"))
+    },
+
+    // V2 lifecycle on a bucket-compacted table: bucket-aligned append
+    // upserts + tombstone deletes through the V2 writer, read back via
+    // the shuffle-free bucketed V2 scan.
+    "kv_v2_bucketed_delete" -> { (s, dir) =>
+      KvTable.readV2(s, setupV2Bucketed(s, dir)).orderBy(col("rowkey"))
     }
   )
 
@@ -222,6 +253,13 @@ object KvQueries {
     "kv_tombstone_delete" ->
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,
         |       c_name AS name, c_mktsegment AS mktsegment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY rowkey""".stripMargin,
+    "kv_v2_bucketed_delete" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,
+        |       CASE WHEN c_mktsegment = 'MACHINERY' THEN upper(c_name)
+        |            ELSE c_name END AS name,
+        |       c_mktsegment AS mktsegment
         |FROM customer WHERE c_mktsegment <> 'BUILDING'
         |ORDER BY rowkey""".stripMargin
   )

@@ -204,6 +204,27 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     },
 
+    // Map functions (§2h): build per-row maps (map_from_arrays /
+    // map_concat), probe (element_at), filter entries by a lambda
+    // (map_filter), and enumerate keys/values (map_keys / map_values,
+    // sorted so the projection is deterministic).
+    "q_map_funcs" -> { (s, dir) =>
+      val m = map_concat(
+        map_from_arrays(array(lit("status"), lit("prio")),
+          array(col("o_orderstatus"), col("o_orderpriority"))),
+        map(lit("cust"), col("o_custkey").cast("string")))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), m.as("m"))
+        .filter(element_at(col("m"), "status") === "O")
+        .select(col("o_orderkey"),
+          element_at(col("m"), "prio").as("prio"),
+          size(map_filter(col("m"), (_, v) => length(v) > lit(9)))
+            .cast("long").as("n_long_vals"),
+          array_join(sort_array(map_keys(col("m"))), "|").as("keys_csv"),
+          array_join(sort_array(map_values(col("m"))), "|").as("vals_csv"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Tumbling time window over the event stream (batch view).
     "q_time_window" -> { (s, dir) =>
       table(s, dir, "events")
@@ -381,12 +402,33 @@ object RelationalQueries {
     // (cf. "Integration of Skyline Queries into Spark SQL", EDBT 2023).
     // A row is dominated iff an earlier row in (price ASC, date DESC)
     // order has a strictly later date.
+    // 2D skyline (min price, max date), SCALE-SAFE: the naive form is one
+    // global-order window = the whole table through one reducer. Instead:
+    // fixed-width price buckets (deterministic, data-independent), a local
+    // running-max window PER BUCKET (parallel), and a cross-bucket prefix
+    // max computed on the tiny per-bucket aggregate (one window over
+    // ~120 rows, broadcast back). best_prev(r) decomposes exactly as
+    // max(local-prefix within bucket, max date of all lower buckets), so
+    // the result is identical to the single-window formulation the oracle
+    // uses. o_orderkey is the explicit total-order tiebreak: without it,
+    // which of two equal-(price,date) rows survives is partition-order-
+    // dependent.
     "q_skyline" -> { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderdate").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      table(s, dir, "orders")
+      val base = table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
-        .withColumn("best_prev", max(col("o_orderdate")).over(w))
+        .withColumn("b", floor(col("o_totalprice") / lit(5000.0)).cast("long"))
+      val localW = Window.partitionBy(col("b"))
+        .orderBy(col("o_totalprice"), col("o_orderdate").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = base.withColumn("local_prev", max(col("o_orderdate")).over(localW))
+      val prefW = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = base.groupBy(col("b"))
+        .agg(max(col("o_orderdate")).as("bmax"))
+        .withColumn("cross_prev", max(col("bmax")).over(prefW))
+        .select(col("b"), col("cross_prev"))
+      local.join(broadcast(pref), Seq("b"))
+        .withColumn("best_prev", greatest(col("local_prev"), col("cross_prev")))
         .filter(col("best_prev").isNull ||
           col("o_orderdate") > col("best_prev"))
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
@@ -539,7 +581,8 @@ object RelationalQueries {
     "q_skyline" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM (
         |  SELECT o_orderkey, o_totalprice, o_orderdate,
-        |    max(o_orderdate) OVER (ORDER BY o_totalprice, o_orderdate DESC
+        |    max(o_orderdate) OVER (
+        |      ORDER BY o_totalprice, o_orderdate DESC, o_orderkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
         |  FROM orders)
         |WHERE best_prev IS NULL OR o_orderdate > best_prev
@@ -691,6 +734,15 @@ object RelationalQueries {
         |        CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        |  CAST(CASE WHEN length(o_orderpriority) > 9 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_long_vals,
+        |  'cust|prio|status' AS keys_csv,
+        |  array_to_string(list_sort([o_orderstatus, o_orderpriority,
+        |    CAST(o_custkey AS VARCHAR)]), '|') AS vals_csv
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
         |  event_type, COUNT(*) AS n,

@@ -13,6 +13,7 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .getOrCreate()
 
   graft.functions.Native.register(spark)

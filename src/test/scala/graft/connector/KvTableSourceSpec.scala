@@ -112,6 +112,82 @@ class KvTableSourceSpec extends SparkSpec {
       Array((42L, "v42")))
   }
 
+  test("bucketed readV2 plans WITHOUT a shuffle (reported partitioning)") {
+    val path = TestSpark.scratch("v2-bucketed-nx")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.write((1 to 200).map(i => (s"k$i", s"v$i")).toDF("k", "v"),
+      path, schema, SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, buckets = 4)
+    val lww = KvTable.readV2(spark, path)
+    val plan = lww.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"bucketed LWW read should not shuffle:\n$plan")
+    // and the values are identical to the v1 parquet-path read
+    assert(lww.orderBy("k").as[(String, String)].collect() ===
+      KvTable.read(spark, path).orderBy("k").as[(String, String)].collect())
+  }
+
+  test("V2 appends to a bucket-compacted table stay bucket-aligned; " +
+    "deleteV2 dispatches tombstones through the same writer") {
+    val path = TestSpark.scratch("v2-bucketed-append")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.write((1 to 40).map(i => (s"k$i", s"v$i")).toDF("k", "v"),
+      path, schema, SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, buckets = 4)
+    // V2 append upserts an existing key and adds a new one
+    KvTable.writeV2(Seq(("k7", "V7"), ("new", "N")).toDF("k", "v"), path, schema)
+    // appended files landed inside __bucket=N dirs (no stray root files)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(stray.isEmpty, s"unbucketed files after V2 append: ${stray.mkString}")
+    // point-get still prunes to one bucket and sees the upsert
+    assert(KvTable.get(spark, path, "k7").as[(String, String)].collect() ===
+      Array(("k7", "V7")))
+    assert(KvTable.get(spark, path, "new").as[(String, String)].collect() ===
+      Array(("new", "N")))
+    // tombstone through the V2 writer hides the key on both read paths
+    KvTable.deleteV2(Seq("k7").toDF("k"), path, schema)
+    assert(KvTable.read(spark, path).filter($"k" === "k7").count() === 0)
+    assert(KvTable.readV2(spark, path).filter($"k" === "k7").count() === 0)
+    assert(KvTable.readV2(spark, path).count() === 40L) // 40 + new - k7
+  }
+
+  test("one InputPartition per parquet ROW GROUP (big files still parallelize)") {
+    val path = TestSpark.scratch("v2-rowgroups")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    // tiny row groups: one file, many groups
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 4096)
+    hc.setInt("parquet.page.size", 1024)
+    try KvTable.write(
+      (1 to 5000).map(i => (f"k$i%05d", "x" * 40)).toDF("k", "v").coalesce(1),
+      path, schema, SinkMode.Replace)
+    finally { hc.unset("parquet.block.size"); hc.unset("parquet.page.size") }
+    val df = spark.read.format("kvtable").load(path)
+    val nFiles = KvV2Util.dataFiles(path, new org.apache.hadoop.conf.Configuration()).size
+    assert(nFiles === 1)
+    assert(df.rdd.getNumPartitions > 1,
+      s"expected multiple row-group splits from a single file")
+    assert(df.count() === 5000L)
+    // row-group pruning: a narrow key range reads fewer partitions
+    assert(df.filter($"k" >= "k04990").rdd.getNumPartitions <
+      df.rdd.getNumPartitions)
+    assert(df.filter($"k" >= "k04990").count() === 11L)
+  }
+
+  test("planning a pruned scan does ZERO driver footer reads (manifest)") {
+    val path = writeTwoBatches()
+    val before = KvV2Util.footerOpens.get()
+    val df = spark.read.format("kvtable").load(path)
+    val got = df.filter($"k" >= "z").select("k", "v")
+      .as[(String, String)].collect()
+    assert(got.sorted === Array(("z8", "p"), ("z9", "q")))
+    assert(KvV2Util.footerOpens.get() === before,
+      "planning/reading opened parquet footers despite the stats manifest")
+  }
+
   test("long-key tables prune by numeric footer stats") {
     val path = TestSpark.scratch("v2-longkey")
     val schema = KvSchema.of("id", "v" -> ("f", "v"))
