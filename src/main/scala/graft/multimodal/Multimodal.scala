@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * the direct generalization of the reference's raw byte[] cell values
   * (`HBaseScheme.java:101-102`).
   *
-  * The decode step (JPEG/PNG/audio codecs) is STUBBED in this
-  * environment — the codec libraries are not present — behind
-  * [[MediaCodec]]: the Spark-side plumbing (schema, batched
+  * IMAGE decode is REAL: [[MediaCodec.imageIO]] binds the JDK-built-in
+  * `javax.imageio` reader (PNG/JPEG/BMP/GIF), exercised end-to-end by
+  * the `mm_image_decode` oracle query. Audio/video codecs are not
+  * present in this environment and stay stubbed behind
+  * [[MediaCodec.stub]]: the Spark-side plumbing (schema, batched
   * per-partition execution, fixed-width feature output, partitioning
-  * behavior) is real and tested; only the bytes→pixels function is a
-  * deterministic fake. Swap [[MediaCodec.stub]] for a real JNI/ffmpeg
-  * binding in production.
+  * behavior) is identical either way — swap in a JNI/ffmpeg binding in
+  * production.
   */
 object Multimodal {
 
@@ -62,6 +63,25 @@ object Multimodal {
       val c = codec.open()
       it.map(c.decode)
     }
+
+  /** Deterministic uniform-gray PNG — the test/query payload generator
+    * (PNG is lossless, so decoded dimensions and pixel means are exact
+    * arithmetic functions of the inputs, checkable by a non-image
+    * oracle). */
+  def makePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }
 
 /** Codec boundary: `open()` once per partition (native lib handles),
@@ -78,5 +98,29 @@ object MediaCodec {
   def stub: MediaCodec[(Int, Long)] = () => new Session[(Int, Long)] {
     def decode(bytes: Array[Byte]): (Int, Long) =
       (bytes.length, bytes.take(16).foldLeft(1125899906842597L)((h, b) => 31 * h + b))
+  }
+
+  /** REAL image codec over the JDK-built-in `javax.imageio` readers
+    * (PNG/JPEG/BMP/GIF): bytes → (width, height, mean red-channel
+    * value). The in-memory cache is pinned per session so decoding
+    * never touches scratch disk. */
+  def imageIO: MediaCodec[(Int, Int, Long)] = () => {
+    javax.imageio.ImageIO.setUseCache(false) // once per partition/session
+    new Session[(Int, Int, Long)] {
+      def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        (w, h, sum / (w.toLong * h))
+      }
+    }
   }
 }

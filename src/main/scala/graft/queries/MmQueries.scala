@@ -1,17 +1,41 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodec, Multimodal}
 
-/** Multimodal-column EXT queries: the documents' text bytes stand in
-  * for opaque media payloads (the codec itself is stubbed — see
-  * [[graft.multimodal.Multimodal]]); byte-level metadata, content
-  * addressing, and frame-sampling arithmetic are real and
-  * oracle-checked.
+/** Multimodal-column EXT queries. `mm_meta` treats the documents' text
+  * bytes as opaque payloads: byte-level metadata, content addressing,
+  * and frame-sampling arithmetic, oracle-checked. `mm_image_decode`
+  * runs a REAL image pipeline — deterministic PNGs encoded and decoded
+  * through the JDK's `javax.imageio` per partition — whose decoded
+  * dimensions and pixel means the oracle checks arithmetically (PNG is
+  * lossless, so decode must reproduce the generator's parameters
+  * exactly). Audio/video stay stubbed (no codec libs in this
+  * environment; see [[graft.multimodal.Multimodal]]).
   */
 object MmQueries {
 
   val defs: Map[String, Q] = Map(
+    // Encode→decode image round trip, batched per partition (codec init
+    // once per partition — the mapInPandas-shaped plumbing with a real
+    // JVM codec).
+    "mm_image_decode" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val codec = MediaCodec.imageIO.open()
+          it.map { id =>
+            val png = Multimodal.makePng(
+              8 + (id % 16).toInt, 8 + ((id * 3) % 16).toInt,
+              ((id * 37) % 256).toInt)
+            val (w, h, meanGray) = codec.decode(png)
+            (id, w, h, meanGray)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_gray")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_meta" -> { (s, dir) =>
       val payload = Multimodal.asPayload(col("text"))
       table(s, dir, "documents")
@@ -26,6 +50,12 @@ object MmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |  CAST((doc_id * 37) % 256 AS BIGINT) AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -218,4 +218,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(2, 3, 4))
     assert(out.map(_._2).distinct.length === 3)
   }
+
+  test("imageIO codec decodes generated PNGs exactly (real javax.imageio)") {
+    val payloads = spark.createDataset(Seq(
+      Multimodal.makePng(12, 9, 77),
+      Multimodal.makePng(31, 2, 255),
+      Multimodal.makePng(1, 1, 0)))
+    val out = Multimodal.decodePartitioned(payloads, MediaCodec.imageIO)
+      .collect().sortBy(_._1)
+    assert(out === Array((1, 1, 0L), (12, 9, 77L), (31, 2, 255L)))
+  }
 }
