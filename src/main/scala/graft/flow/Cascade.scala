@@ -23,8 +23,19 @@ final case class Flow(name: String,
   * that sources A runs. All scheduling is driver-side; there is no
   * process boundary.
   */
-final class Cascade(flows: Seq[Flow]) {
+final class Cascade(flows: Seq[Flow],
+                    sinkDropper: Option[String => Unit] = None) {
   require(flows.map(_.name).distinct.size == flows.size, "duplicate flow names")
+
+  /** `Flow.deleteSinks` analog: the reference forces a pre-run drop of
+    * every sink table (`MultiFamilyCascadeHBaseTest.java:85`) so a
+    * re-run starts clean instead of APPEND-accumulating. `sinkDropper`
+    * maps a sink name to its drop action (e.g. `KvTable.drop`). */
+  def deleteSinks(): Unit = {
+    val drop = sinkDropper.getOrElse(throw new IllegalStateException(
+      "deleteSinks requires a sinkDropper (name => drop action)"))
+    flows.flatMap(f => f.sinks).distinct.foreach(drop)
+  }
 
   /** Topological order: edge producer -> consumer when a sink of one flow
     * is a source of another. Deterministic (stable by registration index
@@ -49,9 +60,12 @@ final class Cascade(flows: Seq[Flow]) {
 
   /** Run all flows in dependency order; returns the order for inspection
     * (the tests assert producer-before-consumer like the reference's
-    * cascade test asserts via row counts).
+    * cascade test asserts via row counts). With `deleteSinks = true`,
+    * all sink tables are dropped BEFORE any flow runs (the reference's
+    * pre-run cleanup at `MultiFamilyCascadeHBaseTest.java:85`).
     */
-  def complete(): Seq[String] = {
+  def complete(deleteSinks: Boolean = false): Seq[String] = {
+    if (deleteSinks) this.deleteSinks()
     val order = executionOrder
     order.foreach(_.run())
     order.map(_.name)

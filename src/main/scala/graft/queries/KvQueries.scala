@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.kv.{KvSchema, KvTable, SinkMode}
+import graft.kv.{KvDynamic, KvSchema, KvTable, SinkMode}
 
 /** Queries exercising the KV-table surface — the reference's REF
   * operators (SURVEY.md §2a/§2d): upsert-by-rowkey LWW reads, rowkey
@@ -132,6 +132,38 @@ object KvQueries {
     path
   }
 
+  private def setupDynamic(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_dynamic_wide", dir)
+    ensureSetup(path) {
+      val c = table(s, dir, "customer")
+        .select(lpad(col("c_custkey").cast("string"), 10, "0").as("rowkey"),
+          col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+      def cells(family: String, qualifier: String, value: org.apache.spark.sql.Column) =
+        c.select(col("rowkey"), lit(family).as("family"),
+          lit(qualifier).as("qualifier"), value.cast("string").as("value"))
+      // write 1: profile family (name + segment cells)
+      KvDynamic.writeCells(
+        cells("prof", "name", col("c_name"))
+          .unionByName(cells("prof", "segment", col("c_mktsegment"))),
+        path, "rowkey", SinkMode.Replace)
+      // write 2 MERGES: a new family's cells plus a segment UPDATE for
+      // MACHINERY rows — their name cell must survive (cell-level LWW)
+      KvDynamic.writeCells(
+        cells("acct", "nation", col("c_nationkey"))
+          .unionByName(c.filter(col("c_mktsegment") === "MACHINERY")
+            .select(col("rowkey"), lit("prof").as("family"),
+              lit("segment").as("qualifier"), lit("MACH").as("value"))),
+        path, "rowkey")
+      // row deletes (BUILDING) and single-cell deletes (FURNITURE names)
+      KvDynamic.deleteRows(c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("rowkey")), path, "rowkey")
+      KvDynamic.deleteCells(c.filter(col("c_mktsegment") === "FURNITURE")
+        .select(col("rowkey"), lit("prof").as("family"),
+          lit("name").as("qualifier")), path, "rowkey")
+    }
+    path
+  }
+
   /** Bench runs these untimed before timing the query bodies. */
   val prepares: Map[String, (SparkSession, String) => Unit] = Map(
     "kv_roundtrip" -> ((s, d) => { setupRoundtrip(s, d); () }),
@@ -140,7 +172,8 @@ object KvQueries {
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
     "kv_tombstone_delete" -> ((s, d) => { setupTombstone(s, d); () }),
-    "kv_v2_bucketed_delete" -> ((s, d) => { setupV2Bucketed(s, d); () })
+    "kv_v2_bucketed_delete" -> ((s, d) => { setupV2Bucketed(s, d); () }),
+    "kv_dynamic_wide" -> ((s, d) => { setupDynamic(s, d); () })
   )
 
   val defs: Map[String, Q] = Map(
@@ -208,6 +241,18 @@ object KvQueries {
     // the shuffle-free bucketed V2 scan.
     "kv_v2_bucketed_delete" -> { (s, dir) =>
       KvTable.readV2(s, setupV2Bucketed(s, dir)).orderBy(col("rowkey"))
+    },
+
+    // Dynamic column-family (schemaless wide-row) mode: cell-level LWW
+    // merge across writes, row + cell tombstones, map-typed wide view.
+    "kv_dynamic_wide" -> { (s, dir) =>
+      KvDynamic.read(s, setupDynamic(s, dir))
+        .select(col("rowkey"),
+          element_at(col("prof"), "name").as("name"),
+          element_at(col("prof"), "segment").as("segment"),
+          element_at(col("acct"), "nation").as("nation"),
+          size(col("prof")).as("n_prof"))
+        .orderBy(col("rowkey"))
     }
   )
 
@@ -260,6 +305,17 @@ object KvQueries {
         |       CASE WHEN c_mktsegment = 'MACHINERY' THEN upper(c_name)
         |            ELSE c_name END AS name,
         |       c_mktsegment AS mktsegment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY rowkey""".stripMargin,
+    "kv_dynamic_wide" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN NULL
+        |       ELSE c_name END AS name,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 'MACH'
+        |       ELSE c_mktsegment END AS segment,
+        |  CAST(c_nationkey AS VARCHAR) AS nation,
+        |  CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 2 END
+        |    AS INT) AS n_prof
         |FROM customer WHERE c_mktsegment <> 'BUILDING'
         |ORDER BY rowkey""".stripMargin
   )

@@ -87,5 +87,19 @@ class CascadeE2ESpec extends SparkSpec {
     // APPEND re-run accumulates: 13 -> 26 (unique keys per run).
     new Cascade(Seq(copyFlow(), parseFlow(2))).complete()
     assert(spark.read.text(outDir).count() === 26)
+
+    // deleteSinks pre-run drop (MultiFamilyCascadeHBaseTest.java:85):
+    // instead of accumulating to 39, the re-run starts clean -> 13.
+    val dropper: String => Unit = {
+      case "kvtable" => KvTable.drop(spark, tablePath)
+      case _ => () // text sink is overwrite-mode already
+    }
+    new Cascade(Seq(copyFlow(), parseFlow(3)), Some(dropper))
+      .complete(deleteSinks = true)
+    assert(spark.read.text(outDir).count() === 13)
+    // without a dropper configured, deleteSinks refuses loudly
+    intercept[IllegalStateException] {
+      new Cascade(Seq(parseFlow(4))).complete(deleteSinks = true)
+    }
   }
 }
