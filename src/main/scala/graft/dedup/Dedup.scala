@@ -237,10 +237,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard over a candidate blocking key (e.g. same
     * source + length bucket): pairwise similarity only within blocks,
-    * never across the full corpus.
+    * never across the full corpus. Blocks larger than `maxBlock` are
+    * dropped before the self-join (work within a block is O(m²); one
+    * degenerate blocking key would otherwise dominate the whole job) —
+    * drops observable via the `graft_jaccard_blocks` observe metric.
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                          blockKey: Column, ngram: Int): DataFrame = {
+                          blockKey: Column, ngram: Int,
+                          maxBlock: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)
@@ -250,8 +254,14 @@ object Dedup {
       docs.select(col(idCol).as("id"), blockKey.as("blk"), col(textCol).as("text")),
       "th", Native.tokenHashes(TextOps.tokens(col("text"))))
       .select(col("id"), col("blk"), Native.shingleHashes(col("th"), ngram).as("sh"))
-    val a = base.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
-    val b = base.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
+    // block-size census is tiny (one row per block) -> broadcast it
+    val okBlocks = broadcast(capBuckets(
+      base.groupBy(col("blk")).agg(count(lit(1)).cast("int").as("__bn")),
+      col("__bn"), "graft_jaccard_blocks", maxBlock)
+      .select(col("blk")))
+    val capped = base.join(okBlocks, Seq("blk"))
+    val a = capped.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
+    val b = capped.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, Seq("blk"))
       .filter(col("id1") < col("id2"))
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))

@@ -151,13 +151,16 @@ object DedupQueries {
        |      THEN list_transform(range(1, len(th)),
        |             i -> (th[i]*31 + th[i+1]) % 1000000007)
        |      ELSE [] END AS sh
-       |  FROM th)
+       |  FROM th),
+       |okblk AS (
+       |  SELECT blk FROM base GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10000)
        |SELECT id1, id2, jaccard FROM (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
        |    CAST(len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))) AS DOUBLE)
        |    / (len(list_distinct(a.sh)) + len(list_distinct(b.sh))
        |       - len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x)))) AS jaccard
-       |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  JOIN okblk o ON o.blk = a.blk)
        |WHERE jaccard >= 0.1
        |ORDER BY id1, id2""".stripMargin
   }
