@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_token_hashes", "md5-derived 60-bit hash mod P per array element",
       es => TokenHashes60(es.head)),
+    ("graft_token_hashes_raw", "raw 60-bit md5 hash per array element (no mod)",
+      es => TokenHashesRaw60(es.head)),
     ("graft_shingle_hashes", "base-31 n-gram rolls over token hashes",
       es => PolyShingleHashes(es(0), es(1))),
     ("graft_minhash_sig", "k-permutation MinHash signature",

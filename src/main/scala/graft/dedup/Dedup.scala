@@ -206,12 +206,14 @@ object Dedup {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)
-    // Hash tokens once per doc, then pin the fingerprint itself (it is
+    // Hash tokens once per doc (RAW 60-bit md5 — engine-reproducible, so
+    // the DuckDB oracle mirrors the whole pipeline; xxhash64 would make
+    // this rows-only checkable), then pin the fingerprint itself (it is
     // referenced once per 16-bit chunk downstream).
     val base = materializedColumn(
       materializedColumn(
         docs.select(col(idCol).as("id"), col(textCol).as("text")),
-        "th", transform(TextOps.tokens(col("text")), t => xxhash64(t))),
+        "th", Native.tokenHashesRaw(TextOps.tokens(col("text")))),
       "fp", Native.simHash64(col("th")))
       .select(col("id"), col("fp"))
     val chunked = base.select(col("id"), col("fp"),

@@ -29,6 +29,7 @@ object Native {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_token_hashes" -> (es => TokenHashes60(es.head)),
+    "graft_token_hashes_raw" -> (es => TokenHashesRaw60(es.head)),
     "graft_shingle_hashes" -> (es => PolyShingleHashes(es(0), es(1))),
     "graft_minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
@@ -46,6 +47,8 @@ object Native {
 
   def tokenHashes(toks: Column): Column =
     call_function("graft_token_hashes", toks)
+  def tokenHashesRaw(toks: Column): Column =
+    call_function("graft_token_hashes_raw", toks)
   def shingleHashes(th: Column, n: Int): Column =
     call_function("graft_shingle_hashes", th, org.apache.spark.sql.functions.lit(n))
   def minHashSig(sh: Column, k: Int): Column =
@@ -75,6 +78,20 @@ object Native {
     while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
     v = (v << 4) | ((h(7) & 0xffL) >>> 4)
     v % P
+  }
+
+  /** Raw first-60-bits of md5 (NO mod P) — identical to
+    * conv(substr(md5(s),1,15),16,10). Full 60-bit spread, needed where
+    * individual BITS carry signal (SimHash votes); the mod-P variant
+    * would zero bits 30-59. */
+  def md5Hash60Raw(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xffL) >>> 4)
   }
 }
 
@@ -113,6 +130,41 @@ case class TokenHashes60(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): TokenHashes60 = copy(c)
+}
+
+/** array<string> -> array<long>: RAW 60-bit md5 hash per token (no
+  * mod P) — mirrors `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`. Used
+  * by SimHash, where every BIT must carry signal. */
+case class TokenHashesRaw60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Native.md5Hash60Raw(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.functions.Native.md5Hash60Raw(
+         |    $a.getUTF8String($i).getBytes());
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): TokenHashesRaw60 = copy(c)
 }
 
 /** array<long> -> array<long>: base-31 polynomial n-gram combine mod P.

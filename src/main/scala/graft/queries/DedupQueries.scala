@@ -59,8 +59,9 @@ object DedupQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
-    // SimHash near-dup pairs (xxhash64-based — no DuckDB equivalent, so
-    // this entry gets the driver's rows-only check).
+    // SimHash near-dup pairs — md5-60bit token hashes, so the DuckDB
+    // oracle mirrors the ENTIRE pipeline (64 bit-votes, chunk banding,
+    // hamming verify) value-for-value.
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simHashNearDupPairs(corpusExact(s, dir), "doc_id", "text",
           maxHamming = 3)
@@ -165,6 +166,41 @@ object DedupQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Full SimHash mirror: raw 60-bit md5 token hashes, 64 bit-votes
+    * (bit set iff 2·set-count ≥ token-count — exactly SimHash64Expr's
+    * votes ≥ 0), 4×16-bit chunk banding with the bucket cap, hamming ≤ 3
+    * verify. Bit weights are emitted as LITERALS (DuckDB's `<<`
+    * overflow-checks at bit 63; bit 63's weight is Long.MinValue, and
+    * the ascending-order sum stays in range by construction). */
+  private val simhashSql = {
+    val fpExpr = (0 to 63).map { i =>
+      s"""(CASE WHEN 2 * len(list_filter(th, h -> (h >> $i) & 1 = 1)) >= len(th)
+         |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH corpus AS ($corpusExactSql),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(trim(text), '\\s+'),
+       |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS th
+       |  FROM corpus),
+       |fps AS (SELECT doc_id, $fpExpr AS fp FROM th),
+       |chunks AS (
+       |  SELECT doc_id, fp, j.j, (fp >> (j.j * 16)) & 65535 AS chunk
+       |  FROM fps, (SELECT unnest(range(0, 4)) AS j) j),
+       |okc AS (
+       |  SELECT j, chunk FROM chunks GROUP BY 1, 2
+       |  HAVING COUNT(*) BETWEEN 2 AND 10000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    a.fp AS fp1, b.fp AS fp2
+       |  FROM chunks a JOIN chunks b ON a.j = b.j AND a.chunk = b.chunk
+       |   AND a.doc_id < b.doc_id
+       |  JOIN okc o ON o.j = a.j AND o.chunk = a.chunk)
+       |SELECT id1, id2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
@@ -172,7 +208,7 @@ object DedupQueries {
          |FROM ($corpusExactSql)
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql
-    // dedup_simhash intentionally omitted: rows-only check.
   )
 }

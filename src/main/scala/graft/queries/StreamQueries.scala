@@ -106,6 +106,32 @@ object StreamQueries {
       KvTable.read(s, path)
         .select(col("hour_ts"), col("event_type"), col("n"), col("total_value"))
         .orderBy(col("hour_ts"), col("event_type"))
+    },
+
+    // Streaming exact dedup: documents ∪ exact copies flow through the
+    // stateful `dropDuplicates` operator (state keyed by content
+    // fingerprint); survivors land in the KV table. Which duplicate
+    // arrives first is batching-dependent, so the checked output is the
+    // (deterministic) distinct fingerprint SET — the streaming dedup a
+    // training pipeline runs on a document firehose.
+    "stream_dedup" -> { (s, dir) =>
+      val path = scratchDir("stream_dedup", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("fp", "one" -> ("f", "one"))
+      val base = s.readStream
+        .schema(schemaOf(s, dir, "documents"))
+        .parquet(streamDir(dir, "documents"))
+      val corpus = base.select(col("doc_id"), col("text"))
+        .union(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val deduped = corpus
+        .select(graft.text.TextOps.fingerprint(col("text")).as("fp"))
+        .dropDuplicates("fp")
+        .withColumn("one", lit(1L))
+      runStream(deduped) { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path).select(col("fp")).orderBy(col("fp"))
     }
   )
 
@@ -121,6 +147,13 @@ object StreamQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000 AS doc_id, text
+        |      FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY fp""".stripMargin
   )
 }
