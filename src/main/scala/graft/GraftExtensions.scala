@@ -29,7 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("graft_simhash64", "64-bit SimHash fingerprint of token hashes",
       es => SimHash64Expr(es.head)),
     ("graft_hyperplane_sig", "angular-LSH hyperplane sign bits",
-      es => HyperplaneSigExpr(es(0), es(1))),
+      es => HyperplaneSigExpr(es(0), es(1),
+        if (es.length > 2) es(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0))),
     ("graft_cosine_q", "cosine similarity of quantized integer vectors",
       es => CosineQExpr(es(0), es(1))),
     ("graft_word_shingles", "word n-gram shingles joined by spaces",

@@ -307,10 +307,17 @@ object KvV2Util {
     }
   }
 
-  def hosts(f: FileStatus, conf: Configuration): Array[String] = {
-    val fs = f.getPath.getFileSystem(conf)
-    fs.getFileBlockLocations(f, 0, f.getLen)
-      .flatMap(_.getHosts).distinct.filterNot(_ == "localhost")
+  def hosts(f: FileStatus, conf: Configuration): Array[String] = f match {
+    // dataFiles lists with listFiles(recursive) which returns
+    // LocatedFileStatus — block locations came WITH the listing. Reuse
+    // them: a second per-file getFileBlockLocations RPC at plan time
+    // would be 10^5 extra namenode calls at 100 TB.
+    case lf: org.apache.hadoop.fs.LocatedFileStatus =>
+      lf.getBlockLocations.flatMap(_.getHosts).distinct.filterNot(_ == "localhost")
+    case _ =>
+      val fs = f.getPath.getFileSystem(conf)
+      fs.getFileBlockLocations(f, 0, f.getLen)
+        .flatMap(_.getHosts).distinct.filterNot(_ == "localhost")
   }
 
   /** StructType from the stats manifest (preferred — no footer IO) or

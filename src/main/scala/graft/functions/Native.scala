@@ -33,7 +33,10 @@ object Native {
     "graft_shingle_hashes" -> (es => PolyShingleHashes(es(0), es(1))),
     "graft_minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
-    "graft_hyperplane_sig" -> (es => HyperplaneSigExpr(es(0), es(1))),
+    "graft_hyperplane_sig" -> (es =>
+      HyperplaneSigExpr(es(0), es(1),
+        if (es.length > 2) es(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0))),
     "graft_cosine_q" -> (es => CosineQExpr(es(0), es(1))),
     "graft_word_shingles" -> (es => WordShinglesExpr(es(0), es(1))))
 
@@ -55,8 +58,10 @@ object Native {
     call_function("graft_minhash_sig", sh, org.apache.spark.sql.functions.lit(k))
   def simHash64(hashes: Column): Column =
     call_function("graft_simhash64", hashes)
-  def hyperplaneSig(q: Column, bits: Int): Column =
-    call_function("graft_hyperplane_sig", q, org.apache.spark.sql.functions.lit(bits))
+  def hyperplaneSig(q: Column, bits: Int, planeOffset: Int = 0): Column =
+    call_function("graft_hyperplane_sig", q,
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(planeOffset))
   def cosineQ(a: Column, b: Column): Column =
     call_function("graft_cosine_q", a, b)
   def wordShingles(toks: Column, n: Int): Column =
@@ -328,18 +333,23 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 /** array<long> -> int: angular-LSH signature, bit p = sign of the dot
   * product with deterministic hyperplane p. Mirrors
   * Similarity.hyperplaneSig (i is 1-based in the weight formula). */
-case class HyperplaneSigExpr(child: Expression, bitsExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def left: Expression = child
-  override def right: Expression = bitsExpr
+case class HyperplaneSigExpr(child: Expression, bitsExpr: Expression,
+                             offsetExpr: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = child
+  override def second: Expression = bitsExpr
+  override def third: Expression = offsetExpr
   private lazy val bits: Int = bitsExpr.eval().asInstanceOf[Int]
+  // Plane-index offset: multi-table LSH (OR amplification) uses an
+  // independent hyperplane family per table via offset = table * bits.
+  private lazy val offset: Int = offsetExpr.eval().asInstanceOf[Int]
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(v: Any, ignored: Any): Any = {
+  override def nullSafeEval(v: Any, ignored: Any, ignored2: Any): Any = {
     val q = v.asInstanceOf[ArrayData]
     val dims = q.numElements()
     var acc = 0
-    var p = 0
-    while (p < bits) {
+    var p = offset
+    while (p < offset + bits) {
       var s = 0L
       var i = 1
       while (i <= dims) {
@@ -352,8 +362,9 @@ case class HyperplaneSigExpr(child: Expression, bitsExpr: Expression)
     }
     acc
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(child = l, bitsExpr = r)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(child = f, bitsExpr = s, offsetExpr = t)
 }
 
 /** array<string> -> array<string>: word n-gram shingles joined by a

@@ -88,28 +88,49 @@ object Similarity {
     * precomputed and stored, making search a partition-pruned read).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              nprobe: Int, k: Int): DataFrame = {
-    graft.functions.Native.register(corpus.sparkSession)
+              nprobe: Int, k: Int): DataFrame =
+    ivfSearchAssigned(ivfAssign(corpus, centroids), queries, centroids,
+      nprobe, k)
+
+  private def quantCentroids(centroids: DataFrame): DataFrame =
+    broadcast(centroids.select(col("cid"), quantize(col("cvec")).as("cq")))
+
+  /** n nearest centroids per row of `df` (ties break by cid). */
+  private def nearestLists(df: DataFrame, cents: DataFrame, vecCol: String,
+                           idCol: String, n: Int): DataFrame = {
     val cosine = graft.functions.Native.cosineQ _
-    val cents = broadcast(centroids.select(col("cid"), quantize(col("cvec")).as("cq")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__ccos").desc, col("cid"))
+    df.crossJoin(cents)
+      .withColumn("__ccos", cosine(col(vecCol), col("cq")))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") <= n)
+      .drop("__ccos", "__crank", "cq")
+  }
 
-    def nearestLists(df: DataFrame, vecCol: String, idCol: String,
-                     n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__ccos").desc, col("cid"))
-      df.crossJoin(cents)
-        .withColumn("__ccos", cosine(col(vecCol), col("cq")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= n)
-        .drop("__ccos", "__crank", "cq")
-    }
-
+  /** Build the IVF inverted lists: one corpus pass assigning each vector
+    * to its nearest centroid → (cid, id, vq). At 100 TB this is the
+    * table you PERSIST, `write.partitionBy("cid")`, so that searches
+    * become partition-pruned reads of only the probed lists (see
+    * [[ivfSearchAssigned]]); `ivfTopK` recomputes it inline for
+    * self-contained use. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.Native.register(corpus.sparkSession)
     val corpusQ = corpus.select(col("id"), quantize(col("vec")).as("vq"))
-    val assigned = nearestLists(corpusQ, "vq", "id", 1) // inverted lists
+    nearestLists(corpusQ, quantCentroids(centroids), "vq", "id", 1)
+  }
+
+  /** Search a (possibly persisted) assignment table: each query probes
+    * its `nprobe` nearest lists only. When `assigned` is a parquet read
+    * partitioned by `cid`, the broadcast probe join triggers dynamic
+    * partition pruning — only probed list directories are scanned. */
+  def ivfSearchAssigned(assigned: DataFrame, queries: DataFrame,
+                        centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    graft.functions.Native.register(assigned.sparkSession)
+    val cosine = graft.functions.Native.cosineQ _
     val queriesQ = broadcast(
       nearestLists(queries.select(col("qid"), quantize(col("qvec")).as("qq")),
-        "qq", "qid", nprobe))
-
+        quantCentroids(centroids), "qq", "qid", nprobe))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
     assigned.join(queriesQ, Seq("cid"))
       .filter(col("qid") =!= col("id"))
@@ -134,28 +155,39 @@ object Similarity {
     */
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                       dims: Int, minCosine: Double, bits: Int = 8,
-                      maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+                      maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket,
+                      tables: Int = 1): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(vectors.sparkSession)
     // Pin the quantized vector behind a generator barrier: the signature
     // reads it once per (plane, dim) — inlined, the whole quantize
     // transform would re-run per element_at (dims × bits × per row).
+    // `tables` > 1 = OR amplification: each table hashes with an
+    // INDEPENDENT hyperplane family (plane offset = table·bits); a pair
+    // is a candidate if it collides in ANY table. Recall rises
+    // monotonically with tables; precision is unaffected because every
+    // candidate is verified by exact cosine.
     val base = materializedColumn(
       vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
       "q", quantize(col("v")))
       .select(col("id"), col("q"))
-      .withColumn("sig", Native.hyperplaneSig(col("q"), bits))
-    // One corpus pass: bucket by signature, expand i<j pairs locally
-    // carrying the quantized vectors (struct order = id order).
-    graft.dedup.Dedup.capBuckets(
-      base
-        .groupBy(col("sig"))
+    val sigs = base.select(col("id"), col("q"),
+      posexplode(array((0 until tables).map(t =>
+        Native.hyperplaneSig(col("q"), bits, t * bits)): _*))
+        .as(Seq("tbl", "sig")))
+    // One corpus pass: bucket by (table, signature), expand i<j pairs
+    // locally carrying the quantized vectors (struct order = id order).
+    val cand = graft.dedup.Dedup.capBuckets(
+      sigs
+        .groupBy(col("tbl"), col("sig"))
         .agg(collect_list(struct(col("id"), col("q"))).as("xs")),
       size(col("xs")), "graft_lsh_buckets", maxBucket)
       .select(explode(graft.dedup.Dedup.pairsFromIds(col("xs"))).as("p"))
       .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
         col("p.id1.q").as("q1"), col("p.id2.q").as("q2"))
+    // same pair can collide in several tables -> dedup before the verify
+    (if (tables > 1) cand.distinct() else cand)
       .withColumn("cosine", Native.cosineQ(col("q1"), col("q2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), col("cosine"))

@@ -176,6 +176,50 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until 3).forall(i => found.contains((i.toLong, i + 100L))))
   }
 
+  test("IVF search over a persisted cid-partitioned assignment table " +
+    "matches the inline path and partition-prunes") {
+    val corpus = (0L until 60L).map { i =>
+      (i, (0 until 8).map(d => math.cos(i * 3 + d).toDouble))
+    }.toDF("id", "vec")
+    val cents = corpus.filter($"id" % 15 === 0)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val queries = corpus.filter($"id" < 3)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val inline = Similarity.ivfTopK(queries, corpus, cents, nprobe = 2, k = 3)
+      .orderBy("qid", "rank").collect()
+    // persist the inverted lists partitioned by cid — the 100 TB layout
+    val path = graft.TestSpark.scratch("ivf-assigned")
+    Similarity.ivfAssign(corpus, cents)
+      .write.partitionBy("cid").parquet(path)
+    val persisted = Similarity.ivfSearchAssigned(
+      spark.read.parquet(path), queries, cents, nprobe = 2, k = 3)
+    assert(persisted.orderBy("qid", "rank").collect() === inline)
+    // the probe join prunes list directories (dynamic partition pruning)
+    val plan = persisted.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("DynamicPruning") || plan.contains("PartitionFilters"),
+      s"expected partition pruning on the cid-partitioned read:\n$plan")
+  }
+
+  test("multi-table LSH (OR amplification) recalls a superset of one table") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 8 + d + 1) * 2).toSeq)
+    }
+    val df = vecs.toDF("id", "vec")
+    val planted = df.filter($"id" < 4).select(($"id" + 100L).as("id"), $"vec")
+    val corpus = df.unionByName(planted)
+    def pairs(tables: Int) =
+      Similarity.lshNearDupPairs(corpus, "id", "vec", dims = 8,
+        minCosine = 0.9999, tables = tables)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val one = pairs(1)
+    val three = pairs(3)
+    // every candidate is cosine-verified, so more tables can only ADD
+    // true pairs, never false ones
+    assert(one.subsetOf(three))
+    assert((0 until 4).forall(i => three.contains((i.toLong, i + 100L))))
+  }
+
   test("lshNearDupPairs caps degenerate buckets and honours bit width") {
     // 80 copies of one vector: a single signature bucket. Capped at 20,
     // the bucket is dropped and no O(m²) expansion happens.
