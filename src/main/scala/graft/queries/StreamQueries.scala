@@ -43,14 +43,15 @@ object StreamQueries {
     */
   private val StreamShufflePartitions = 8
 
-  private def runStream(df: DataFrame)(sink: (DataFrame, Long) => Unit): Unit = {
+  private def runStream(df: DataFrame, outputMode: String = "update")
+                       (sink: (DataFrame, Long) => Unit): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, StreamShufflePartitions)
     try {
       val q = df.writeStream
-        .outputMode("update")
+        .outputMode(outputMode)
         .foreachBatch(sink)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -132,6 +133,52 @@ object StreamQueries {
         KvTable.write(batch, path, schema, SinkMode.Append)
       }
       KvTable.read(s, path).select(col("fp")).orderBy(col("fp"))
+    },
+
+    // Stream-STREAM interval join: user events joined to that customer's
+    // orders within ±3 days, both sides watermarked (inner joins emit
+    // eagerly; the watermark bounds join state — without it, state grows
+    // forever on a real firehose). Distinct triples equal the batch
+    // interval join, so DuckDB checks a genuine two-stream execution.
+    "stream_join" -> { (s, dir) =>
+      val path = scratchDir("stream_join", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("jk",
+        "user_id" -> ("j", "user_id"),
+        "t" -> ("j", "t"),
+        "o_orderkey" -> ("j", "orderkey"))
+      val ev = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .filter(col("user_id") < 50)
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("t", "1 day")
+        .select(col("user_id"), col("t"))
+      val ord = s.readStream
+        .schema(schemaOf(s, dir, "orders"))
+        .parquet(streamDir(dir, "orders"))
+        .filter(col("o_custkey") < 50)
+        // watermarks require TIMESTAMP (ltz); orders store NTZ. Session
+        // tz is UTC, so the cast is value-preserving. Orders live in
+        // 1995-2001 and events in Jan-2024: shift orders +29 years so
+        // the interval join has a real overlap (mirrored in the oracle).
+        .withColumn("o_orderdate",
+          col("o_orderdate").cast("timestamp") + expr("INTERVAL 29 YEARS"))
+        .withWatermark("o_orderdate", "1 day")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val joined = ev.join(ord,
+        col("user_id") === col("o_custkey") &&
+          col("t") >= col("o_orderdate") - expr("INTERVAL 3 DAYS") &&
+          col("t") <= col("o_orderdate") + expr("INTERVAL 3 DAYS"))
+        .withColumn("jk", concat_ws("|",
+          col("user_id"), unix_micros(col("t")), col("o_orderkey")))
+        .select(col("jk"), col("user_id"), col("t"), col("o_orderkey"))
+      runStream(joined, outputMode = "append") { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path)
+        .select(col("user_id"), col("t"), col("o_orderkey"))
+        .orderBy(col("user_id"), col("t"), col("o_orderkey"))
     }
   )
 
@@ -154,6 +201,16 @@ object StreamQueries {
         |      UNION ALL
         |      SELECT doc_id + 1000000 AS doc_id, text
         |      FROM documents WHERE doc_id % 7 = 0)
-        |ORDER BY fp""".stripMargin
+        |ORDER BY fp""".stripMargin,
+    "stream_join" ->
+      """SELECT DISTINCT e.user_id, CAST(e.ts AS TIMESTAMP) AS t, o.o_orderkey
+        |FROM events e JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        | AND CAST(e.ts AS TIMESTAMP)
+        |       >= o.o_orderdate + INTERVAL 29 YEAR - INTERVAL 3 DAY
+        | AND CAST(e.ts AS TIMESTAMP)
+        |       <= o.o_orderdate + INTERVAL 29 YEAR + INTERVAL 3 DAY
+        |WHERE e.user_id < 50
+        |ORDER BY user_id, t, o_orderkey""".stripMargin
   )
 }
