@@ -16,6 +16,23 @@ class QueryDeterminismSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir)
       .collect().map(_.toString).toSeq
 
+  test("approx_count_distinct stays within the HLL error bound of exact") {
+    // the one rows-only query: self-check the sketch against exact
+    // distinct counts (default rsd 0.05 -> assert a generous 5 sigma)
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
+      assert(math.abs(approx - exact) <= math.max(10L, (exact * 0.25).toLong),
+        s"HLL estimate $approx too far from exact $exact")
+    }
+  }
+
   test("every query is non-failing and yields rows at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, dir).count()
