@@ -204,6 +204,21 @@ class KvTableSpec extends SparkSpec {
       .collect() === Array(("1", "c", "C")))
   }
 
+  test("compaction cleans a stale .data-old from a prior crash and " +
+    "leaves no aside copy on success") {
+    val path = TestSpark.scratch("kv-compact-crash")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between rename-aside and cleanup
+    val stale = new org.apache.hadoop.fs.Path(s"$path/.data-old")
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "junk.parquet"), true).close()
+    KvTable.compact(spark, path)
+    assert(!fs.exists(stale), "stale .data-old not cleaned")
+    assert(KvTable.read(spark, path).count() === 5)
+  }
+
   test("compact preserves the LWW view") {
     val path = TestSpark.scratch("kv-compact")
     KvTable.write(parsed, path, schema, SinkMode.Replace)
