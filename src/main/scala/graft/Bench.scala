@@ -49,6 +49,28 @@ object Bench {
       val dim = spark.range(100).toDF("k")
       big.join(broadcast(dim), "k").count()
     }
+    // Warm the Structured-Streaming engine (micro-batch planner, state
+    // store provider, streaming classloading) with one trivial
+    // AvailableNow run — otherwise the FIRST timed streaming query
+    // absorbs ~2s of one-time engine startup that isn't its own cost.
+    locally {
+      import org.apache.spark.sql.streaming.Trigger
+      val warmDir = Files.createTempDirectory("bench-stream-warm")
+      spark.range(4).toDF("id").write.mode("overwrite")
+        .parquet(warmDir.resolve("in").toString)
+      val q = spark.readStream
+        .schema("id LONG")
+        .parquet(warmDir.resolve("in").toString)
+        .groupBy("id").count()
+        .writeStream
+        .outputMode("update")
+        // must consume every partition or state-store commit validation
+        // fails the batch
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
