@@ -85,6 +85,46 @@ object Native {
     v % P
   }
 
+  /** Static eval for [[HyperplaneSigExpr]]'s codegen path: angular-LSH
+    * sign bits of a quantized vector for planes [offset, offset+bits). */
+  def hyperplaneSigEval(q: ArrayData, bits: Int, offset: Int): Int = {
+    val dims = q.numElements()
+    var acc = 0
+    var p = offset
+    while (p < offset + bits) {
+      var s = 0L
+      var i = 1
+      while (i <= dims) {
+        val w = (p * 73856093L + i * 19349663L) % 1999L - 999L
+        s += q.getLong(i - 1) * w
+        i += 1
+      }
+      acc = acc * 2 + (if (s >= 0L) 1 else 0)
+      p += 1
+    }
+    acc
+  }
+
+  /** Static eval for [[WordShinglesExpr]]'s codegen path. */
+  def wordShinglesEval(toks: ArrayData, n: Int): GenericArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val strs = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { strs(i) = toks.getUTF8String(i); i += 1 }
+    val out = new Array[Any](len - n + 1)
+    val space = UTF8String.fromString(" ")
+    i = 0
+    while (i <= len - n) {
+      var s = strs(i)
+      var j = 1
+      while (j < n) { s = UTF8String.concat(s, space, strs(i + j)); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Raw first-60-bits of md5 (NO mod P) — identical to
     * conv(substr(md5(s),1,15),16,10). Full 60-bit spread, needed where
     * individual BITS carry signal (SimHash votes); the mod-P variant
@@ -335,7 +375,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * Similarity.hyperplaneSig (i is 1-based in the weight formula). */
 case class HyperplaneSigExpr(child: Expression, bitsExpr: Expression,
                              offsetExpr: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = child
   override def second: Expression = bitsExpr
   override def third: Expression = offsetExpr
@@ -344,24 +384,12 @@ case class HyperplaneSigExpr(child: Expression, bitsExpr: Expression,
   // independent hyperplane family per table via offset = table * bits.
   private lazy val offset: Int = offsetExpr.eval().asInstanceOf[Int]
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(v: Any, ignored: Any, ignored2: Any): Any = {
-    val q = v.asInstanceOf[ArrayData]
-    val dims = q.numElements()
-    var acc = 0
-    var p = offset
-    while (p < offset + bits) {
-      var s = 0L
-      var i = 1
-      while (i <= dims) {
-        val w = (p * 73856093L + i * 19349663L) % 1999L - 999L
-        s += q.getLong(i - 1) * w
-        i += 1
-      }
-      acc = acc * 2 + (if (s >= 0L) 1 else 0)
-      p += 1
-    }
-    acc
-  }
+  override def nullSafeEval(v: Any, ignored: Any, ignored2: Any): Any =
+    Native.hyperplaneSigEval(v.asInstanceOf[ArrayData], bits, offset)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, b, o) =>
+      s"${ev.value} = graft.functions.Native.hyperplaneSigEval($q, $b, $o);")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
                                                  t: Expression) =
     copy(child = f, bitsExpr = s, offsetExpr = t)
@@ -371,30 +399,17 @@ case class HyperplaneSigExpr(child: Expression, bitsExpr: Expression,
   * single space, one pass with a reused StringBuilder. Mirrors
   * TextOps.wordShingles (HOF) byte-for-byte. */
 case class WordShinglesExpr(child: Expression, nExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = nExpr
   private lazy val n: Int = nExpr.eval().asInstanceOf[Int]
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(v: Any, ignored: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
-    val len = toks.numElements()
-    if (len < n) return new GenericArrayData(Array.empty[Any])
-    val strs = new Array[UTF8String](len)
-    var i = 0
-    while (i < len) { strs(i) = toks.getUTF8String(i); i += 1 }
-    val out = new Array[Any](len - n + 1)
-    val space = UTF8String.fromString(" ")
-    i = 0
-    while (i <= len - n) {
-      var s = strs(i)
-      var j = 1
-      while (j < n) { s = UTF8String.concat(s, space, strs(i + j)); j += 1 }
-      out(i) = s
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any, ignored: Any): Any =
+    Native.wordShinglesEval(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, nn) =>
+      s"${ev.value} = graft.functions.Native.wordShinglesEval($t, $nn);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, nExpr = r)
 }
