@@ -55,13 +55,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * duplicate a row, is deliberately NOT reproduced).
   *
   * Supported column types: string, binary, boolean, int, long, double,
-  * timestamp stored as INT64 micros. NOTE: Spark's DEFAULT parquet
-  * timestamp encoding is INT96, which this reader rejects with a clear
-  * error — write timestamp-bearing tables with
-  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` (kept OFF
-  * globally here because micros-encoded outputs read back tz-aware in
-  * pandas-family consumers, perturbing downstream comparators), or keep
-  * timestamps as epoch longs in the KV value domain.
+  * float, and timestamps in BOTH physical parquet encodings — INT64
+  * micros (the V2 writer's output) and INT96 nanos+julian-day (what
+  * Spark's own parquet writer emits by default, i.e. every v1-written
+  * table) — decoded per file.
   */
 class KvTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kvtable"
@@ -357,10 +354,23 @@ object KvV2Util {
     case INT64 if p.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation] =>
       TimestampType
     case INT64 => LongType
+    case INT96 => TimestampType // Spark's default parquet timestamp encoding
     case DOUBLE => DoubleType
     case FLOAT => FloatType
     case other =>
       throw new IllegalArgumentException(s"kvtable: unsupported parquet type $other")
+  }
+
+  /** Decode a parquet INT96 timestamp (12 bytes little-endian: 8-byte
+    * nanos-of-day + 4-byte Julian day) to catalyst micros — the encoding
+    * Spark's own parquet writer emits by default
+    * (`spark.sql.parquet.outputTimestampType=INT96`). */
+  def int96ToMicros(b: Binary): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b.getBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong(0)
+    val julianDay = buf.getInt(8)
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
 
   def readValue(g: Group, idx: Int, dt: DataType): Any = dt match {
@@ -369,7 +379,12 @@ object KvV2Util {
     case BooleanType => g.getBoolean(idx, 0)
     case IntegerType => g.getInteger(idx, 0)
     case LongType => g.getLong(idx, 0)
-    case TimestampType => g.getLong(idx, 0) // parquet micros == catalyst micros
+    case TimestampType =>
+      // physical encoding varies by writer: v1/Spark files use INT96,
+      // the V2 writer INT64 micros — branch on the file's own type
+      if (g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName == INT96)
+        int96ToMicros(g.getInt96(idx, 0))
+      else g.getLong(idx, 0) // parquet micros == catalyst micros
     case DoubleType => g.getDouble(idx, 0)
     case FloatType => g.getFloat(idx, 0)
     case other =>

@@ -188,6 +188,23 @@ class KvTableSourceSpec extends SparkSpec {
       "planning/reading opened parquet footers despite the stats manifest")
   }
 
+  test("V2 scan decodes INT96 timestamps from v1-written (Spark-default) files") {
+    val path = TestSpark.scratch("v2-int96")
+    val schema = KvSchema.of("k", "t" -> ("f", "t"))
+    // v1 write path -> Spark parquet writer -> INT96 timestamp encoding
+    KvTable.write(
+      Seq(("a", "2021-03-15 12:34:56.789"), ("b", "1969-12-31 23:59:59.5"))
+        .toDF("k", "ts").select($"k", $"ts".cast("timestamp").as("t")),
+      path, schema, SinkMode.Replace)
+    val v1 = KvTable.read(spark, path).orderBy("k")
+      .as[(String, java.sql.Timestamp)].collect()
+    val v2 = KvTable.readV2(spark, path).orderBy("k")
+      .as[(String, java.sql.Timestamp)].collect()
+    assert(v2 === v1)
+    assert(v1.map(_._2.toInstant.toString) ===
+      Array("2021-03-15T12:34:56.789Z", "1969-12-31T23:59:59.500Z"))
+  }
+
   test("long-key tables prune by numeric footer stats") {
     val path = TestSpark.scratch("v2-longkey")
     val schema = KvSchema.of("id", "v" -> ("f", "v"))
