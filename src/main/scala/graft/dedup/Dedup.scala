@@ -127,6 +127,14 @@ object Dedup {
         coalesce(max(sizeOf), lit(0)).as("max_bucket"))
       .filter(sizeOf <= maxBucket)
 
+  /** NOTE on input scans: the shingle pipeline (`base`) is referenced by
+    * the band branch AND both sides of the verify join — Spark
+    * re-executes the subplan per reference, so `docs` is scanned ~3×.
+    * That is the deliberate trade: recomputing integer hashing is
+    * CPU-linear, while carrying shingle arrays through the band shuffle
+    * (the alternative) multiplies shuffle volume by shingle size. At
+    * corpus scale, `.persist()` the (id, sh) projection — or write it
+    * once — before calling, and the recompute disappears. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
                           minJaccard: Double = 0.5,

@@ -86,10 +86,16 @@ object KvDynamic {
     * (`keyField`, family, qualifier, value) — one row per cell.
     * @param versionFrom optional LWW version column (e.g. event time);
     *   default: driver-allocated batch counter, like [[KvTable.write]].
+    * @param declaredFamilies the batch's family names, when the caller
+    *   knows them (it almost always does — families are schema-design,
+    *   not data): skips the extra distinct-scan of the batch that
+    *   discovery otherwise costs. Families are additive metadata, so
+    *   over-declaring is harmless (empty map column in the wide view).
     */
   def writeCells(cells: DataFrame, path: String, keyField: String,
                  mode: SinkMode = SinkMode.Append,
-                 versionFrom: Option[Column] = None): Unit = {
+                 versionFrom: Option[Column] = None,
+                 declaredFamilies: Option[Seq[String]] = None): Unit = {
     val spark = cells.sparkSession
     mode match {
       case SinkMode.Keep if exists(spark, path) =>
@@ -110,14 +116,18 @@ object KvDynamic {
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(false))
     out.write.mode("append").parquet(dataDir(path))
-    val newFams = cells.select(col(FamilyCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    val newFams = declaredFamilies.getOrElse(
+      cells.select(col(FamilyCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq)
     writeMeta(spark, path, keyField, prevFams ++ newFams, batch)
   }
 
   /** Wide-row convenience write: `df` holds the key plus one
     * `MapType(string, string)` column PER FAMILY (named after it);
-    * maps explode to cells. Null/missing maps contribute nothing. */
+    * maps explode to cells. Null/missing maps contribute nothing.
+    * NOTE: the per-family union re-executes `df`'s subplan once per
+    * family (Spark self-union semantics) — for an expensive upstream
+    * `df`, persist it first or write through [[writeCells]]. */
   def writeWide(df: DataFrame, path: String, keyField: String,
                 familyCols: Seq[String],
                 mode: SinkMode = SinkMode.Append): Unit = {
@@ -126,7 +136,8 @@ object KvDynamic {
           explode(col(f)).as(Seq(QualifierCol, ValueCol)))
         .withColumn(FamilyCol, lit(f))
     }
-    writeCells(perFam.reduce(_ unionByName _), path, keyField, mode)
+    writeCells(perFam.reduce(_ unionByName _), path, keyField, mode,
+      declaredFamilies = Some(familyCols))
   }
 
   /** HBase `Delete(row)`: hide every older cell of each key. */
