@@ -77,26 +77,46 @@ object Bench {
 
     // Setup pass: build KV scratch tables untimed; the timed pass below
     // then reuses them (measuring reads, not table construction).
+    // Markers from a PREVIOUS bench run are invalidated first — they
+    // could describe tables built by older code, silently contaminating
+    // cross-round timings (the rebuild still happens here, untimed).
+    locally {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get("/root/repo/target/kvscratch")
+      if (Files.isDirectory(root))
+        Files.list(root).iterator().asScala.foreach { d =>
+          Files.deleteIfExists(d.resolve("_bench_ready"))
+        }
+    }
     System.setProperty("graft.reuse.tables", "true")
+    var errors = Map.empty[String, String]
+    var setupFailed = Set.empty[String]
     selected.keys.toSeq.sorted.foreach { name =>
       queries.prepares.get(name).foreach { prep =>
         try prep(spark, sfDir)
         catch { case e: Throwable =>
+          // record it: the timed pass must NOT silently rebuild (and
+          // thus time table construction) for this query
+          setupFailed += name
+          errors += name -> s"setup: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           System.err.println(s"[bench] setup for $name failed: ${e.getMessage}")
         }
       }
     }
 
-    var errors = Map.empty[String, String]
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (setupFailed.contains(name)) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

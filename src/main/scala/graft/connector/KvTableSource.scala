@@ -199,11 +199,19 @@ case class KvInputPartition(file: String, start: Long, length: Long,
 }
 
 class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
+  // Per-executor projection cache keyed by file: a file with G row
+  // groups yields G partitions that all need the IDENTICAL projection —
+  // without the cache each would re-open and parse the footer.
+  @transient private lazy val projectionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(partition.asInstanceOf[KvInputPartition], required)
+    new KvPartitionReader(partition.asInstanceOf[KvInputPartition], required,
+      projectionCache)
 }
 
-class KvPartitionReader(part: KvInputPartition, required: StructType)
+class KvPartitionReader(part: KvInputPartition, required: StructType,
+                        projectionCache: java.util.concurrent.ConcurrentHashMap[String, String])
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -213,18 +221,21 @@ class KvPartitionReader(part: KvInputPartition, required: StructType)
   // and the log legitimately mixes provenance (Spark-written files mark
   // non-null columns `required`; the V2 writer marks everything
   // `optional`), so no single driver-computed projection fits all files.
-  private val projection: String = {
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(part.file), conf))
-    val full = try r.getFooter.getFileMetaData.getSchema finally r.close()
-    val kept: Seq[org.apache.parquet.schema.Type] =
-      required.fieldNames.toSeq.flatMap { n =>
-        if (full.containsField(n)) Some(full.getType(Seq(n): _*)) else None
-      }
-    if (kept.isEmpty) ""
-    else new MessageType("spark_schema",
-      new util.ArrayList[org.apache.parquet.schema.Type](kept.asJava)).toString
-  }
+  // Cached per (executor, file): the other row-group partitions of this
+  // file reuse it instead of re-parsing the footer.
+  private val projection: String =
+    projectionCache.computeIfAbsent(part.file, { file =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(file), conf))
+      val full = try r.getFooter.getFileMetaData.getSchema finally r.close()
+      val kept: Seq[org.apache.parquet.schema.Type] =
+        required.fieldNames.toSeq.flatMap { n =>
+          if (full.containsField(n)) Some(full.getType(Seq(n): _*)) else None
+        }
+      if (kept.isEmpty) ""
+      else new MessageType("spark_schema",
+        new util.ArrayList[org.apache.parquet.schema.Type](kept.asJava)).toString
+    })
   if (projection.nonEmpty) conf.set("parquet.read.schema", projection)
 
   // withFileRange selects exactly the row groups whose midpoint falls in
@@ -275,18 +286,35 @@ object KvV2Util {
     "__bucket=(\\d+)/".r.findFirstMatchIn(relPath)
       .map(_.group(1).toInt).getOrElse(-1)
 
-  /** Bucket count from `_kvmeta.json` (0 = unbucketed). */
-  def readBuckets(path: String, conf: Configuration): Int = {
+  /** (lastVersion, buckets) from `_kvmeta.json` — the ONE parser for the
+    * table-meta format (KvTable delegates FS handles but shares the
+    * regexes via this entry point for connector-side callers). */
+  def readMeta(path: String, conf: Configuration): (Long, Int) = {
     val f = new HPath(s"$path/_kvmeta.json")
     val fs = f.getFileSystem(conf)
-    if (!fs.exists(f)) 0
+    if (!fs.exists(f)) (0L, 0)
     else {
       val in = fs.open(f)
       val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt).getOrElse(0)
+      (("\"lastVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)),
+        ("\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).getOrElse(0)))
     }
   }
+
+  def writeMeta(path: String, conf: Configuration, version: Long,
+                buckets: Int): Unit = {
+    val f = new HPath(s"$path/_kvmeta.json")
+    val out = f.getFileSystem(conf).create(f, true)
+    try out.write(
+      s"""{"lastVersion":$version,"buckets":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Bucket count from `_kvmeta.json` (0 = unbucketed). */
+  def readBuckets(path: String, conf: Configuration): Int =
+    readMeta(path, conf)._2
 
   def dataFiles(path: String, conf: Configuration): Seq[FileStatus] = {
     val dir = new HPath(s"$path/data")

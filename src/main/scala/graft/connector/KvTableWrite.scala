@@ -94,24 +94,11 @@ class KvBatchWrite(path: String, schema: StructType,
       StructType(schema.fields.filterNot(_.name == KvV2Util.BucketCol))).toString
     KvStats.write(path, KvStats.Manifest(schemaStr, kept ++ newStats), conf)
     // bump the batch counter; preserve an existing bucket layout marker
-    // UNLESS this write truncated the table (V2 writes are unbucketed,
-    // so a Replace resets the layout to unbucketed)
-    val metaFile = new HPath(s"$path/_kvmeta.json")
-    val (prevVer, prevBuckets) =
-      if (!fs.exists(metaFile)) (0L, 0)
-      else {
-        val in = fs.open(metaFile)
-        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        (("\"lastVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-          .map(_.group(1).toLong).getOrElse(0L)),
-          ("\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-            .map(_.group(1).toInt).getOrElse(0)))
-      }
-    val buckets = if (truncate) 0 else prevBuckets
-    val out = fs.create(metaFile, true)
-    try out.write(
-      s"""{"lastVersion":${prevVer + 1},"buckets":$buckets}""".getBytes("UTF-8"))
-    finally out.close()
+    // UNLESS this write truncated the table (a truncating write resets
+    // the layout to unbucketed)
+    val (prevVer, prevBuckets) = KvV2Util.readMeta(path, conf)
+    KvV2Util.writeMeta(path, conf, prevVer + 1,
+      if (truncate) 0 else prevBuckets)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

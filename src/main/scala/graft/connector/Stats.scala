@@ -204,7 +204,17 @@ object KvStats {
   /** Incremental back-fill for files written OUTSIDE the V2 writer (the
     * v1 parquet append path and compaction): reads footers only for
     * files not already present (or changed length), drops entries for
-    * deleted files. At 100 TB the V2 commit path keeps this a no-op. */
+    * deleted files.
+    *
+    * Cost note (deliberate): each call lists the data dir, footer-reads
+    * only the NEW files, and rewrites the manifest whole — O(total
+    * files) JSON per append. That is the v1-path convenience trade; the
+    * V2 commit path extracts stats task-side and pays the same
+    * whole-manifest rewrite. For append-heavy 10^5-file tables the next
+    * step is a segmented manifest (one segment per commit, compacted
+    * with the table), which this format can adopt without changing
+    * readers' view. High-frequency small appenders (streaming
+    * foreachBatch) amortize by compacting periodically. */
   def refresh(path: String, conf: Configuration): Unit = {
     val files = KvV2Util.dataFiles(path, conf)
     val prior = read(path, conf)

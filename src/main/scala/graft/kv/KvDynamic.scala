@@ -71,6 +71,14 @@ object KvDynamic {
 
   private def writeMeta(spark: SparkSession, path: String, keyField: String,
                         families: Seq[String], version: Long): Unit = {
+    // family names are identifiers, not data: reject anything the
+    // line-format meta file (and sane HBase schemas) can't represent —
+    // an unescaped quote/comma would silently corrupt the family list.
+    families.foreach { f =>
+      require(f != null && f.nonEmpty && !f.exists(c => c == '"' || c == ','),
+        s"invalid family name ${String.valueOf(f)}: must be non-empty, " +
+          "without quotes or commas")
+    }
     val fams = families.distinct.sorted.map(f => s""""$f"""").mkString(",")
     val out = fs(spark, path).create(new HPath(metaFile(path)), true)
     try out.write(
@@ -116,9 +124,12 @@ object KvDynamic {
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(false))
     out.write.mode("append").parquet(dataDir(path))
+    // discovery drops nulls (a null-family non-tombstone cell is
+    // meaningless and invisible to both read branches); writeMeta
+    // validates the names it is about to persist
     val newFams = declaredFamilies.getOrElse(
       cells.select(col(FamilyCol).cast("string"))
-        .distinct().collect().map(_.getString(0)).toSeq)
+        .distinct().collect().map(_.getString(0)).toSeq.filter(_ != null))
     writeMeta(spark, path, keyField, prevFams ++ newFams, batch)
   }
 

@@ -73,9 +73,11 @@ object KvSchema {
 
   /** Engine-internal column names a user field must not shadow: write()
     * would silently overwrite the user column and the LWW collapse would
-    * then fail or return wrong data. */
+    * then fail or return wrong data. Sourced from the KvTable constants
+    * so a renamed/added engine column stays guarded automatically. */
   val ReservedNames: Set[String] =
-    Set("__version", "__seq", "__tombstone", "__bucket")
+    Set(KvTable.VersionCol, KvTable.SeqCol, KvTable.TombstoneCol,
+      KvTable.BucketCol)
 
   /** Convenience: fields declared as name -> (family, qualifier). */
   def of(keyField: String, fields: (String, (String, String))*): KvSchema =

@@ -59,7 +59,6 @@ object KvTable {
 
   private def dataDir(path: String) = s"$path/data"
   private def schemaFile(path: String) = s"$path/_kvschema.json"
-  private def metaFile(path: String) = s"$path/_kvmeta.json"
 
   /** `admin.tableExists` analog (`HBaseTap.java:95-101`). */
   def exists(spark: SparkSession, path: String): Boolean =
@@ -81,19 +80,11 @@ object KvTable {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Long, Int) = {
-    val f = fs(spark, path)
-    if (!f.exists(new HPath(metaFile(path)))) (0L, 0)
-    else {
-      val in = f.open(new HPath(metaFile(path)))
-      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val ver = "\"lastVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-        .map(_.group(1).toLong).getOrElse(0L)
-      val buckets = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt).getOrElse(0)
-      (ver, buckets)
-    }
-  }
+  // one parser/writer for the meta format — lives in KvV2Util so the
+  // connector's driver-side commit shares it
+  private def readMeta(spark: SparkSession, path: String): (Long, Int) =
+    graft.connector.KvV2Util.readMeta(path,
+      spark.sparkContext.hadoopConfiguration)
 
   private def readMetaVersion(spark: SparkSession, path: String): Long =
     readMeta(spark, path)._1
@@ -106,8 +97,8 @@ object KvTable {
 
   private def writeMeta(spark: SparkSession, path: String, version: Long,
                         buckets: Int): Unit =
-    writeString(spark, metaFile(path),
-      s"""{"lastVersion":$version,"buckets":$buckets}""")
+    graft.connector.KvV2Util.writeMeta(path,
+      spark.sparkContext.hadoopConfiguration, version, buckets)
 
   /** Write `df` (whose columns must include the schema's key + value
     * fields) into the table at `path`.
@@ -413,22 +404,37 @@ object KvTable {
     swapData(spark, path, current, buckets, lastVersion = lastVer)
   }
 
-  /** Swap the rewritten log in WITHOUT a window where no data dir exists:
-    * old data is renamed ASIDE (not deleted) before the new generation
-    * renames into place, so a crash at any step leaves either the old or
-    * the new generation readable under `data/`. The aside copy is removed
-    * last; a stale one from a prior crash is cleaned on entry.
+  /** Swap the rewritten log in with the old generation renamed ASIDE
+    * (never deleted first): every rename/delete result is CHECKED — a
+    * false return aborts (and the second rename rolls the old generation
+    * back into place), so a failure can not leave meta describing a
+    * layout the files don't have. A crash exactly between the two
+    * renames leaves the old generation intact under `.data-old`
+    * (restored by the next compaction attempt's entry check); at no
+    * point is the only copy of the data deleted.
     */
   private def swapData(spark: SparkSession, path: String, current: DataFrame,
                        buckets: Int, lastVersion: Long): Unit = {
     val tmp = s"$path/.compact-tmp"
     val old = s"$path/.data-old"
+    val f = fs(spark, path)
+    // recover from a crash that stranded the data dir aside
+    if (!f.exists(new HPath(dataDir(path))) && f.exists(new HPath(old)))
+      require(f.rename(new HPath(old), new HPath(dataDir(path))),
+        s"KvTable $path: could not restore stranded $old")
     val w = current.write.mode("overwrite")
     (if (buckets > 0) w.partitionBy(BucketCol) else w).parquet(tmp)
-    val f = fs(spark, path)
-    f.delete(new HPath(old), true)
-    f.rename(new HPath(dataDir(path)), new HPath(old))
-    f.rename(new HPath(tmp), new HPath(dataDir(path)))
+    if (f.exists(new HPath(old)))
+      require(f.delete(new HPath(old), true),
+        s"KvTable $path: could not clean stale $old")
+    if (!f.rename(new HPath(dataDir(path)), new HPath(old)))
+      throw new java.io.IOException(
+        s"KvTable $path: compaction could not move data aside")
+    if (!f.rename(new HPath(tmp), new HPath(dataDir(path)))) {
+      f.rename(new HPath(old), new HPath(dataDir(path))) // roll back
+      throw new java.io.IOException(
+        s"KvTable $path: compaction could not publish $tmp; old data restored")
+    }
     writeMeta(spark, path, lastVersion, buckets)
     f.delete(new HPath(old), true)
     // compaction replaced every file: rebuild the stats manifest
