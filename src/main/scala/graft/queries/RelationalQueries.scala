@@ -204,6 +204,32 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     },
 
+    // TPC-H Q5 shape: 6-table join with region/date selection. The three
+    // tiny dims broadcast (explicitly); lineitem-orders-customer are the
+    // shuffle joins AQE sizes. Revenue accumulates in DECIMAL so the
+    // result is partitioning-independent.
+    "q_tpch_q5" -> { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val sup = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+          "AS DECIMAL(18,4))) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // Map functions (§2h): build per-row maps (map_from_arrays /
     // map_concat), probe (element_at), filter entries by a lambda
     // (map_filter), and enumerate keys/values (map_keys / map_values,
@@ -734,6 +760,19 @@ object RelationalQueries {
         |        CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_map_funcs" ->
       """SELECT o_orderkey, o_orderpriority AS prio,
         |  CAST(CASE WHEN length(o_orderpriority) > 9 THEN 1 ELSE 0 END
