@@ -230,6 +230,30 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // PIVOT: one row per priority, one revenue column per order status.
+    // The value list is DECLARED (not discovered) — at scale an
+    // unconstrained pivot runs an extra distinct pass over the fact
+    // table just to learn the column set.
+    "q_pivot" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // UNPIVOT/melt: wide numeric columns to (id, metric, value) rows —
+    // a pure per-row Generate, no shuffle.
+    "q_unpivot" -> { (s, dir) =>
+      table(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          col("s_acctbal").cast("double").as("acctbal"),
+          col("s_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("s_suppkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "value")
+        .orderBy(col("s_suppkey"), col("metric"))
+    },
+
     // Map functions (§2h): build per-row maps (map_from_arrays /
     // map_concat), probe (element_at), filter entries by a lambda
     // (map_filter), and enumerate keys/values (map_keys / map_values,
@@ -773,6 +797,24 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT s_suppkey, metric, value FROM (
+        |  SELECT s_suppkey, 'acctbal' AS metric,
+        |    CAST(s_acctbal AS DOUBLE) AS value FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, 'nationkey' AS metric,
+        |    CAST(s_nationkey AS DOUBLE) AS value FROM supplier)
+        |ORDER BY s_suppkey, metric""".stripMargin,
     "q_map_funcs" ->
       """SELECT o_orderkey, o_orderpriority AS prio,
         |  CAST(CASE WHEN length(o_orderpriority) > 9 THEN 1 ELSE 0 END
