@@ -56,6 +56,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic ~10% sample by content-independent key hash — the
+    // reproducible way to sample training data at scale: `df.sample` is
+    // partitioning/seed-plumbing dependent, while a hash-threshold
+    // sample selects the SAME rows on any engine, any partitioning, any
+    // rerun (and composes: a 1% sample is a subset of the 10% one when
+    // thresholds nest).
+    "text_sample" -> { (s, dir) =>
+      val bucket = graft.dedup.Dedup.hash60(col("doc_id").cast("string")) % 10
+      table(s, dir, "documents")
+        .filter(bucket === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Content-defined chunking by rolling hash: a 3-token rolling hash
     // (the same base-31 poly roll the dedup pipeline uses) marks a chunk
     // boundary wherever hash % 8 == 0 — boundaries move with content,
@@ -162,6 +176,11 @@ object TextQueries {
       raw"""SELECT doc_id,
            |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1000000007) % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
     "text_chunks" ->
       s"""SELECT doc_id,
          |  CAST(len(b) AS INT) AS n_boundaries,
