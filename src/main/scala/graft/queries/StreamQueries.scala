@@ -41,7 +41,7 @@ object StreamQueries {
     * DECIMAL sums), restoring the session conf afterwards. On a real
     * cluster this knob is sized to state volume, not core count.
     */
-  private val StreamShufflePartitions = 8
+  private val StreamShufflePartitions = 4
 
   private def runStream(df: DataFrame, outputMode: String = "update")
                        (sink: (DataFrame, Long) => Unit): Unit = {
