@@ -230,6 +230,20 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // Exact percentiles (sort-based interpolated, Spark `percentile` ==
+    // DuckDB `quantile_cont`: both linear-interpolate at (n-1)p, and the
+    // inputs are small integers so the arithmetic is float-exact). For
+    // 100 TB use approx_percentile (t-digest) — exact percentile sorts
+    // each group; this query documents the exact baseline.
+    "q_percentile" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+          expr("percentile(l_quantity, 0.75)").as("q3_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // PIVOT: one row per priority, one revenue column per order status.
     // The value list is DECLARED (not discovered) — at scale an
     // unconstrained pivot runs an extra distinct pass over the fact
@@ -797,6 +811,13 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q3_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
