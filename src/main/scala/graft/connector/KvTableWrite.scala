@@ -53,6 +53,19 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
 case class KvCommitMessage(files: Seq[String],
                            stats: Seq[KvStats.FileStat]) extends WriterCommitMessage
 
+/** Driver-side commit for the V2 sink.
+  *
+  * CONCURRENCY CONTRACT — single writer per table: job commit
+  * read-modify-writes `_kvmeta.json` and the stats manifest with no
+  * cross-job coordination (exactly HBase's one-region-server-owns-a-
+  * region model, and the same contract Delta/Iceberg enforce with a
+  * log lock). Two concurrent appends could both compute `prevVer + 1`
+  * — the batches would then share one LWW version (ties decided by
+  * arbitrary seq) and the later manifest write would drop the earlier
+  * job's stats entries (correct but slow footer fallback on read).
+  * Serialize writes per table; concurrent READS are always safe
+  * (immutable files, atomic rename publish).
+  */
 class KvBatchWrite(path: String, schema: StructType,
                    kvSchemaJson: Option[String], truncate: Boolean)
     extends BatchWrite {

@@ -96,9 +96,14 @@ object KvDynamic {
     *   default: driver-allocated batch counter, like [[KvTable.write]].
     * @param declaredFamilies the batch's family names, when the caller
     *   knows them (it almost always does — families are schema-design,
-    *   not data): skips the extra distinct-scan of the batch that
-    *   discovery otherwise costs. Families are additive metadata, so
-    *   over-declaring is harmless (empty map column in the wide view).
+    *   not data). Families are additive metadata, so over-declaring is
+    *   harmless (empty map column in the wide view); UNDER-declaring
+    *   hides the missing family from the wide [[read]] view (cells stay
+    *   visible in [[readCells]]) — declare every family the batch
+    *   writes. When omitted, families are discovered by an `observe`
+    *   metric piggybacked on the write job itself: no extra scan, no
+    *   driver-side collect of data rows (family names are bounded
+    *   schema-cardinality output).
     */
   def writeCells(cells: DataFrame, path: String, keyField: String,
                  mode: SinkMode = SinkMode.Append,
@@ -123,13 +128,21 @@ object KvDynamic {
         col(ValueCol).cast("string"), col(VersionCol))
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(false))
-    out.write.mode("append").parquet(dataDir(path))
-    // discovery drops nulls (a null-family non-tombstone cell is
-    // meaningless and invisible to both read branches); writeMeta
-    // validates the names it is about to persist
+    // Family discovery rides the write job as an observe metric
+    // (collect_set drops nulls — a null-family non-tombstone cell is
+    // meaningless and invisible to both read branches): zero extra
+    // scans, bounded driver output. writeMeta validates the names.
+    val obs = declaredFamilies match {
+      case Some(_) => None
+      case None => Some(new org.apache.spark.sql.Observation())
+    }
+    val observed = obs match {
+      case Some(o) => out.observe(o, collect_set(col(FamilyCol)).as("fams"))
+      case None => out
+    }
+    observed.write.mode("append").parquet(dataDir(path))
     val newFams = declaredFamilies.getOrElse(
-      cells.select(col(FamilyCol).cast("string"))
-        .distinct().collect().map(_.getString(0)).toSeq.filter(_ != null))
+      obs.get.get.apply("fams").asInstanceOf[scala.collection.Seq[String]].toSeq)
     writeMeta(spark, path, keyField, prevFams ++ newFams, batch)
   }
 
@@ -180,7 +193,10 @@ object KvDynamic {
       .select(KeyCol, FamilyCol, QualifierCol, ValueCol,
         VersionCol, SeqCol, TombstoneCol)
       .write.mode("append").parquet(dataDir(path))
-    writeMeta(spark, path, keyField, fams, batch)
+    // never regress the counter: persisting a caller-supplied OLDER
+    // version would let a later auto-versioned write collide with live
+    // cell versions and decide LWW by arbitrary seq ties
+    writeMeta(spark, path, keyField, fams, math.max(prevVer, batch))
   }
 
   /** Flat LWW cell view: one row per LIVE (key, family, qualifier),
@@ -206,7 +222,9 @@ object KvDynamic {
   }
 
   /** Wide read view: key + one `map<string,string>` column per family
-    * ever written (map entries sorted by qualifier — deterministic). */
+    * ever written (map entries sorted by qualifier — deterministic).
+    * A table whose meta records no families (all writes were tombstones
+    * or empty batches) yields a key-only view of the live keys. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val (keyField, fams, _) = readMeta(spark, path)
     val cells = readCells(spark, path)
@@ -215,7 +233,10 @@ object KvDynamic {
         when(col(FamilyCol) === f,
           struct(col(QualifierCol), col(ValueCol)))))).as(f)
     }
-    cells.groupBy(col(KeyCol).as(keyField))
-      .agg(aggs.head, aggs.tail: _*)
+    if (aggs.isEmpty)
+      cells.select(col(KeyCol).as(keyField)).distinct()
+    else
+      cells.groupBy(col(KeyCol).as(keyField))
+        .agg(aggs.head, aggs.tail: _*)
   }
 }

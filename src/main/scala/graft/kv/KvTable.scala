@@ -173,7 +173,7 @@ object KvTable {
   private def appendRaw(df: DataFrame, path: String, schema: KvSchema,
                         batch: Long): Unit = {
     val spark = df.sparkSession
-    val buckets = numBuckets(spark, path)
+    val (prevVer, buckets) = readMeta(spark, path)
     if (buckets > 0)
       // bucketed layout: appends stay aligned with the compacted buckets
       df.withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
@@ -181,16 +181,44 @@ object KvTable {
     else
       df.write.mode("append").parquet(dataDir(path))
     writeString(spark, schemaFile(path), schema.toJson)
-    writeMeta(spark, path, batch, buckets)
+    // The meta counter must never regress: a caller-supplied delete
+    // version BELOW the current counter would otherwise let a later
+    // auto-versioned write reuse a version equal to existing live cells,
+    // demoting LWW to arbitrary seq ties.
+    writeMeta(spark, path, math.max(prevVer, batch), buckets)
     // back-fill the stats manifest for the files this write added (the
     // V2 write path extracts stats task-side instead; see KvStats)
     graft.connector.KvStats.refresh(path,
       spark.sparkContext.hadoopConfiguration)
   }
 
-  /** Raw log scan (all versions + tombstones), for debugging/compaction. */
+  /** Restore a data dir stranded aside by a crash between [[swapData]]'s
+    * two renames. Called only when the data dir is MISSING (zero
+    * filesystem overhead on the normal path) — this is the documented
+    * self-healing entry point, reachable from every read/compact, not
+    * just the next compaction attempt. */
+  private def restoreIfStranded(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val data = new HPath(dataDir(path))
+    val old = new HPath(s"$path/.data-old")
+    if (!f.exists(data) && f.exists(old)) {
+      require(f.rename(old, data),
+        s"KvTable $path: could not restore stranded $old")
+      true
+    } else false
+  }
+
+  /** Raw log scan (all versions + tombstones), for debugging/compaction.
+    * Self-heals a crash-stranded `.data-old` generation before resolving
+    * the data dir (the failure-path check costs nothing when the table
+    * is healthy — it only runs after the read fails to resolve). */
   def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(dataDir(path))
+    try spark.read.parquet(dataDir(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        if (restoreIfStranded(spark, path)) spark.read.parquet(dataDir(path))
+        else throw e
+    }
 
   /** The last-write-wins read view: one row per live key, newest
     * (version, seq) wins, tombstones filtered out. Value columns carry
@@ -253,7 +281,13 @@ object KvTable {
   /** Shared V2 sink tail: bucket-compacted tables get the `__bucket`
     * routing column (same murmur3 bucketing as the v1 path — the writer
     * turns it into `__bucket=N/` directories), then the connector's
-    * BatchWrite stages, publishes and commits. */
+    * BatchWrite stages, publishes and commits.
+    *
+    * Bucketed appends REPARTITION by `__bucket` first (mirroring
+    * `compactBucketed`): each task then writes few buckets instead of
+    * holding one open ParquetWriter — a full row-group buffer each —
+    * per bucket it happens to see, which for a large bucket count would
+    * multiply task memory by the bucket fan-out. */
   private def rawV2Write(out0: DataFrame, path: String, schema: KvSchema,
                          mode: SinkMode): Unit = {
     val spark = out0.sparkSession
@@ -262,6 +296,7 @@ object KvTable {
     val out =
       if (buckets > 0)
         out0.withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
+          .repartition(buckets, col(BucketCol))
       else out0
     out.write.format("kvtable")
       .option("kvschema", schema.toJson)
@@ -419,9 +454,7 @@ object KvTable {
     val old = s"$path/.data-old"
     val f = fs(spark, path)
     // recover from a crash that stranded the data dir aside
-    if (!f.exists(new HPath(dataDir(path))) && f.exists(new HPath(old)))
-      require(f.rename(new HPath(old), new HPath(dataDir(path))),
-        s"KvTable $path: could not restore stranded $old")
+    restoreIfStranded(spark, path)
     val w = current.write.mode("overwrite")
     (if (buckets > 0) w.partitionBy(BucketCol) else w).parquet(tmp)
     if (f.exists(new HPath(old)))

@@ -141,11 +141,14 @@ object KvQueries {
       def cells(family: String, qualifier: String, value: org.apache.spark.sql.Column) =
         c.select(col("rowkey"), lit(family).as("family"),
           lit(qualifier).as("qualifier"), value.cast("string").as("value"))
-      // write 1: profile family (name + segment cells)
+      // write 1: profile family (name + segment cells). Families are
+      // DECLARED (schema design, known to the writer) — discovery is the
+      // fallback for ad-hoc batches.
       KvDynamic.writeCells(
         cells("prof", "name", col("c_name"))
           .unionByName(cells("prof", "segment", col("c_mktsegment"))),
-        path, "rowkey", SinkMode.Replace)
+        path, "rowkey", SinkMode.Replace,
+        declaredFamilies = Some(Seq("prof")))
       // write 2 MERGES: a new family's cells plus a segment UPDATE for
       // MACHINERY rows — their name cell must survive (cell-level LWW)
       KvDynamic.writeCells(
@@ -153,7 +156,8 @@ object KvQueries {
           .unionByName(c.filter(col("c_mktsegment") === "MACHINERY")
             .select(col("rowkey"), lit("prof").as("family"),
               lit("segment").as("qualifier"), lit("MACH").as("value"))),
-        path, "rowkey")
+        path, "rowkey",
+        declaredFamilies = Some(Seq("acct", "prof")))
       // row deletes (BUILDING) and single-cell deletes (FURNITURE names)
       KvDynamic.deleteRows(c.filter(col("c_mktsegment") === "BUILDING")
         .select(col("rowkey")), path, "rowkey")

@@ -55,6 +55,30 @@ class KvDynamicSpec extends SparkSpec {
       .select("value").as[String].collect() === Array("back"))
   }
 
+  test("regressed tombstone version cannot regress the meta counter") {
+    val path = TestSpark.scratch("kvdyn-ver-regress")
+    KvDynamic.writeCells(Seq(("k1", "f", "q", "v1"))
+      .toDF("k", "family", "qualifier", "value"), path, "k",
+      SinkMode.Replace) // version 1
+    // explicitly old tombstone: no-op for LWW, must not reset the counter
+    KvDynamic.deleteRows(Seq("k1").toDF("k"), path, "k", version = Some(0L))
+    KvDynamic.writeCells(Seq(("k1", "f", "q", "v2"))
+      .toDF("k", "family", "qualifier", "value"), path, "k") // version 2
+    val rows = KvDynamic.readCells(spark, path)
+      .select("value", "version").as[(String, Long)].collect()
+    assert(rows === Array(("v2", 2L)))
+  }
+
+  test("wide read of a table with no recorded families is a key-only view") {
+    val path = TestSpark.scratch("kvdyn-nofam")
+    KvDynamic.writeCells(Seq.empty[(String, String, String, String)]
+      .toDF("k", "family", "qualifier", "value"), path, "k",
+      SinkMode.Replace)
+    val wide = KvDynamic.read(spark, path)
+    assert(wide.columns === Array("k"))
+    assert(wide.count() === 0)
+  }
+
   test("event-time versions: older cell write cannot clobber newer") {
     val path = TestSpark.scratch("kvdyn-ver")
     def put(v: String, ts: Long): Unit =

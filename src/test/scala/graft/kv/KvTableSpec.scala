@@ -219,6 +219,36 @@ class KvTableSpec extends SparkSpec {
     assert(KvTable.read(spark, path).count() === 5)
   }
 
+  test("a crash between swap renames self-heals on the next READ " +
+    "(not only the next compaction)") {
+    val path = TestSpark.scratch("kv-swap-crash-read")
+    KvTable.write(parsed, path, schema, SinkMode.Replace)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window exactly between the two renames:
+    // data/ moved aside, replacement never published
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/data"),
+      new org.apache.hadoop.fs.Path(s"$path/.data-old")))
+    assert(KvTable.read(spark, path).count() === 5) // self-restores
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/data")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/.data-old")))
+  }
+
+  test("a delete with a regressed version cannot regress the meta " +
+    "counter (later auto-versioned writes still win deterministically)") {
+    val path = TestSpark.scratch("kv-ver-regress")
+    KvTable.write(Seq(("1", "a", "A")).toDF("num", "lower", "upper"),
+      path, schema, SinkMode.Replace) // batch version 1
+    // tombstone explicitly versioned BELOW the live cells: a no-op for
+    // LWW, and it must NOT pull the meta counter back to 0
+    KvTable.delete(Seq("1").toDF("num"), path, schema, version = Some(0L))
+    KvTable.write(Seq(("1", "b", "B")).toDF("num", "lower", "upper"),
+      path, schema) // must get version 2, strictly above the live cell
+    val rows = KvTable.readVersions(spark, path, 1)
+      .select("num", "lower", "version").as[(String, String, Long)].collect()
+    assert(rows === Array(("1", "b", 2L)))
+  }
+
   test("compact preserves the LWW view") {
     val path = TestSpark.scratch("kv-compact")
     KvTable.write(parsed, path, schema, SinkMode.Replace)
