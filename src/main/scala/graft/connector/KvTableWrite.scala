@@ -86,26 +86,36 @@ class KvBatchWrite(path: String, schema: StructType,
       val out = fs.create(new HPath(s"$path/_kvschema.json"), true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
     }
-    // Merge task-extracted stats into the manifest: zero driver footer IO
-    // for the files THIS job wrote. Pre-existing files missing from the
-    // manifest (legacy tables) are back-filled here, once.
+    // Publish task-extracted stats as ONE manifest segment: zero driver
+    // footer IO for the files THIS job wrote, O(new files) manifest
+    // bytes per commit. Pre-existing files missing from the manifest
+    // (legacy tables) are back-filled into the same segment, once. A
+    // truncating write rewrites the base whole (dropping segments) —
+    // the old entries describe deleted files.
     val newStats = messages.toSeq.flatMap {
       case KvCommitMessage(_, stats) => stats
       case _ => Seq.empty
     }
-    val priorByRel: Map[String, KvStats.FileStat] =
-      KvStats.read(path, conf).map(_.files.map(f => f.path -> f).toMap)
-        .getOrElse(Map.empty)
-    val kept =
-      if (truncate) Seq.empty
-      else preExisting.map { f =>
-        val rel = KvStats.relativize(path, f.getPath, conf)
-        priorByRel.get(rel).filter(_.len == f.getLen)
-          .getOrElse(KvStats.fromFooter(f.getPath, rel, f.getLen, conf))
-      }
     val schemaStr = KvWriteUtil.toParquetSchema(
       StructType(schema.fields.filterNot(_.name == KvV2Util.BucketCol))).toString
-    KvStats.write(path, KvStats.Manifest(schemaStr, kept ++ newStats), conf)
+    if (truncate)
+      KvStats.write(path, KvStats.Manifest(schemaStr, newStats), conf)
+    else {
+      val priorByRel: Map[String, KvStats.FileStat] =
+        KvStats.read(path, conf).map(_.files.map(f => f.path -> f).toMap)
+          .getOrElse(Map.empty)
+      val backfill = preExisting.flatMap { f =>
+        val rel = KvStats.relativize(path, f.getPath, conf)
+        if (priorByRel.get(rel).exists(_.len == f.getLen)) None
+        else Some(KvStats.fromFooter(f.getPath, rel, f.getLen, conf))
+      }
+      if (priorByRel.isEmpty)
+        KvStats.write(path,
+          KvStats.Manifest(schemaStr, backfill ++ newStats), conf)
+      else
+        KvStats.writeSegment(path,
+          KvStats.Manifest(schemaStr, backfill ++ newStats), conf)
+    }
     // bump the batch counter; preserve an existing bucket layout marker
     // UNLESS this write truncated the table (a truncating write resets
     // the layout to unbucketed)

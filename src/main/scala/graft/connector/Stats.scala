@@ -22,7 +22,8 @@ import org.apache.spark.sql.sources._
   * their own file's stats and ship them in the commit message — zero
   * driver footer IO; the v1 parquet path back-fills incrementally,
   * reading only footers of files not yet in the manifest) and planning
-  * reads ONE small JSON file.
+  * reads one small base JSON plus at most [[foldThreshold]] append
+  * segments (see the segmented-layout note at the manifest IO section).
   *
   * Entries carry: relative path, file length (stale detection), and per
   * row group: byte range (for row-group-level splits), row count, and
@@ -133,17 +134,78 @@ object KvStats {
   }
 
   // ---- manifest IO ----
+  //
+  // SEGMENTED layout: `_kvstats.json` is the compacted BASE; each append
+  // adds one small file under `_kvstats_seg/` describing only ITS new
+  // data files (O(new files) manifest bytes per append — the fix for
+  // the quadratic whole-rewrite this module used to do). Readers merge
+  // base + segments in segment-name order (names embed a millisecond
+  // timestamp, so later writes win on path collisions). When the
+  // segment count passes [[foldThreshold]] the next append folds
+  // everything back into the base — bounded planning IO, amortized
+  // O(1/threshold) fold cost, the same compaction discipline as the
+  // table's own log.
 
-  def read(path: String, conf: Configuration): Option[Manifest] = {
-    val f = new HPath(statsFile(path))
+  def segDir(path: String) = s"$path/_kvstats_seg"
+
+  /** Segments folded into the base once their count reaches this
+    * (override via -Dgraft.kvstats.foldSegments for tests). */
+  def foldThreshold: Int =
+    sys.props.get("graft.kvstats.foldSegments").map(_.toInt).getOrElse(64)
+
+  private def readManifestFile(f: HPath, conf: Configuration): Option[Manifest] = {
     val fs = f.getFileSystem(conf)
     if (!fs.exists(f)) None
     else {
       val in = fs.open(f)
       val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       try Some(parse(mapper.readTree(s)))
-      catch { case _: Exception => None } // corrupt manifest -> footer fallback
+      catch { case _: Exception => None } // corrupt -> footer fallback
     }
+  }
+
+  /** Segment files in merge order (name-sorted: timestamped, later wins). */
+  private def segmentFiles(path: String, conf: Configuration): Seq[HPath] = {
+    val dir = new HPath(segDir(path))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName)
+  }
+
+  /** The merged manifest view: base + segments, last writer wins per
+    * relative path. This is what planning reads — O(1 + segments)
+    * small JSON files, segments bounded by [[foldThreshold]]. */
+  def read(path: String, conf: Configuration): Option[Manifest] = {
+    val base = readManifestFile(new HPath(statsFile(path)), conf)
+    val segs = segmentFiles(path, conf)
+      .flatMap(f => readManifestFile(f, conf))
+    if (base.isEmpty && segs.isEmpty) None
+    else {
+      val merged = scala.collection.mutable.LinkedHashMap.empty[String, FileStat]
+      (base.toSeq ++ segs).foreach(_.files.foreach(f => merged.update(f.path, f)))
+      val schema = (base.toSeq ++ segs).map(_.schema).find(_.nonEmpty).getOrElse("")
+      Some(Manifest(schema, merged.values.toSeq))
+    }
+  }
+
+  /** Append one segment describing this write's new files only. */
+  def writeSegment(path: String, m: Manifest, conf: Configuration): Unit = {
+    val dir = new HPath(segDir(path))
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val name = f"seg-${System.currentTimeMillis()}%013d-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.json"
+    writeManifestFile(new HPath(dir, name), m, conf)
+  }
+
+  /** Delete base + all segments (compaction replaced every file). */
+  def clear(path: String, conf: Configuration): Unit = {
+    val base = new HPath(statsFile(path))
+    val fs = base.getFileSystem(conf)
+    fs.delete(base, false)
+    fs.delete(new HPath(segDir(path)), true)
   }
 
   private def parse(root: JsonNode): Manifest = {
@@ -164,7 +226,17 @@ object KvStats {
     Manifest(Option(root.get("schema")).map(_.asText()).getOrElse(""), files)
   }
 
+  /** Rewrite the BASE manifest whole and drop every segment (the fold /
+    * truncate path — segments merge-after base, so a fresh base must not
+    * leave stale segments shadowing it). */
   def write(path: String, m: Manifest, conf: Configuration): Unit = {
+    writeManifestFile(new HPath(statsFile(path)), m, conf)
+    new HPath(segDir(path)).getFileSystem(conf)
+      .delete(new HPath(segDir(path)), true)
+  }
+
+  private def writeManifestFile(f: HPath, m: Manifest,
+                                conf: Configuration): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("schema", m.schema)
     val filesArr: ArrayNode = root.putArray("files")
@@ -185,7 +257,6 @@ object KvStats {
         }
       }
     }
-    val f = new HPath(statsFile(path))
     val fs = f.getFileSystem(conf)
     val out = fs.create(f, true)
     try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
@@ -202,19 +273,14 @@ object KvStats {
   }
 
   /** Incremental back-fill for files written OUTSIDE the V2 writer (the
-    * v1 parquet append path and compaction): reads footers only for
-    * files not already present (or changed length), drops entries for
-    * deleted files.
-    *
-    * Cost note (deliberate): each call lists the data dir, footer-reads
-    * only the NEW files, and rewrites the manifest whole — O(total
-    * files) JSON per append. That is the v1-path convenience trade; the
-    * V2 commit path extracts stats task-side and pays the same
-    * whole-manifest rewrite. For append-heavy 10^5-file tables the next
-    * step is a segmented manifest (one segment per commit, compacted
-    * with the table), which this format can adopt without changing
-    * readers' view. High-frequency small appenders (streaming
-    * foreachBatch) amortize by compacting periodically. */
+    * v1 parquet append path and compaction): reads footers ONLY for
+    * files not already present (or changed length) and persists them as
+    * ONE new segment — O(new files) footer IO and O(new files) manifest
+    * bytes per append, independent of table size. A high-frequency
+    * appender (streaming `foreachBatch`) therefore pays a small constant
+    * manifest cost per micro-batch. Every [[foldThreshold]] appends the
+    * segments fold into the base (which also drops entries for deleted
+    * files); a missing manifest writes the base directly. */
   def refresh(path: String, conf: Configuration): Unit = {
     val files = KvV2Util.dataFiles(path, conf)
     val prior = read(path, conf)
@@ -223,11 +289,19 @@ object KvStats {
     val schemaStr = prior.map(_.schema).filter(_.nonEmpty)
       .orElse(files.headOption.map(f => KvV2Util.footerSchema(f, conf).toString))
       .getOrElse("")
-    val entries = files.map { f =>
+    val fresh: Map[String, FileStat] = files.flatMap { f =>
       val rel = relativize(path, f.getPath, conf)
-      existing.get(rel).filter(_.len == f.getLen)
-        .getOrElse(fromFooter(f.getPath, rel, f.getLen, conf))
-    }
-    write(path, Manifest(schemaStr, entries), conf)
+      if (existing.get(rel).exists(_.len == f.getLen)) None
+      else Some(rel -> fromFooter(f.getPath, rel, f.getLen, conf))
+    }.toMap
+    if (prior.isEmpty || segmentFiles(path, conf).size >= foldThreshold) {
+      // fold: one whole manifest keyed to the CURRENT file listing
+      val entries = files.map { f =>
+        val rel = relativize(path, f.getPath, conf)
+        fresh.getOrElse(rel, existing(rel))
+      }
+      write(path, Manifest(schemaStr, entries), conf)
+    } else if (fresh.nonEmpty)
+      writeSegment(path, Manifest(schemaStr, fresh.values.toSeq), conf)
   }
 }

@@ -471,7 +471,9 @@ object KvTable {
     writeMeta(spark, path, lastVersion, buckets)
     f.delete(new HPath(old), true)
     // compaction replaced every file: rebuild the stats manifest
-    f.delete(new HPath(graft.connector.KvStats.statsFile(path)), false)
+    // (base + segments) from scratch
+    graft.connector.KvStats.clear(path,
+      spark.sparkContext.hadoopConfiguration)
     graft.connector.KvStats.refresh(path,
       spark.sparkContext.hadoopConfiguration)
   }

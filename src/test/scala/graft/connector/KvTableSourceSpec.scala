@@ -177,6 +177,49 @@ class KvTableSourceSpec extends SparkSpec {
     assert(df.filter($"k" >= "k04990").count() === 11L)
   }
 
+  test("segmented manifest: per-append manifest bytes are O(new files), " +
+    "independent of table size; fold compacts and preserves the view") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = TestSpark.scratch("v2-seg-manifest")
+    val schema = KvSchema.of("k", "n" -> ("f", "n"))
+    def segSizes: Seq[Long] = {
+      val d = Paths.get(KvStats.segDir(path))
+      if (!Files.isDirectory(d)) Seq.empty
+      else Files.list(d).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json")) // skip .crc files
+        .sortBy(_.getFileName.toString).map(Files.size(_))
+    }
+    KvTable.write(Seq(("a", 1L)).toDF("k", "n").coalesce(1),
+      path, schema, SinkMode.Replace) // first write -> base manifest
+    val appends = 6
+    (1 to appends).foreach { i =>
+      KvTable.write(Seq((s"k$i", i.toLong)).toDF("k", "n").coalesce(1),
+        path, schema, SinkMode.Append)
+    }
+    val sizes = segSizes
+    assert(sizes.length === appends, s"one segment per append, got $sizes")
+    // each append's manifest write covers ONLY its own (single) new file:
+    // segment sizes must stay flat, not grow with accumulated file count
+    assert(sizes.max <= sizes.min * 2,
+      s"segment sizes should be ~constant, got $sizes")
+    // merged view == full per-file coverage (every file has stats entries)
+    val merged = KvStats.read(path, conf).get
+    assert(merged.files.length === KvV2Util.dataFiles(path, conf).length)
+    // fold: lowering the threshold makes the next append compact segments
+    System.setProperty("graft.kvstats.foldSegments", "2")
+    try {
+      KvTable.write(Seq(("zz", 99L)).toDF("k", "n").coalesce(1),
+        path, schema, SinkMode.Append)
+      assert(segSizes.isEmpty, "fold must absorb all segments into the base")
+      val folded = KvStats.read(path, conf).get
+      assert(folded.files.length === KvV2Util.dataFiles(path, conf).length)
+    } finally System.clearProperty("graft.kvstats.foldSegments")
+    // the LWW view is intact through segment + fold lifecycles
+    assert(KvTable.read(spark, path).count() === appends + 2)
+  }
+
   test("planning a pruned scan does ZERO driver footer reads (manifest)") {
     val path = writeTwoBatches()
     val before = KvV2Util.footerOpens.get()
