@@ -1,0 +1,199 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.kv.{KvField, KvSchema}
+
+/** SQL catalog for KV tables: the reference's table-lifecycle surface
+  * (`HBaseTap.java:69-101` — create-if-missing, disable+delete, exists)
+  * exposed through Spark's `TableCatalog`, so plain SQL works:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_kv",
+  *     "graft.connector.KvCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft_kv.warehouse", "/tables")
+  *   spark.sql("CREATE TABLE graft_kv.ns.t (k STRING, v STRING) " +
+  *     "USING kvtable TBLPROPERTIES ('kv.key'='k','kv.map.v'='f:val')")
+  *   spark.sql("INSERT INTO graft_kv.ns.t (k, v) VALUES ('a', 'x')")
+  *   spark.sql("DROP TABLE graft_kv.ns.t")
+  * }}}
+  *
+  * Layout: `warehouse/<namespace...>/<table>` — one directory per table,
+  * the same on-disk format `KvTable`/`format("kvtable")` read and write
+  * (the catalog is an addressing layer, not a new storage format).
+  *
+  * Schema declaration mirrors the reference's fieldMap
+  * (`HBaseScheme.java:55`): `kv.key` names the single rowkey column
+  * (default: the first column), and `kv.map.<col>` = `family:qualifier`
+  * addresses each value column (default: family `f`, qualifier = column
+  * name). `CREATE TABLE` persists `_kvschema.json` + a stats-manifest
+  * base carrying the parquet schema, so an EMPTY table is immediately
+  * loadable (no data-file footer to infer from).
+  *
+  * Reads through the catalog expose the RAW log (engine columns
+  * included) — the LWW collapse is an aggregation a V2 scan cannot
+  * express; apply `KvTable.readV2`-style collapse on top (see
+  * `kv_catalog_sql`). SQL `INSERT` synthesizes the engine columns in
+  * the writer (one batch version per statement — each INSERT is one
+  * HBase "flush", newest wins).
+  */
+class KvCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def conf = new Configuration()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"catalog $name requires option 'warehouse' " +
+        s"(spark.sql.catalog.$name.warehouse=<dir>)")
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def schemaFileOf(path: String) = new HPath(s"$path/_kvschema.json")
+
+  private def fs(p: String) = new HPath(p).getFileSystem(conf)
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs(warehouse).exists(schemaFileOf(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new KvBatchTable(path, KvV2Util.inferSchema(path, conf))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "kvtable: partitioning is managed by the engine (bucket compaction); " +
+        "PARTITIONED BY is not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val path = tablePath(ident)
+    val props = properties.asScala
+    val key = props.getOrElse("kv.key", schema.fieldNames.head)
+    require(schema.fieldNames.contains(key),
+      s"kv.key '$key' is not a declared column")
+    val values = schema.fields.filterNot(_.name == key).map { f =>
+      props.get(s"kv.map.${f.name}") match {
+        case Some(fq) => fq.split(":", 2) match {
+          case Array(fam, qual) => KvField(f.name, fam, qual)
+          case _ => throw new IllegalArgumentException(
+            s"kv.map.${f.name} must be 'family:qualifier', got '$fq'")
+        }
+        case None => KvField(f.name, "f", f.name)
+      }
+    }
+    val kvSchema = KvSchema(key, values.toSeq)
+    val f = fs(path)
+    f.mkdirs(new HPath(path))
+    val out = f.create(schemaFileOf(path), true)
+    try out.write(kvSchema.toJson.getBytes("UTF-8")) finally out.close()
+    KvV2Util.writeMeta(path, conf, version = 0L, buckets = 0)
+    // Persist the parquet schema (logical + engine columns) as an empty
+    // stats-manifest base: loadTable/inferSchema then work with ZERO
+    // data files — and with zero footer IO forever after.
+    val fileSchema = KvWriteUtil.fileSchema(schema, synth = true)
+    KvStats.write(path,
+      KvStats.Manifest(KvWriteUtil.toParquetSchema(fileSchema).toString,
+        Seq.empty), conf)
+    new KvBatchTable(path, fileSchema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "kvtable: ALTER TABLE is not supported (schema is declared at " +
+        "creation, like the reference's fieldMap)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = tableExists(ident)
+    if (existed) fs(warehouse).delete(new HPath(tablePath(ident)), true)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val dst = new HPath(tablePath(newIdent))
+    val f = fs(warehouse)
+    f.mkdirs(dst.getParent)
+    if (!f.rename(new HPath(tablePath(oldIdent)), dst))
+      throw new java.io.IOException(
+        s"kvtable: could not rename $oldIdent to $newIdent")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new HPath((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(warehouse)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        f.exists(schemaFileOf(s.getPath.toString)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  // --- namespaces: directories under the warehouse ---
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = fs(warehouse)
+    val root = new HPath(warehouse)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).toSeq.filter(_.isDirectory)
+      .filterNot(s => f.exists(schemaFileOf(s.getPath.toString)))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      fs(warehouse).exists(
+        new HPath((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs(warehouse).mkdirs(
+      new HPath((warehouse +: namespace.toSeq).mkString("/")))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("kvtable: namespace metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new HPath((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(warehouse)
+    val existed = f.exists(p)
+    if (existed) {
+      if (!cascade && f.listStatus(p).nonEmpty)
+        throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
+      f.delete(p, true)
+    }
+    existed
+  }
+}

@@ -39,9 +39,20 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new KvBatchWrite(path, info.schema(),
+    override def toBatch: BatchWrite = {
+      // Rows arriving without engine-column VALUES (SQL `INSERT INTO`
+      // via the catalog — columns absent, or present-but-NULL when the
+      // INSERT names only the logical columns; plain
+      // `df.write.format("kvtable")`) get them synthesized task-side:
+      // one driver-assigned batch version for the whole job (the HBase
+      // cell-timestamp analog KvTable.write computes), per-task monotone
+      // seq, tombstone=false. Prepared raw rows (KvTable.writeV2) carry
+      // explicit values and pass through untouched.
+      val assignedVersion =
+        KvV2Util.readMeta(path, new Configuration())._1 + 1
+      new KvBatchWrite(path, info.schema(), assignedVersion,
         Option(info.options.get("kvschema")), doTruncate)
+    }
   }
 }
 
@@ -67,6 +78,7 @@ case class KvCommitMessage(files: Seq[String],
   * (immutable files, atomic rename publish).
   */
 class KvBatchWrite(path: String, schema: StructType,
+                   assignedVersion: Long,
                    kvSchemaJson: Option[String], truncate: Boolean)
     extends BatchWrite {
 
@@ -76,7 +88,7 @@ class KvBatchWrite(path: String, schema: StructType,
     KvV2Util.dataFiles(path, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path, schema)
+    new KvWriterFactory(path, schema, assignedVersion)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -97,7 +109,8 @@ class KvBatchWrite(path: String, schema: StructType,
       case _ => Seq.empty
     }
     val schemaStr = KvWriteUtil.toParquetSchema(
-      StructType(schema.fields.filterNot(_.name == KvV2Util.BucketCol))).toString
+      KvWriteUtil.fileSchema(schema,
+        synth = !schema.fieldNames.contains(graft.kv.KvTable.VersionCol))).toString
     if (truncate)
       KvStats.write(path, KvStats.Manifest(schemaStr, newStats), conf)
     else {
@@ -134,10 +147,11 @@ class KvBatchWrite(path: String, schema: StructType,
   }
 }
 
-class KvWriterFactory(path: String, schema: StructType)
+class KvWriterFactory(path: String, schema: StructType,
+                      assignedVersion: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, schema, partitionId, taskId)
+    new KvDataWriter(path, schema, assignedVersion, partitionId, taskId)
 }
 
 /** Per-task buffered writer. Rows carrying a `__bucket` column are
@@ -147,14 +161,35 @@ class KvWriterFactory(path: String, schema: StructType)
   * bucket-compacted table stay bucket-aligned. Unbucketed input writes
   * one file, as before.
   */
-class KvDataWriter(path: String, schema: StructType, partitionId: Int,
+class KvDataWriter(path: String, schema: StructType,
+                   assignedVersion: Long, partitionId: Int,
                    taskId: Long) extends DataWriter[InternalRow] {
 
+  import graft.kv.KvTable.{SeqCol, TombstoneCol, VersionCol}
+
   private val bucketIdx: Int = schema.fieldNames.indexOf(KvV2Util.BucketCol)
+  // engine columns missing from the incoming rows entirely get APPENDED
+  // to the file schema and synthesized per row
+  private val appendEngine: Boolean =
+    !schema.fieldNames.contains(VersionCol)
   private val fileSchema: StructType =
-    StructType(schema.fields.filterNot(_.name == KvV2Util.BucketCol))
+    KvWriteUtil.fileSchema(schema, appendEngine)
   private val messageType: MessageType = KvWriteUtil.toParquetSchema(fileSchema)
   private val factory = new SimpleGroupFactory(messageType)
+
+  // Per-task seq for synthesized engine columns: partition-prefixed,
+  // row-order monotone — the same shape monotonically_increasing_id
+  // gives the prepared-row path.
+  private var seq: Long = partitionId.toLong << 33
+
+  /** Synthesized value for an engine column arriving NULL (a SQL INSERT
+    * naming only the logical columns null-fills the rest), or absent. */
+  private def synthValue(name: String): Any = name match {
+    case VersionCol => assignedVersion
+    case SeqCol => seq
+    case TombstoneCol => false
+    case _ => null
+  }
 
   // Stage outside data/ so readers never see uncommitted or torn files
   // (a hard task kill leaves only invisible staging garbage); the task
@@ -185,8 +220,8 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
     var out = 0
     while (i < schema.length) {
       if (i != bucketIdx) {
+        val name = fileSchema(out).name
         if (!row.isNullAt(i)) {
-          val name = fileSchema(out).name
           fileSchema(out).dataType match {
             case StringType => g.add(name, row.getUTF8String(i).toString)
             case BinaryType => g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
@@ -198,11 +233,23 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
             case other =>
               throw new IllegalArgumentException(s"kvtable write: unsupported $other")
           }
+        } else synthValue(name) match {
+          // engine column present in the schema but null-filled (SQL
+          // INSERT with a logical column list): synthesize the value
+          case v: Long => g.add(name, v)
+          case v: Boolean => g.add(name, v)
+          case _ => () // ordinary null value: omitted (optional field)
         }
         out += 1
       }
       i += 1
     }
+    if (appendEngine) {
+      g.add(VersionCol, assignedVersion)
+      g.add(SeqCol, seq)
+      g.add(TombstoneCol, false)
+    }
+    seq += 1
     writerFor(bucket)._3.write(g)
   }
 
@@ -238,6 +285,20 @@ class KvDataWriter(path: String, schema: StructType, partitionId: Int,
 }
 
 object KvWriteUtil {
+  /** On-disk schema of a data file: the incoming columns minus the
+    * `__bucket` directory coordinate, plus the engine columns when the
+    * writer synthesizes them (rows arriving without `__version`). */
+  def fileSchema(incoming: StructType, synth: Boolean): StructType = {
+    val base = StructType(
+      incoming.fields.filterNot(_.name == KvV2Util.BucketCol))
+    if (!synth) base
+    else base
+      .add(StructField(graft.kv.KvTable.VersionCol, LongType, nullable = true))
+      .add(StructField(graft.kv.KvTable.SeqCol, LongType, nullable = true))
+      .add(StructField(graft.kv.KvTable.TombstoneCol, BooleanType,
+        nullable = true))
+  }
+
   /** StructType -> parquet MessageType for the KvTable value domain. */
   def toParquetSchema(schema: StructType): MessageType = {
     val b = Types.buildMessage()

@@ -317,11 +317,19 @@ object KvTable {
     * the region-local scan of `TableInputFormatWrap.java:74-78`. */
   def readV2(spark: SparkSession, path: String): DataFrame = {
     val schema = readSchema(spark, path)
-    val raw = spark.read.format("kvtable").load(path)
+    lwwView(spark.read.format("kvtable").load(path), schema)
+  }
+
+  /** LWW collapse over an externally-obtained raw log DataFrame — e.g. a
+    * catalog SQL read (`spark.table("graft_kv.ns.t")`, see
+    * [[graft.connector.KvCatalog]]), which exposes the raw log because a
+    * V2 scan cannot express the collapse aggregation. Bucketed reads
+    * group by (`__bucket`, key) so the scan's KeyGroupedPartitioning
+    * keeps the plan shuffle-free, same as [[readV2]]. */
+  def lwwView(raw: DataFrame, schema: KvSchema): DataFrame =
     if (raw.columns.contains(BucketCol))
       collapse(raw, schema, groupExtra = Seq(col(BucketCol)))
     else collapse(raw, schema)
-  }
 
   private def collapse(raw: DataFrame, schema: KvSchema,
                        groupExtra: Seq[Column] = Nil): DataFrame = {

@@ -67,6 +67,54 @@ object KvQueries {
     path
   }
 
+  /** Register the SQL catalog over the scratch root (idempotent). Tables
+    * under it are then addressable as `graft_kv.&#96;name&#96;`. */
+  private def ensureCatalog(s: SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.catalog.graft_kv").contains(
+      "graft.connector.KvCatalog")) {
+      s.conf.set("spark.sql.catalog.graft_kv", "graft.connector.KvCatalog")
+      s.conf.set("spark.sql.catalog.graft_kv.warehouse",
+        "/root/repo/target/kvscratch")
+    }
+
+  /** Catalog identifier of a scratch table (single-part, backticked —
+    * scratch names carry dots from the sf tag). */
+  private def catalogRef(path: String): String =
+    s"graft_kv.`${path.split('/').last}`"
+
+  /** Full SQL lifecycle through [[graft.connector.KvCatalog]]: CREATE
+    * TABLE ... USING kvtable, INSERT (engine columns synthesized; each
+    * INSERT is one LWW batch — the second updates every F-status order),
+    * read back via the catalog identifier. */
+  private def setupCatalogSql(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_catalog_sql", dir)
+    ensureCatalog(s)
+    val t = catalogRef(path)
+    ensureSetup(path) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(
+        s"""CREATE TABLE $t (
+           |  o_orderkey BIGINT, o_custkey BIGINT,
+           |  o_totalprice DOUBLE, o_orderstatus STRING)
+           |USING kvtable TBLPROPERTIES (
+           |  'kv.key'='o_orderkey',
+           |  'kv.map.o_custkey'='o:custkey',
+           |  'kv.map.o_totalprice'='o:totalprice',
+           |  'kv.map.o_orderstatus'='o:status')""".stripMargin)
+      table(s, dir, "orders").createOrReplaceTempView("orders_src")
+      s.sql(
+        s"""INSERT INTO $t (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+           |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           |FROM orders_src""".stripMargin)
+      // second batch = newer version: upserts every F-status order
+      s.sql(
+        s"""INSERT INTO $t (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+           |SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderstatus
+           |FROM orders_src WHERE o_orderstatus = 'F'""".stripMargin)
+    }
+    path
+  }
+
   private def setupPointGet(s: SparkSession, dir: String): String = {
     val path = scratchDir("kv_point_get", dir)
     ensureSetup(path) {
@@ -173,6 +221,7 @@ object KvQueries {
     "kv_roundtrip" -> ((s, d) => { setupRoundtrip(s, d); () }),
     "kv_append_upsert" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
+    "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
     "kv_tombstone_delete" -> ((s, d) => { setupTombstone(s, d); () }),
@@ -211,11 +260,26 @@ object KvQueries {
       KvTable.read(s, setupAppendUpsert(s, dir)).orderBy(col("o_custkey"))
     },
 
-    // Same round trip through the custom V2 connector (format("kvtable"),
-    // file-pruning region-scan analog) instead of the parquet source.
+    // Same round trip through the custom V2 connector — addressed via
+    // the SQL CATALOG identifier (spark.table over KvCatalog) instead of
+    // a path, with the LWW collapse applied on the raw-log read.
     "kv_v2_scan" -> { (s, dir) =>
-      KvTable.readV2(s, setupV2Scan(s, dir)).filter(col("o_custkey") < 700)
+      val path = setupV2Scan(s, dir)
+      ensureCatalog(s)
+      KvTable.lwwView(s.table(catalogRef(path)), KvTable.readSchema(s, path))
+        .filter(col("o_custkey") < 700)
         .orderBy(col("o_custkey"))
+    },
+
+    // Pure-SQL lifecycle: CREATE TABLE ... USING kvtable via the
+    // TableCatalog (HBaseTap.java:69-101's create/exists/delete surface),
+    // SQL INSERTs with engine-synthesized versions, catalog-identifier
+    // read. The LWW view must show the second INSERT's F-order update.
+    "kv_catalog_sql" -> { (s, dir) =>
+      val path = setupCatalogSql(s, dir)
+      ensureCatalog(s)
+      KvTable.lwwView(s.table(catalogRef(path)), KvTable.readSchema(s, path))
+        .orderBy(col("o_orderkey"))
     },
 
     // Point lookup on a bucket-compacted table (the HBase Get): only the
@@ -287,6 +351,12 @@ object KvQueries {
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1 AND o_custkey < 700
         |ORDER BY o_custkey""".stripMargin,
+    "kv_catalog_sql" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "kv_point_get" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -172,22 +172,36 @@ object Similarity {
       vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
       "q", quantize(col("v")))
       .select(col("id"), col("q"))
-    val sigs = base.select(col("id"), col("q"),
+    // Bucket and pair on IDS ONLY — the same shape as the MinHash
+    // pipeline. Carrying the quantized vectors through collect_list /
+    // pair expansion / (tables>1) distinct would copy dims longs per
+    // struct per expression step — O(pairs · dims) allocation, and a
+    // shuffle of vector payloads per dedup exchange. Ids keep the band
+    // shuffle O(rows), the pair dedup O(pairs · 16 bytes), and the
+    // vectors are joined back exactly once per side AFTER dedup (an
+    // 11k-vector corpus auto-broadcasts; at 10^9 rows this becomes two
+    // hash joins keyed on id — still linear in candidates, never in
+    // candidates × dims).
+    val sigs = base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         Native.hyperplaneSig(col("q"), bits, t * bits)): _*))
         .as(Seq("tbl", "sig")))
-    // One corpus pass: bucket by (table, signature), expand i<j pairs
-    // locally carrying the quantized vectors (struct order = id order).
-    val cand = graft.dedup.Dedup.capBuckets(
+    val cand0 = graft.dedup.Dedup.capBuckets(
       sigs
         .groupBy(col("tbl"), col("sig"))
-        .agg(collect_list(struct(col("id"), col("q"))).as("xs")),
-      size(col("xs")), "graft_lsh_buckets", maxBucket)
-      .select(explode(graft.dedup.Dedup.pairsFromIds(col("xs"))).as("p"))
-      .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
-        col("p.id1.q").as("q1"), col("p.id2.q").as("q2"))
+        .agg(collect_list(col("id")).as("ids")),
+      size(col("ids")), "graft_lsh_buckets", maxBucket)
+      .select(explode(graft.dedup.Dedup.pairsFromIds(col("ids"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
     // same pair can collide in several tables -> dedup before the verify
-    (if (tables > 1) cand.distinct() else cand)
+    val cand = if (tables > 1) cand0.distinct() else cand0
+    // NOTE: `base` is referenced by the sig branch and both join sides —
+    // Spark re-executes the subplan per reference (3 corpus scans of a
+    // cheap projection; the MinHash pipeline documents the same trade).
+    // At corpus scale, persist or pre-write the (id, q) projection.
+    cand
+      .join(base.select(col("id").as("id1"), col("q").as("q1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("q").as("q2")), Seq("id2"))
       .withColumn("cosine", Native.cosineQ(col("q1"), col("q2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), col("cosine"))

@@ -1,0 +1,82 @@
+package graft.connector
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, TestSpark}
+import graft.kv.{KvSchema, KvTable}
+
+/** SQL catalog lifecycle (the reference's HBaseTap create/exists/delete
+  * surface, `HBaseTap.java:69-101`, through Spark's TableCatalog):
+  * CREATE TABLE ... USING kvtable, INSERT with synthesized engine
+  * columns, catalog-identifier reads, RENAME, DROP.
+  */
+class KvCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = TestSpark.scratch("kvcatalog-wh")
+
+  private def ensureCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.cat_test", "graft.connector.KvCatalog")
+    spark.conf.set("spark.sql.catalog.cat_test.warehouse", warehouse)
+  }
+
+  test("CREATE / EXISTS / INSERT-upsert / RENAME / DROP round trip via SQL") {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat_test.ns")
+    spark.sql(
+      """CREATE TABLE cat_test.ns.t (k STRING, v STRING, n BIGINT)
+        |USING kvtable TBLPROPERTIES (
+        |  'kv.key'='k', 'kv.map.v'='left:val')""".stripMargin)
+    assert(spark.catalog.tableExists("cat_test.ns.t"))
+    // CREATE on an existing table fails (HBaseTap Keep semantics)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE cat_test.ns.t (k STRING) USING kvtable")
+    }
+
+    // empty table is immediately readable (schema from the manifest base)
+    assert(spark.table("cat_test.ns.t").count() === 0)
+
+    // INSERT synthesizes engine columns; second INSERT is a newer batch
+    spark.sql(
+      "INSERT INTO cat_test.ns.t (k, v, n) VALUES ('a', 'x', 1), ('b', 'y', 2)")
+    spark.sql(
+      "INSERT INTO cat_test.ns.t (k, v, n) VALUES ('a', 'x2', 10)")
+    val raw = spark.table("cat_test.ns.t")
+    assert(raw.columns.contains("__version")) // raw log exposed
+    assert(raw.count() === 3)                 // all versions present
+    // versions are per-statement batches, never null
+    assert(raw.filter(col("__version").isNull).count() === 0)
+    assert(raw.select(max("__version")).as[Long].head() === 2L)
+
+    // the LWW view over the catalog read collapses to the newest batch
+    val schema = KvTable.readSchema(spark, s"$warehouse/ns/t")
+    assert(schema === KvSchema.of("k",
+      "v" -> ("left", "val"), "n" -> ("f", "n")))
+    val lww = KvTable.lwwView(raw, schema).orderBy("k")
+      .as[(String, String, Long)].collect()
+    assert(lww === Array(("a", "x2", 10L), ("b", "y", 2L)))
+
+    // the path-based API sees the same table (catalog = addressing only)
+    assert(KvTable.read(spark, s"$warehouse/ns/t").count() === 2)
+
+    assert(spark.sql("SHOW TABLES IN cat_test.ns").count() === 1)
+
+    // the RENAME target is catalog-relative (same catalog, full namespace)
+    spark.sql("ALTER TABLE cat_test.ns.t RENAME TO ns.t2")
+    assert(!spark.catalog.tableExists("cat_test.ns.t"))
+    assert(spark.table("cat_test.ns.t2").count() === 3)
+
+    spark.sql("DROP TABLE cat_test.ns.t2")
+    assert(!spark.catalog.tableExists("cat_test.ns.t2"))
+  }
+
+  test("INSERT OVERWRITE truncates driver-side (Replace semantics)") {
+    ensureCatalog()
+    spark.sql(
+      "CREATE TABLE cat_test.ovr (k STRING, n BIGINT) USING kvtable")
+    spark.sql("INSERT INTO cat_test.ovr (k, n) VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT OVERWRITE cat_test.ovr (k, n) VALUES ('c', 3)")
+    assert(spark.table("cat_test.ovr").select("k").as[String].collect()
+      === Array("c"))
+    spark.sql("DROP TABLE cat_test.ovr")
+  }
+}
