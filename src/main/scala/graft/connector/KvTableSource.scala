@@ -137,7 +137,8 @@ class KvScanBuilder(path: String, fullSchema: StructType)
   */
 class KvScan(path: String, fullSchema: StructType, required: StructType,
              pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -150,24 +151,60 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
     val manifest = KvStats.read(path, conf)
     val byRel: Map[String, KvStats.FileStat] =
       manifest.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+    // EqualTo/In on the rowkey of a bucket-compacted table address their
+    // bucket directories directly (HBase Get/multi-Get region routing):
+    // other buckets are dropped before any stats are consulted.
+    val buckets = KvV2Util.bucketSetFor(path, conf, pushed, fullSchema)
     files.flatMap { f =>
       val rel = KvStats.relativize(path, f.getPath, conf)
       val bucket = KvV2Util.bucketOf(rel)
-      val hosts = KvV2Util.hosts(f, conf)
-      val groups = byRel.get(rel).filter(_.len == f.getLen) match {
-        case Some(st) => st.groups
-        case None => // not in manifest: one footer read (the slow path)
-          KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
-      }
-      groups.collect {
-        case g if KvStats.groupPasses(g.stats, pushed) =>
-          KvInputPartition(f.getPath.toString, g.start, g.len, hosts, bucket)
+      if (buckets.exists(bs => bucket >= 0 && !bs.contains(bucket))) Seq.empty
+      else {
+        val hosts = KvV2Util.hosts(f, conf)
+        val groups = byRel.get(rel).filter(_.len == f.getLen) match {
+          case Some(st) => st.groups
+          case None => // not in manifest: one footer read (the slow path)
+            KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
+        }
+        groups.collect {
+          case g if KvStats.groupPasses(g.stats, pushed) =>
+            KvInputPartition(f.getPath.toString, g.start, g.len, hosts, bucket)
+        }
       }
     }.toArray
   }
 
+  // --- runtime (join-probe) filtering: a broadcast-join probe side or
+  // DPP subquery delivers In/EqualTo filters on the rowkey or __bucket
+  // at execution time; they prune bucket directories exactly like the
+  // static path. Stats-level pruning is not re-run here (partitions no
+  // longer carry their stats), so this is pure partition pruning.
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val conf = new Configuration()
+    val cols = Seq.newBuilder[org.apache.spark.sql.connector.expressions.NamedReference]
+    if (KvV2Util.readBuckets(path, conf) > 0) {
+      cols += org.apache.spark.sql.connector.expressions.Expressions
+        .column(KvV2Util.BucketCol)
+      KvV2Util.readKeyField(path, conf).foreach(k =>
+        cols += org.apache.spark.sql.connector.expressions.Expressions.column(k))
+    }
+    cols.result().toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeBuckets =
+      KvV2Util.bucketSetFor(path, new Configuration(), filters, fullSchema)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    planned.map(p => p: InputPartition)
+    runtimeBuckets match {
+      case Some(bs) =>
+        planned.filter(p => p.bucket < 0 || bs.contains(p.bucket))
+          .map(p => p: InputPartition)
+      case None => planned.map(p => p: InputPartition)
+    }
 
   /** Per-bucket grouped partitioning for bucket-compacted tables. Only
     * reported when the query keeps `__bucket` in the read schema (the
@@ -419,8 +456,11 @@ object KvV2Util {
       throw new IllegalArgumentException(s"kvtable: unsupported read type $other")
   }
 
-  /** Filters usable for footer min/max pruning: comparisons against a
-    * string or long column. */
+  /** Filters usable for manifest min/max pruning: comparisons and
+    * IN-lists against string/long columns, null-presence checks, and
+    * string prefix matches. Anything else stays a Spark-side residual
+    * only (every pushed filter is ALSO returned as a residual, so
+    * widening this list can only prune more, never change results). */
   def prunable(f: Filter): Boolean = f match {
     case GreaterThan(_, _: String) | GreaterThanOrEqual(_, _: String) |
          LessThan(_, _: String) | LessThanOrEqual(_, _: String) |
@@ -428,7 +468,49 @@ object KvV2Util {
     case GreaterThan(_, _: Long) | GreaterThanOrEqual(_, _: Long) |
          LessThan(_, _: Long) | LessThanOrEqual(_, _: Long) |
          EqualTo(_, _: Long) => true
+    case In(_, vs) => vs.forall(v => v.isInstanceOf[String] || v.isInstanceOf[Long])
+    case IsNotNull(_) => true
+    case StringStartsWith(_, _) => true
     case _ => false
+  }
+
+  /** Rowkey filters -> bucket-directory set on a bucket-compacted table:
+    * EqualTo/In on the key column hash to exactly the directories that
+    * can hold them (the HBase region-addressing step of a Get / multi
+    * Get). None = no key filter, scan all buckets. */
+  def bucketSetFor(path: String, conf: Configuration,
+                   filters: Array[Filter], schema: StructType): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
+    val buckets = readBuckets(path, conf)
+    if (buckets <= 0) return None
+    val keyField = readKeyField(path, conf).getOrElse(return None)
+    val keyType = schema.fields.find(_.name == keyField)
+      .map(_.dataType).getOrElse(return None)
+    def bucketOfValue(v: Any): Int =
+      Pmod(Murmur3Hash(Seq(Cast(Literal.create(v), keyType)), 42),
+        Literal(buckets)).eval().asInstanceOf[Int]
+    val sets = filters.collect {
+      case EqualTo(c, v) if c == keyField && v != null => Set(bucketOfValue(v))
+      case In(c, vs) if c == keyField =>
+        vs.filter(_ != null).map(bucketOfValue).toSet
+      case EqualTo(c, v: Integer) if c == BucketCol => Set(v.toInt)
+      case In(c, vs) if c == BucketCol =>
+        vs.collect { case i: Integer => i.toInt }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** The table's declared rowkey column, if a `_kvschema.json` exists. */
+  def readKeyField(path: String, conf: Configuration): Option[String] = {
+    val f = new HPath(s"$path/_kvschema.json")
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      try Some(graft.kv.KvSchema.fromJson(s).keyField)
+      catch { case _: Exception => None }
+    }
   }
 
 }

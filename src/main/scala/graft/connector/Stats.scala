@@ -32,7 +32,9 @@ import org.apache.spark.sql.sources._
 object KvStats {
 
   /** Column min/max, values encoded as strings with a type tag:
-    * `s` string, `l` long/int, `d` double/float. */
+    * `s` string, `l` long/int, `d` double/float; `n` marks a column
+    * that is entirely NULL in the row group (no min/max — lets
+    * IsNotNull and every comparison prune the group). */
   final case class ColStat(t: String, mn: String, mx: String)
 
   /** One parquet row group: `[start, start+len)` is the byte range whose
@@ -65,8 +67,14 @@ object KvStats {
       val groups = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
         val cols = b.getColumns.asScala.flatMap { cc =>
           val s = cc.getStatistics
-          if (s == null || !s.hasNonNullValue) None
-          else {
+          if (s == null) None
+          else if (!s.hasNonNullValue) {
+            // all-null row group for this column (numNulls covers every
+            // row): record the marker so IsNotNull / comparisons prune
+            if (s.isNumNullsSet && s.getNumNulls == b.getRowCount)
+              Some(cc.getPath.toDotString -> ColStat("n", "", ""))
+            else None
+          } else {
             val name = cc.getPath.toDotString
             (s.genericGetMin, s.genericGetMax) match {
               case (mn: Binary, mx: Binary)
@@ -124,14 +132,50 @@ object KvStats {
     a.length - b.length
   }
 
+  /** Byte-wise successor of a UTF-8 prefix: the exclusive upper bound of
+    * the `startsWith` range [p, succ(p)). None = unbounded (all 0xff). */
+  private def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
   private def bound(f: Filter): (String, ColStat => Boolean) = f match {
-    case GreaterThan(c, v) => (c, cs => cmp(cs, "mx", v) > 0)
-    case GreaterThanOrEqual(c, v) => (c, cs => cmp(cs, "mx", v) >= 0)
-    case LessThan(c, v) => (c, cs => cmp(cs, "mn", v) < 0)
-    case LessThanOrEqual(c, v) => (c, cs => cmp(cs, "mn", v) <= 0)
-    case EqualTo(c, v) => (c, cs => cmp(cs, "mn", v) <= 0 && cmp(cs, "mx", v) >= 0)
+    // an all-null group ("n") satisfies no comparison — every branch
+    // below must return false for it, which cmp-based checks do via the
+    // allNull guard
+    case GreaterThan(c, v) => (c, cs => notNullStat(cs) && cmp(cs, "mx", v) > 0)
+    case GreaterThanOrEqual(c, v) => (c, cs => notNullStat(cs) && cmp(cs, "mx", v) >= 0)
+    case LessThan(c, v) => (c, cs => notNullStat(cs) && cmp(cs, "mn", v) < 0)
+    case LessThanOrEqual(c, v) => (c, cs => notNullStat(cs) && cmp(cs, "mn", v) <= 0)
+    case EqualTo(c, v) =>
+      (c, cs => notNullStat(cs) && cmp(cs, "mn", v) <= 0 && cmp(cs, "mx", v) >= 0)
+    // IN-list: the group survives if ANY value lands inside [mn, mx] —
+    // the point-get-by-IN-list path (a "multi Get" in HBase terms)
+    case In(c, vs) =>
+      (c, cs => notNullStat(cs) && vs.exists(v =>
+        v != null && cmp(cs, "mn", v) <= 0 && cmp(cs, "mx", v) >= 0))
+    case IsNotNull(c) => (c, cs => notNullStat(cs))
+    // prefix range [p, succ(p)) against the group's [mn, mx]
+    case StringStartsWith(c, p) =>
+      (c, cs => cs.t match {
+        case "s" =>
+          val pb = p.getBytes("UTF-8")
+          cmpBytes(cs.mx.getBytes("UTF-8"), pb) >= 0 &&
+            prefixSuccessor(pb).forall(succ =>
+              cmpBytes(cs.mn.getBytes("UTF-8"), succ) < 0)
+        case "n" => false
+        case _ => true // non-string stats: never prune
+      })
     case other => (other.references.headOption.getOrElse(""), _ => true)
   }
+
+  private def notNullStat(cs: ColStat): Boolean = cs.t != "n"
 
   // ---- manifest IO ----
   //

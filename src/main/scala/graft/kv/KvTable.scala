@@ -486,28 +486,21 @@ object KvTable {
       spark.sparkContext.hadoopConfiguration)
   }
 
-  /** Point lookup (the HBase `Get`): the LWW row for one key. On a
-    * bucket-compacted table only the key's bucket directory is read
-    * (partition pruning); on an unbucketed table it is a filtered scan
-    * with the key predicate pushed to the parquet footers.
+  /** Point lookup (the HBase `Get`): the LWW row for one key, through
+    * the V2 connector. The scan's bucket routing
+    * (`KvV2Util.bucketSetFor`) turns the key-equality filter into a
+    * single bucket directory on a bucket-compacted table (the HBase
+    * region-addressing step); on an unbucketed table the key predicate
+    * prunes row groups via the manifest min/max stats. IN-list
+    * multi-gets go the same way: `readV2(...).filter(col(k).isin(...))`.
     */
   def get(spark: SparkSession, path: String, key: Any): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
     val schema = readSchema(spark, path)
-    val buckets = numBuckets(spark, path)
-    var raw = readRaw(spark, path)
-    // Cast the lookup value to the STORED key type before hashing — a
-    // Scala Int probed against a LongType key would Murmur3-hash
-    // differently and silently miss the bucket.
+    val raw = spark.read.format("kvtable").load(path)
+    // Cast the lookup value to the STORED key type — a Scala Int probed
+    // against a LongType key would Murmur3-hash to the wrong bucket.
     val keyType = raw.schema(schema.keyField).dataType
-    val keyLit = lit(key).cast(keyType)
-    if (buckets > 0) {
-      // driver-local hash evaluation: no Spark job for a point lookup
-      val castKey = Cast(Literal.create(key), keyType)
-      val b = Pmod(Murmur3Hash(Seq(castKey), 42),
-        Literal(buckets)).eval().asInstanceOf[Int]
-      raw = raw.filter(col(BucketCol) === b)
-    }
-    collapse(raw.filter(col(schema.keyField) === keyLit), schema)
+    collapse(raw.filter(col(schema.keyField) === lit(key).cast(keyType)),
+      schema)
   }
 }

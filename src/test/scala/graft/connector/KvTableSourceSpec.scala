@@ -220,6 +220,55 @@ class KvTableSourceSpec extends SparkSpec {
     assert(KvTable.read(spark, path).count() === appends + 2)
   }
 
+  test("IN-list point lookup on a bucketed table prunes to the keys' " +
+    "bucket directories (multi-Get region routing)") {
+    val path = TestSpark.scratch("v2-inlist-bucket")
+    val schema = KvSchema.of("k", "n" -> ("f", "n"))
+    val df = (1 to 64).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    KvTable.write(df, path, schema, SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, buckets = 8)
+    val raw = spark.read.format("kvtable").load(path)
+    val all = raw.select("k", "n").rdd.getNumPartitions
+    assert(all === 8, "one partition per bucket after compaction")
+    // IN-list over 2 keys -> at most 2 bucket directories planned
+    val probe = raw.filter(col("k").isin("key3", "key40")).select("k", "n")
+    assert(probe.rdd.getNumPartitions <= 2)
+    assert(probe.select("k").as[String].collect().sorted ===
+      Array("key3", "key40"))
+    // point EqualTo -> exactly 1
+    val one = raw.filter(col("k") === "key7").select("k", "n")
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.select("n").as[Long].head() === 7L)
+  }
+
+  test("prefix (StringStartsWith) and IN-list filters prune row groups " +
+    "via manifest stats; IsNotNull prunes all-null groups") {
+    val path = TestSpark.scratch("v2-prune-wide")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    // two files with disjoint key prefixes; the second has an all-null v
+    KvTable.write(Seq(("aa1", "x"), ("ab2", "y")).toDF("k", "v").coalesce(1),
+      path, schema, SinkMode.Replace)
+    KvTable.write(Seq(("zz1", null.asInstanceOf[String]),
+      ("zz2", null.asInstanceOf[String])).toDF("k", "v").coalesce(1),
+      path, schema, SinkMode.Append)
+    val raw = spark.read.format("kvtable").load(path)
+    val all = raw.select("k", "v").rdd.getNumPartitions
+    assert(all === 2)
+    // prefix filter keeps only the matching file's row group
+    assert(raw.filter(col("k").startsWith("a")).select("k", "v")
+      .rdd.getNumPartitions === 1)
+    assert(raw.filter(col("k").startsWith("zz")).select("k", "v")
+      .rdd.getNumPartitions === 1)
+    // IN-list against key stats
+    assert(raw.filter(col("k").isin("aa1", "ab2")).select("k", "v")
+      .rdd.getNumPartitions === 1)
+    // IsNotNull on v prunes the all-null group entirely
+    assert(raw.filter(col("v").isNotNull).select("k", "v")
+      .rdd.getNumPartitions === 1)
+    assert(raw.filter(col("v").isNotNull).select("k").as[String]
+      .collect().sorted === Array("aa1", "ab2"))
+  }
+
   test("planning a pruned scan does ZERO driver footer reads (manifest)") {
     val path = writeTwoBatches()
     val before = KvV2Util.footerOpens.get()

@@ -167,11 +167,14 @@ class KvTableSpec extends SparkSpec {
       .as[(String, String, String)].collect() === Array(
       ("1", "c", "C"), ("2", "d", "D"), ("3", "c", "C"),
       ("4", "d", "D"), ("5", "e", "E")))
-    // point lookup returns exactly the key's row and prunes partitions
+    // point lookup returns exactly the key's row and prunes to the
+    // key's bucket directory inside the V2 scan (bucketSetFor routing:
+    // 1 planned partition, not one per bucket)
     val got = KvTable.get(spark, path, "2")
     assert(got.as[(String, String, String)].collect() === Array(("2", "d", "D")))
-    val scanned = got.queryExecution.executedPlan.toString()
-    assert(scanned.contains("__bucket"), "bucket filter missing from plan")
+    val raw = spark.read.format("kvtable").load(path)
+    assert(raw.filter($"num" === "2")
+      .select("num", "lower", "upper").rdd.getNumPartitions === 1)
     // appends after bucketing keep working and stay visible
     KvTable.write(Seq(("2", "z", "Z")).toDF("num", "lower", "upper"),
       path, schema, SinkMode.Append)
