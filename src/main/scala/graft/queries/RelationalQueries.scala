@@ -432,6 +432,23 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Approximate percentiles — the 100 TB path the exact q_percentile
+    // documents against: a mergeable quantile sketch (partial-aggregated
+    // per partition, merged once) instead of sorting every group.
+    // Engine-specific sketch -> rows-only driver check; the error bound
+    // vs exact percentile is spec-asserted (QueryDeterminismSpec).
+    "q_percentile_approx" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.75), 10000)")
+            .as("quartiles"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)")
+            .as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Array function battery: collect_list normalized by sort_array (the
     // deterministic way to aggregate into arrays), size, element access.
     "q_array_funcs" -> { (s, dir) =>

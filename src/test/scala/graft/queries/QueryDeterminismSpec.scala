@@ -33,6 +33,33 @@ class QueryDeterminismSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within rank-error bounds of exact") {
+    // q_percentile_approx's self-check: with accuracy 10000 the sketch's
+    // rank error is ~1/10000; on sf0.001 groups (thousands of rows) the
+    // returned value must sit within a few ranks of the exact
+    // percentile. Assert via VALUE tolerance against the exact sort:
+    // quantities are small integers, so allow one unit; the p99 price
+    // gets a relative bound.
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_med"),
+        expr("percentile(l_quantity, 0.5)").as("exact_med"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("approx_p99"),
+        expr("percentile(l_extendedprice, 0.99)").as("exact_p99"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(math.abs(r.getAs[Number]("approx_med").doubleValue() -
+        r.getAs[Double]("exact_med")) <= 1.0,
+        s"median sketch too far from exact in $r")
+      val (ap, ep) = (r.getAs[Number]("approx_p99").doubleValue(),
+        r.getAs[Double]("exact_p99"))
+      assert(math.abs(ap - ep) <= math.max(1.0, ep * 0.02),
+        s"p99 sketch $ap too far from exact $ep")
+    }
+  }
+
   test("every query is non-failing and yields rows at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, dir).count()
@@ -51,7 +78,8 @@ class QueryDeterminismSpec extends SparkSpec {
   }
 
   test("every query has an oracle or a documented rows-only exemption") {
-    val exempt = Set("dedup_simhash", "q_approx_distinct") // engine-specific algos
+    // engine-specific sketches: rows-only + error-bound self-checks above
+    val exempt = Set("dedup_simhash", "q_approx_distinct", "q_percentile_approx")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
