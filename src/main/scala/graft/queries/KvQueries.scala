@@ -223,6 +223,7 @@ object KvQueries {
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
+    "kv_multi_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
     "kv_tombstone_delete" -> ((s, d) => { setupTombstone(s, d); () }),
     "kv_v2_bucketed_delete" -> ((s, d) => { setupV2Bucketed(s, d); () }),
@@ -286,6 +287,17 @@ object KvQueries {
     // key's bucket directory is read.
     "kv_point_get" -> { (s, dir) =>
       KvTable.get(s, setupPointGet(s, dir), 42L)
+    },
+
+    // IN-list multi-Get on the same bucketed table: the V2 scan hashes
+    // each probed key to its bucket directory (KvV2Util.bucketSetFor) so
+    // only those buckets are planned — the HBase multi-Get region
+    // routing, spec-asserted in KvTableSourceSpec.
+    "kv_multi_get" -> { (s, dir) =>
+      val path = setupPointGet(s, dir)
+      KvTable.readV2(s, path)
+        .filter(col("o_custkey").isin(42L, 77L, 123L, 999L))
+        .orderBy(col("o_custkey"))
     },
 
     // Rowkey-range scan over a byte-lex string rowkey (the HBase Scan
@@ -362,6 +374,12 @@ object KvQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1 AND o_custkey = 42""".stripMargin,
+    "kv_multi_get" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 AND o_custkey IN (42, 77, 123, 999)
+        |ORDER BY o_custkey""".stripMargin,
     "kv_scan_range" ->
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS rowkey,
         |       c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment

@@ -14,15 +14,22 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "is")
 
   val defs: Map[String, Q] = Map(
-    // Token statistics: counts + average token length.
+    // Token statistics: counts + average token length. The token array
+    // is pinned behind a generator barrier (materializedColumn) so the
+    // tokenize runs ONCE per row — inlined, each of the four projections
+    // would re-tokenize, and subexpression elimination does not reach
+    // into the higher-order-function lambdas.
     "text_tokens" -> { (s, dir) =>
-      val t = TextOps.tokens(col("text"))
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          size(t).as("n_tokens"),
-          size(TextOps.wordShingles(t, 3)).as("n_shingles"),
-          TextOps.tokenChars(t).as("total_chars"),
-          (TextOps.tokenChars(t).cast("double") / size(t)).as("avg_token_len"))
+      import graft.ops.Ops.materializedColumn
+      val withT = materializedColumn(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "t", TextOps.tokens(col("text")))
+      withT.select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          size(TextOps.wordShingles(col("t"), 3)).as("n_shingles"),
+          TextOps.tokenChars(col("t")).as("total_chars"),
+          (TextOps.tokenChars(col("t")).cast("double") / size(col("t")))
+            .as("avg_token_len"))
         .orderBy(col("doc_id"))
     },
 
@@ -78,20 +85,27 @@ object TextQueries {
     "text_chunks" -> { (s, dir) =>
       graft.functions.Native.register(s)
       import graft.functions.Native
-      val th = Native.tokenHashes(TextOps.tokens(col("text")))
-      val rh = Native.shingleHashes(th, 3)
+      import graft.ops.Ops.materializedColumn
+      // Each stage pinned behind a generator barrier: `rh` referenced
+      // from inside the boundary lambda would otherwise re-run the
+      // whole tokenize+hash chain per element (O(tokens²) per doc), and
+      // `bs` is read by three projections.
+      val withRh = materializedColumn(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "rh", Native.shingleHashes(
+          Native.tokenHashes(TextOps.tokens(col("text"))), 3))
       // guard: sequence(1, 0) counts DOWN for empty rh (docs < 3 tokens)
-      val boundaries = when(size(rh) > 0,
+      val boundaries = when(size(col("rh")) > 0,
         filter(
-          transform(sequence(lit(1), size(rh)),
-            i => when(element_at(rh, i) % 8 === 0, i).otherwise(-1)),
+          transform(sequence(lit(1), size(col("rh"))),
+            i => when(element_at(col("rh"), i) % 8 === 0, i).otherwise(-1)),
           x => x > 0))
         .otherwise(array().cast("array<int>"))
-      table(s, dir, "documents")
+      materializedColumn(withRh, "bs", boundaries)
         .select(col("doc_id"),
-          size(boundaries).as("n_boundaries"),
-          (size(boundaries) + 1).as("n_chunks"),
-          try_element_at(boundaries, lit(1)).cast("int").as("first_boundary"))
+          size(col("bs")).as("n_boundaries"),
+          (size(col("bs")) + 1).as("n_chunks"),
+          try_element_at(col("bs"), lit(1)).cast("int").as("first_boundary"))
         .orderBy(col("doc_id"))
     },
 
