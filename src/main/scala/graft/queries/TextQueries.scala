@@ -33,26 +33,41 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Quality scoring: stopword dominance + garbage ratio + length credit.
+    // Quality scoring: stopword dominance + garbage ratio + length
+    // credit. Tokens pinned once (generator barrier) — the four
+    // projections would otherwise tokenize ~6x per row.
     "text_quality" -> { (s, dir) =>
-      val t = TextOps.tokens(col("text"))
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          size(t).as("n_tokens"),
-          TextOps.stopwordRatio(t, stopwords).as("stop_ratio"),
+      import graft.ops.Ops.materializedColumn
+      val withT = materializedColumn(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "t", TextOps.tokens(col("text")))
+      withT.select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          TextOps.stopwordRatio(col("t"), stopwords).as("stop_ratio"),
           TextOps.nonAlnumRatio(col("text")).as("nonalnum_ratio"),
-          TextOps.qualityScore(col("text"), stopwords).as("quality"))
+          TextOps.qualityScoreToks(col("t"), col("text"), stopwords)
+            .as("quality"))
         .orderBy(col("doc_id"))
     },
 
     // Stopword-profile language ID (deterministic heuristic).
     "text_langid" -> { (s, dir) =>
-      val t = TextOps.tokens(col("text"))
-      val scores = TextOps.langScores(t)
-      val scoreCols = scores.map { case (l, c) => c.as(s"s_$l") }
-      table(s, dir, "documents")
-        .select((col("doc_id") +: TextOps.langId(col("text")).as("lang_guess") +:
-          scoreCols): _*)
+      import graft.ops.Ops.materializedColumn
+      // Stage 1 pins the token array; stage 2 computes each profile
+      // score ONCE as a named column; the winner is then picked from
+      // those pinned attributes (langIdFromScores would otherwise
+      // re-evaluate every score O(profiles²) times, each re-tokenizing).
+      val withT = materializedColumn(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "t", TextOps.tokens(col("text")))
+      val scores = TextOps.langScores(col("t"))
+      val withScores = withT.select(
+        col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+      val pinned = scores.map { case (l, _) => l -> col(s"s_$l") }
+      withScores.select(
+          (col("doc_id") +:
+            TextOps.langIdFromScores(pinned).as("lang_guess") +:
+            pinned.map { case (l, c) => c.as(s"s_$l") }): _*)
         .orderBy(col("doc_id"))
     },
 

@@ -43,13 +43,19 @@ object TextOps {
       length(text)
 
   /** Composite quality score in [0,1]: length credit × (1 - stopword
-    * dominance) × (1 - garbage ratio). Deterministic double arithmetic. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val t = tokens(text)
-    least(lit(1.0), size(t).cast("double") / 100.0) *
-      (lit(1.0) - stopwordRatio(t, stopwords)) *
+    * dominance) × (1 - garbage ratio). Deterministic double arithmetic.
+    * Prefer [[qualityScoreToks]] with a PINNED token column when scoring
+    * alongside other token stats — this overload re-tokenizes. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreToks(tokens(text), text, stopwords)
+
+  /** [[qualityScore]] over an already-computed token array (pin it
+    * behind a generator barrier so the tokenize runs once per row). */
+  def qualityScoreToks(toks: Column, text: Column,
+                       stopwords: Seq[String]): Column =
+    least(lit(1.0), size(toks).cast("double") / 100.0) *
+      (lit(1.0) - stopwordRatio(toks, stopwords)) *
       (lit(1.0) - nonAlnumRatio(text))
-  }
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Identical docs (mod spacing/case) share a fingerprint —
@@ -85,8 +91,14 @@ object TextOps {
       (acc, t) => acc + coalesce(element_at(m, t), lit(0)).cast("long"))
   }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(tokens(text))
+  def langId(text: Column): Column =
+    langIdFromScores(langScores(tokens(text)))
+
+  /** Winner from per-profile score COLUMNS — pass pinned attributes
+    * (not inline score expressions): `maxScore` is inlined once per
+    * profile branch below, so inline scores would re-evaluate
+    * O(profiles²) times, each re-tokenizing. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     // First profile with the max score wins (stable priority order).
     val maxScore = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
