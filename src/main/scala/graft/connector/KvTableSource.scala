@@ -88,7 +88,7 @@ class KvBatchTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path, tableSchema)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -145,34 +145,15 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
     s"kvtable($path) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
-  private lazy val planned: Array[KvInputPartition] = {
-    val conf = new Configuration()
-    val files = KvV2Util.dataFiles(path, conf)
-    val manifest = KvStats.read(path, conf)
-    val byRel: Map[String, KvStats.FileStat] =
-      manifest.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
-    // EqualTo/In on the rowkey of a bucket-compacted table address their
-    // bucket directories directly (HBase Get/multi-Get region routing):
-    // other buckets are dropped before any stats are consulted.
-    val buckets = KvV2Util.bucketSetFor(path, conf, pushed, fullSchema)
-    files.flatMap { f =>
-      val rel = KvStats.relativize(path, f.getPath, conf)
-      val bucket = KvV2Util.bucketOf(rel)
-      if (buckets.exists(bs => bucket >= 0 && !bs.contains(bucket))) Seq.empty
-      else {
-        val hosts = KvV2Util.hosts(f, conf)
-        val groups = byRel.get(rel).filter(_.len == f.getLen) match {
-          case Some(st) => st.groups
-          case None => // not in manifest: one footer read (the slow path)
-            KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
-        }
-        groups.collect {
-          case g if KvStats.groupPasses(g.stats, pushed) =>
-            KvInputPartition(f.getPath.toString, g.start, g.len, hosts, bucket)
-        }
-      }
-    }.toArray
-  }
+  private lazy val planned: Array[KvInputPartition] =
+    KvV2Util.planPartitions(path, new Configuration(),
+      KvV2Util.dataFiles(path, new Configuration()), pushed, fullSchema)
+
+  /** Streaming read over the same log: new data files become
+    * micro-batches (see [[KvMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KvMicroBatchStream(path, required, pushed, fullSchema)
 
   // --- runtime (join-probe) filtering: a broadcast-join probe side or
   // DPP subquery delivers In/EqualTo filters on the rowkey or __bucket
@@ -498,6 +479,40 @@ object KvV2Util {
         vs.collect { case i: Integer => i.toInt }.toSet
     }
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** Plan row-group partitions for `files` of the table at `path`:
+    * manifest-stats group pruning (footer fallback per unknown file),
+    * bucket-directory routing for key filters. Shared by the batch scan
+    * and the micro-batch stream (which plans only each batch's NEW
+    * files). */
+  def planPartitions(path: String, conf: Configuration,
+                     files: Seq[FileStatus], pushed: Array[Filter],
+                     fullSchema: StructType): Array[KvInputPartition] = {
+    val byRel: Map[String, KvStats.FileStat] =
+      KvStats.read(path, conf)
+        .map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+    // EqualTo/In on the rowkey of a bucket-compacted table address their
+    // bucket directories directly (HBase Get/multi-Get region routing):
+    // other buckets are dropped before any stats are consulted.
+    val buckets = bucketSetFor(path, conf, pushed, fullSchema)
+    files.flatMap { f =>
+      val rel = KvStats.relativize(path, f.getPath, conf)
+      val bucket = bucketOf(rel)
+      if (buckets.exists(bs => bucket >= 0 && !bs.contains(bucket))) Seq.empty
+      else {
+        val hosts = KvV2Util.hosts(f, conf)
+        val groups = byRel.get(rel).filter(_.len == f.getLen) match {
+          case Some(st) => st.groups
+          case None => // not in manifest: one footer read (the slow path)
+            KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
+        }
+        groups.collect {
+          case g if KvStats.groupPasses(g.stats, pushed) =>
+            KvInputPartition(f.getPath.toString, g.start, g.len, hosts, bucket)
+        }
+      }
+    }.toArray
   }
 
   /** The table's declared rowkey column, if a `_kvschema.json` exists. */

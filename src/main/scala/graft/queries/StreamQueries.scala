@@ -59,7 +59,47 @@ object StreamQueries {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Source table for [[stream_kv_source]]: orders keyed by orderkey,
+    * written in two batches so the log holds multiple files. */
+  private def setupKvSourceTable(s: SparkSession, dir: String): String = {
+    val path = scratchDir("stream_kv_source_src", dir)
+    ensureSetup(path) {
+      val schema = KvSchema.of("o_orderkey",
+        "o_custkey" -> ("o", "custkey"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val o = table(s, dir, "orders")
+      KvTable.write(o.filter(col("o_orderkey") % 2 === 0), path, schema,
+        SinkMode.Replace)
+      KvTable.write(o.filter(col("o_orderkey") % 2 === 1), path, schema,
+        SinkMode.Append)
+    }
+    path
+  }
+
+  val prepares: Map[String, (SparkSession, String) => Unit] = Map(
+    "stream_kv_source" -> ((s, d) => { setupKvSourceTable(s, d); () })
+  )
+
   val defs: Map[String, Q] = Map(
+    // Stream FROM a KV table (the connector's MicroBatchStream: new log
+    // files = micro-batches — "HBase as a change feed") into a second
+    // KV table; the destination's LWW view must equal plain batch SQL
+    // over orders. Unique rowkeys make the re-keyed upsert exact.
+    "stream_kv_source" -> { (s, dir) =>
+      val src = setupKvSourceTable(s, dir)
+      val dst = scratchDir("stream_kv_source", dir)
+      KvTable.drop(s, dst)
+      val dstSchema = KvSchema.of("o_orderkey",
+        "o_custkey" -> ("o", "custkey"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val stream = s.readStream.format("kvtable").load(src)
+        .filter(!col(KvTable.TombstoneCol))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      runStream(stream, outputMode = "append") { (batch, _) =>
+        KvTable.write(batch, dst, dstSchema, SinkMode.Append)
+      }
+      KvTable.read(s, dst).orderBy(col("o_orderkey"))
+    },
     // Streamed upsert: orders flow through a file stream into the KV
     // table; the LWW view equals the batch latest-order-per-customer.
     "kv_stream_upsert" -> { (s, dir) =>
@@ -183,6 +223,9 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_kv_source" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "kv_stream_upsert" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -9,6 +9,48 @@ import graft.kv.{KvSchema, KvTable}
 class KvStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kvtable streaming SOURCE: new log files become micro-batches; " +
+    "a checkpointed restart reads only files added since its offset") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = TestSpark.scratch("kv-stream-src")
+    val ckpt = TestSpark.scratch("kv-stream-src-ckpt")
+    val schema = KvSchema.of("k", "n" -> ("f", "n"))
+    KvTable.write(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"),
+      src, schema, graft.kv.SinkMode.Replace)
+    KvTable.write(Seq(("c", 3L)).toDF("k", "n"), src, schema)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("kvtable").load(src)
+        .filter(!col(KvTable.TombstoneCol))
+        .select("k", "n")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.as[(String, Long)].collect() }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.sorted === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+
+    // append more mutations (an upsert and a tombstone), re-drain from
+    // the SAME checkpoint: only the new files' rows arrive
+    seen.clear()
+    KvTable.write(Seq(("b", 20L)).toDF("k", "n"), src, schema)
+    KvTable.delete(Seq("a").toDF("k"), src, schema)
+    drain()
+    assert(seen.sorted === Seq(("b", 20L)), // tombstone row filtered out
+      s"restart must deliver only new live rows, got $seen")
+
+    // nothing new -> empty (possibly zero) batches
+    seen.clear()
+    drain()
+    assert(seen.isEmpty)
+  }
+
   test("micro-batch stream upserts into a KvTable: each batch is a flow run") {
     // Streaming analog of the reference's APPEND cascade re-run
     // (13 -> 26 raw rows but LWW-distinct keys; here: same 5 keys
