@@ -220,6 +220,7 @@ object KvQueries {
   val prepares: Map[String, (SparkSession, String) => Unit] = Map(
     "kv_roundtrip" -> ((s, d) => { setupRoundtrip(s, d); () }),
     "kv_append_upsert" -> ((s, d) => { setupAppendUpsert(s, d); () }),
+    "kv_versions" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
@@ -300,6 +301,16 @@ object KvQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Multi-version read (HBase VERSIONS>1 scan): newest 2 live
+    // versions per key, newest first, original event-time versions
+    // surfaced — goes beyond the reference (its source() only ever
+    // returns the newest cell, HBaseScheme.java:101).
+    "kv_versions" -> { (s, dir) =>
+      val path = setupAppendUpsert(s, dir)
+      KvTable.readVersions(s, path, 2)
+        .orderBy(col("o_custkey"), col("version_rank"))
+    },
+
     // Rowkey-range scan over a byte-lex string rowkey (the HBase Scan
     // [startRow, stopRow) analog with correct closed-open bounds —
     // SURVEY.md §2b documents the reference's boundary bugs we fix).
@@ -374,6 +385,14 @@ object KvQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1 AND o_custkey = 42""".stripMargin,
+    "kv_versions" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey AS version,
+        |  CAST(rn AS INT) AS version_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
     "kv_multi_get" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
