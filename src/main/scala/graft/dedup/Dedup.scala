@@ -132,13 +132,22 @@ object Dedup {
     * re-executes the subplan per reference, so `docs` is scanned ~3×.
     * That is the deliberate trade: recomputing integer hashing is
     * CPU-linear, while carrying shingle arrays through the band shuffle
-    * (the alternative) multiplies shuffle volume by shingle size. At
-    * corpus scale, `.persist()` the (id, sh) projection — or write it
-    * once — before calling, and the recompute disappears. */
+    * (the alternative) multiplies shuffle volume by shingle size.
+    *
+    * @param persistShingles cache the (id, sh) projection
+    *   (MEMORY_AND_DISK) so the three references compute it once — SET
+    *   TRUE AT CORPUS SCALE, where re-reading + re-shingling the corpus
+    *   twice more dwarfs the cache cost. Default false only because the
+    *   returned DataFrame is lazy: the cache entry outlives the call,
+    *   and a benchmark loop re-invoking the pipeline would accumulate
+    *   duplicate cache entries. Callers owning the lifecycle can also
+    *   persist/pre-write the projection themselves.
+    */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
                           minJaccard: Double = 0.5,
-                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                          maxBucket: Int = DefaultMaxBucket,
+                          persistShingles: Boolean = false): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)
@@ -148,7 +157,7 @@ object Dedup {
     // permutations, band keys and the Jaccard verify are long arithmetic
     // in single-pass native expressions (same math as the HOF column
     // API, same oracle).
-    val base = materializedColumn(
+    val base0 = materializedColumn(
       materializedColumn(
         docs.select(col(idCol).as("id"), col(textCol).as("text")),
         "th", Native.tokenHashes(TextOps.tokens(col("text")))),
@@ -157,6 +166,10 @@ object Dedup {
       // docs too short to shingle can't be near-dups; without this they
       // all share null band keys and one bucket expands O(m²) pairs
       .filter(size(col("sh")) > 0)
+    val base =
+      if (persistShingles)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     val withSig = materializedColumn(base, "sig",
       Native.minHashSig(col("sh"), k))
     val bandsDf = withSig.select(col("id"),

@@ -140,6 +140,66 @@ object Similarity {
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic Lloyd's k-means over the quantized vectors — the IVF
+    * centroid-training step [[ivfTopK]]'s scaladoc declares pluggable.
+    *
+    * Determinism (required for the oracle/hash gates): init picks the k
+    * corpus vectors with the smallest `xxhash64(id)` (a reproducible
+    * pseudo-random spread, one TakeOrdered pass); assignment breaks
+    * cosine ties by cid; per-dimension means are exact 64-bit integer
+    * sums divided once — no partition-order-dependent float reduction
+    * anywhere.
+    *
+    * Scale shape: the per-iteration driver state is k×dims longs (the
+    * centroids — bounded, like any k-means driver loop), broadcast back
+    * each round; each iteration is one corpus scan + one (cid, dim)
+    * partial-aggregated shuffle of size k×dims. Empty clusters keep
+    * their previous centroid. Returns (cid, cvec: array<double>) ready
+    * for [[ivfTopK]]/[[ivfAssign]] (re-quantizing reproduces the
+    * trained integer centroids exactly).
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = corpus.sparkSession
+    graft.functions.Native.register(spark)
+    val cosine = graft.functions.Native.cosineQ _
+    val corpusQ = corpus.select(col("id"), quantize(col("vec")).as("vq"))
+    var cents: Seq[(Int, Seq[Long])] = corpusQ
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(k)
+      .select(col("vq")).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](0) }
+    require(cents.nonEmpty, "kmeansCentroids: empty corpus")
+    for (_ <- 1 to iters) {
+      val centsDf = broadcast(
+        spark.createDataFrame(cents).toDF("cid", "cq"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("__ccos").desc, col("cid"))
+      val assigned = corpusQ.crossJoin(centsDf)
+        .withColumn("__ccos", cosine(col("vq"), col("cq")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+      val means: Map[Int, Seq[Long]] = assigned
+        .select(col("cid"), posexplode(col("vq")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n"))))
+          .as("sums"))
+        .collect().map { r =>
+          val cid = r.getInt(0)
+          cid -> r.getSeq[Row](1).map(t =>
+            math.round(t.getLong(1).toDouble / t.getLong(2)))
+        }.toMap
+      cents = cents.map { case (cid, prev) =>
+        cid -> means.getOrElse(cid, prev) // empty cluster: keep centroid
+      }
+    }
+    spark.createDataFrame(
+      cents.map { case (cid, cq) => (cid, cq.map(_ / Scale.toDouble)) })
+      .toDF("cid", "cvec")
+  }
+
   /** Near-duplicate pairs by cosine ≥ `minCosine`, bucketed by the LSH
     * signature (colinear vectors always share a signature, so exact
     * duplicates are never missed; near-dups are found with the usual

@@ -269,6 +269,35 @@ class KvTableSourceSpec extends SparkSpec {
       .collect().sorted === Array("aa1", "ab2"))
   }
 
+  test("runtime (join-probe) filters prune bucket partitions on the " +
+    "Scan directly (SupportsRuntimeFiltering)") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val path = TestSpark.scratch("v2-runtime-filter")
+    val schema = KvSchema.of("k", "n" -> ("f", "n"))
+    KvTable.write((1 to 64).map(i => (s"key$i", i.toLong)).toDF("k", "n"),
+      path, schema, SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, buckets = 8)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fullSchema = KvV2Util.inferSchema(path, new org.apache.hadoop.conf.Configuration())
+    val scan = new KvScanBuilder(path, fullSchema).build()
+      .asInstanceOf[KvScan]
+    assert(scan.filterAttributes().map(_.describe()).toSet ===
+      Set("__bucket", "k"), "scan must advertise bucket + rowkey for DPP")
+    assert(scan.planInputPartitions().length === 8)
+    // a probe-side IN-list on the rowkey arrives at execution time:
+    // partitions shrink to the probed keys' buckets
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k", Array("key3", "key40"))))
+    assert(scan.planInputPartitions().length <= 2)
+    // a direct bucket filter works too
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In(KvV2Util.BucketCol, Array(Int.box(0), Int.box(1), Int.box(2)))))
+    assert(scan.planInputPartitions().length <= 3)
+    // clearing filters restores the full plan
+    scan.filter(Array.empty[org.apache.spark.sql.sources.Filter])
+    assert(scan.planInputPartitions().length === 8)
+  }
+
   test("planning a pruned scan does ZERO driver footer reads (manifest)") {
     val path = writeTwoBatches()
     val before = KvV2Util.footerOpens.get()

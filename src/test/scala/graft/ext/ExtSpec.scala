@@ -162,6 +162,42 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._4).toSeq === Seq(1, 2))
   }
 
+  test("kmeansCentroids recovers well-separated clusters " +
+    "deterministically; trained centroids drive ivfTopK") {
+    // 3 angularly-separated clusters of 10 vectors each (tight jitter)
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array(0.0, 0.0, 0.0)
+      base(axis) = 10.0
+      base((axis + 1) % 3) = 0.1 * (i / 3) // small within-cluster spread
+      (i.toLong, base.toSeq)
+    }
+    val corpus = vecs.toDF("id", "vec")
+    val c1 = Similarity.kmeansCentroids(corpus, k = 3, iters = 4)
+    val c2 = Similarity.kmeansCentroids(corpus, k = 3, iters = 4)
+    // deterministic across runs
+    assert(c1.orderBy("cid").collect().toSeq ===
+      c2.orderBy("cid").collect().toSeq)
+    assert(c1.count() === 3)
+    // every vector's nearest trained centroid separates the 3 clusters:
+    // assignment must be pure (all members of an axis share a centroid,
+    // different axes different centroids)
+    val assign = Similarity.ivfAssign(corpus, c1)
+      .select($"id", $"cid").as[(Long, Int)].collect().toMap
+    val byAxis = (0 until 3).map(a =>
+      (0 until 30).filter(_ % 3 == a).map(i => assign(i.toLong)).toSet)
+    assert(byAxis.forall(_.size == 1), s"impure clusters: $byAxis")
+    assert(byAxis.flatten.toSet.size === 3, s"clusters collapsed: $byAxis")
+    // IVF search with trained centroids agrees with brute force
+    val queries = corpus.filter($"id" === 0L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val ivf = Similarity.ivfTopK(queries, corpus, c1, nprobe = 1, k = 3)
+      .select($"id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select($"id").as[Long].collect().toSet
+    assert(ivf === brute)
+  }
+
   test("lshNearDupPairs finds planted near-identical vectors") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, (0 until 8).map(d => math.sin(i * 8 + d + 1).toFloat * 2).toSeq)
