@@ -38,6 +38,22 @@ object SimQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF with TRAINED centroids: deterministic k-means (hash-spread
+    // init, exact integer means) replaces the naive every-40th-vector
+    // subset — the full train→assign→search pipeline in one query.
+    // Engine-specific training -> rows-only driver check; run-to-run
+    // determinism is asserted by QueryDeterminismSpec like every query,
+    // and centroid/search correctness by SimilaritySpec.
+    "ann_kmeans_ivf" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+      Similarity.ivfTopK(queries, corpus, cents, nprobe = 4, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Angular-LSH bucketed near-dup pairs: corpus ∪ perturbed copies of
     // every 10th vector (first component +0.05 → cosine ≈ 0.9987).
     "ann_lsh_neardup" -> { (s, dir) =>
