@@ -71,6 +71,43 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // FLAGSHIP composition: the training-corpus preparation pipeline a
+    // 100 TB data job runs end-to-end — exact dedup (full corpus, must
+    // see every copy) → deterministic hash sample (cheap gate BEFORE
+    // paying per-doc scoring) → pinned single tokenize → quality gate →
+    // language gate → corpus stats. Every stage is one of the engine's
+    // verified building blocks; the whole composition is value-checked
+    // against DuckDB.
+    "pipeline_corpus" -> { (s, dir) =>
+      import graft.ops.Ops.materializedColumn
+      import graft.dedup.Dedup
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val deduped = Dedup.exactKeepMin(corpus,
+        TextOps.fingerprint(col("text")), col("doc_id"))
+      val sampled = deduped.filter(
+        Dedup.hash60(col("doc_id").cast("string")) % 10 < 3)
+      val withT = materializedColumn(sampled, "t",
+        TextOps.tokens(col("text")))
+      val scores = TextOps.langScores(col("t"))
+      val withS = withT.select(
+        (col("doc_id") +: col("text") +: col("t") +:
+          scores.map { case (l, c) => c.as(s"s_$l") }): _*)
+      val pinned = scores.map { case (l, _) => l -> col(s"s_$l") }
+      withS
+        .filter(TextOps.qualityScoreToks(col("t"), col("text"), stopwords)
+          >= 0.2 &&
+          TextOps.langIdFromScores(pinned) === "en")
+        .select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          TextOps.qualityScoreToks(col("t"), col("text"), stopwords)
+            .as("quality"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // md5 fingerprint of whitespace-normalized lowercase text.
     "text_fingerprint" -> { (s, dir) =>
       table(s, dir, "documents")
@@ -163,6 +200,40 @@ object TextQueries {
   private val toks = raw"string_split_regex(trim(text), '\s+')"
 
   val oracles: Map[String, String] = Map(
+    "pipeline_corpus" ->
+      raw"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           |  WHERE doc_id % 7 = 0),
+           |dedup AS (
+           |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+           |  FROM corpus
+           |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+           |sampled AS (
+           |  SELECT * FROM dedup
+           |  WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+           |           AS BIGINT) % 1000000007) % 10 < 3),
+           |scored AS (
+           |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+           |  FROM sampled),
+           |gated AS (
+           |  SELECT doc_id, text, t,
+           |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS INT) AS s_en,
+           |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+           |    CAST(len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS INT) AS s_es,
+           |    CAST(len(list_filter(t, x -> x IN ('le','les','et','est','une'))) AS INT) AS s_fr,
+           |    least(1.0, CAST(len(t) AS DOUBLE) / 100.0)
+           |      * (1.0 - CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t))
+           |      * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+           |      AS quality
+           |  FROM scored)
+           |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, quality,
+           |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           |FROM gated
+           |WHERE quality >= 0.2 AND greatest(s_en, s_de, s_es, s_fr) > 0
+           |  AND s_en = greatest(s_en, s_de, s_es, s_fr)
+           |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(t) AS INT) AS n_tokens,
