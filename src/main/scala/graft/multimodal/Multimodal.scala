@@ -64,6 +64,49 @@ object Multimodal {
       it.map(c.decode)
     }
 
+  /** Deterministic row-gradient PNG: row `y` is the uniform gray
+    * `(gray0 + y) % 256`. Lossless like [[makePng]], but with per-row
+    * structure, so a resample's row-selection arithmetic (which source
+    * rows survive) is itself oracle-checkable — a uniform image would
+    * hide resampling bugs behind an unchanged mean. */
+  def makeGradientPng(width: Int, height: Int, gray0: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      val g = (gray0 + y) % 256
+      val rgb = (g << 16) | (g << 8) | g
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL nearest-neighbor resample to `tw`×`th`: target pixel (x,y)
+    * takes source pixel (⌊x·w/tw⌋, ⌊y·h/th⌋). Hand-rolled (not AWT's
+    * `getScaledInstance`) so the sampling arithmetic is exact and
+    * engine-independent — the oracle recomputes it in SQL. */
+  def resizeNearest(src: java.awt.image.BufferedImage,
+                    tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (w, h) = (src.getWidth, src.getHeight)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, src.getRGB((x.toLong * w / tw).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Deterministic uniform-gray PNG — the test/query payload generator
     * (PNG is lossless, so decoded dimensions and pixel means are exact
     * arithmetic functions of the inputs, checkable by a non-image
@@ -98,6 +141,32 @@ object MediaCodec {
   def stub: MediaCodec[(Int, Long)] = () => new Session[(Int, Long)] {
     def decode(bytes: Array[Byte]): (Int, Long) =
       (bytes.length, bytes.take(16).foldLeft(1125899906842597L)((h, b) => 31 * h + b))
+  }
+
+  /** REAL decode→resize codec: `javax.imageio` decode, then
+    * [[Multimodal.resizeNearest]] to `tw`×`th`, returning the resized
+    * (width, height, mean red-channel). This is the standard
+    * image-normalization step of a multimodal training pipeline (decode
+    * → fixed-size resample → featurize), with the resample arithmetic
+    * deterministic enough to verify without an image oracle. */
+  def imageResize(tw: Int, th: Int): MediaCodec[(Int, Int, Long)] = () => {
+    javax.imageio.ImageIO.setUseCache(false)
+    new Session[(Int, Int, Long)] {
+      def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "payload is not a decodable image")
+        val r = Multimodal.resizeNearest(img, tw, th)
+        var sum = 0L
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) { sum += (r.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        (tw, th, sum / (tw.toLong * th))
+      }
+    }
   }
 
   /** REAL image codec over the JDK-built-in `javax.imageio` readers

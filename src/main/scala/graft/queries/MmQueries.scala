@@ -36,6 +36,29 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Decode→RESIZE→featurize, the image-normalization step of a
+    // multimodal training pipeline, with a REAL nearest-neighbor
+    // resample: gradient PNGs (row y = gray (g0+y)%256) are resized to
+    // 8×8, and the oracle recomputes in SQL exactly which source rows
+    // nearest-neighbor sampling keeps — a wrong sampling index changes
+    // the mean, so the resample arithmetic itself is value-checked.
+    "mm_image_resize" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val codec = MediaCodec.imageResize(8, 8).open()
+          it.map { id =>
+            val png = Multimodal.makeGradientPng(
+              8 + (id % 16).toInt, 8 + ((id * 3) % 16).toInt,
+              ((id * 37) % 256).toInt)
+            val (w, h, meanGray) = codec.decode(png)
+            (id, w, h, meanGray)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_gray")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_meta" -> { (s, dir) =>
       val payload = Multimodal.asPayload(col("text"))
       table(s, dir, "documents")
@@ -55,6 +78,17 @@ object MmQueries {
         |  CAST(8 + doc_id % 16 AS INT) AS width,
         |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
         |  CAST((doc_id * 37) % 256 AS BIGINT) AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Target row y of the 8×8 resize samples source row (y*h)//8 of an
+    // h-row gradient whose row r is gray (g0+r)%256; the 8 uniform
+    // target rows average (integer-divide) to the decoded mean.
+    "mm_image_resize" ->
+      """SELECT doc_id,
+        |  CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(0, 8),
+        |    y -> ((doc_id * 37) % 256 + (y * (8 + (doc_id * 3) % 16)) // 8) % 256))
+        |    // 8 AS BIGINT) AS mean_gray
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,

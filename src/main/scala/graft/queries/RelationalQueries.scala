@@ -237,6 +237,21 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q6 forecast-revenue: the pure scan-side query — every
+    // predicate (date range, discount band, quantity cap) pushes to the
+    // parquet scan and the single DECIMAL sum is a map-side partial agg
+    // feeding a 1-row final; at 100 TB the plan is scan-bandwidth-bound
+    // with no data shuffle at all.
+    "q_tpch_q6" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(expr("CAST(SUM(CAST(l_extendedprice * l_discount " +
+          "AS DECIMAL(18,4))) AS DOUBLE)").as("revenue"))
+    },
+
     // Exact percentiles (sort-based interpolated, Spark `percentile` ==
     // DuckDB `quantile_cont`: both linear-interpolate at (n-1)p, and the
     // inputs are small integers so the arithmetic is float-exact). For
@@ -835,6 +850,14 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS med_qty,

@@ -175,6 +175,69 @@ object StreamQueries {
       KvTable.read(s, path).select(col("fp")).orderBy(col("fp"))
     },
 
+    // Custom per-key state via mapGroupsWithState (the arbitrary-state
+    // escape hatch): running (count, max) per user flows through a real
+    // streaming execution; the final LWW row per key equals the batch
+    // GROUP BY, so DuckDB checks the stateful operator's end state.
+    // State is per-key and bounded by the key domain; at firehose scale
+    // add a GroupStateTimeout to expire idle keys.
+    "stream_running_stats" -> { (s, dir) =>
+      import s.implicits._
+      val path = scratchDir("stream_running_stats", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("user_id",
+        "n" -> ("r", "n"),
+        "max_value" -> ("r", "max_value"))
+      val ev = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+      val stats = graft.streaming.KvStream.runningStats(ev)
+        .toDF("user_id", "n", "max_value")
+      runStream(stats) { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path).orderBy(col("user_id"))
+    },
+
+    // Streaming SESSION windows (dynamic-gap windowing the tumbling
+    // kv_stream_window can't express): per-user sessions close after 30
+    // idle minutes. Complete output mode + per-batch Replace makes the
+    // result batching-insensitive even when later events merge earlier
+    // sessions (no watermark = no dropped late data; at firehose scale
+    // you'd watermark + append and bound state instead — documented
+    // trade). The oracle rebuilds Spark's exact session semantics: a
+    // gap >= 30min starts a new session ([start, last+gap) windows),
+    // sess_end = last event + gap.
+    "stream_sessionize" -> { (s, dir) =>
+      val path = scratchDir("stream_sessionize", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("sk",
+        "user_id" -> ("w", "user_id"),
+        "sess_start" -> ("w", "sess_start"),
+        "sess_end" -> ("w", "sess_end"),
+        "n_events" -> ("w", "n_events"))
+      val stream = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .filter(col("user_id") < 200)
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("sw.end").as("sess_end"), col("n_events"))
+        .withColumn("sk", concat_ws("|",
+          col("user_id"), unix_micros(col("sess_start"))))
+      runStream(stream, outputMode = "complete") { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Replace)
+      }
+      KvTable.read(s, path)
+        .select(col("user_id"), col("sess_start"), col("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
     // Stream-STREAM interval join: user events joined to that customer's
     // orders within ±3 days, both sides watermarked (inner joins emit
     // eagerly; the watermark bounds join state — without it, state grows
@@ -245,6 +308,29 @@ object StreamQueries {
         |      SELECT doc_id + 1000000 AS doc_id, text
         |      FROM documents WHERE doc_id % 7 = 0)
         |ORDER BY fp""".stripMargin,
+    "stream_running_stats" ->
+      """SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_sessionize" ->
+      """SELECT user_id, MIN(t) AS sess_start,
+        |  MAX(t) + INTERVAL 30 MINUTE AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, t,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM (
+        |    SELECT user_id, t,
+        |      CASE WHEN prev_t IS NULL
+        |             OR epoch_us(t) - epoch_us(prev_t) >= 1800000000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM (
+        |      SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |        lag(CAST(ts AS TIMESTAMP)) OVER (
+        |          PARTITION BY user_id ORDER BY ts) AS prev_t
+        |      FROM events WHERE user_id < 200)))
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
     "stream_join" ->
       """SELECT DISTINCT e.user_id, CAST(e.ts AS TIMESTAMP) AS t, o.o_orderkey
         |FROM events e JOIN orders o

@@ -308,4 +308,20 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(out === Array((1, 1, 0L), (12, 9, 77L), (31, 2, 255L)))
   }
+
+  test("nearest-neighbor resize samples exactly the expected source rows") {
+    // 4×16 gradient (row y = gray 10+y) resized to 8×8: target row y
+    // samples source row (y*16)/8 = 2y, so the resized mean must be
+    // floor(avg(10 + 2y for y in 0..7)) = 10+7 = 17.
+    val png = Multimodal.makeGradientPng(4, 16, 10)
+    val codec = MediaCodec.imageResize(8, 8).open()
+    assert(codec.decode(png) === ((8, 8, 17L)))
+    // Upscale keeps a uniform image uniform, any target size.
+    val uni = Multimodal.makePng(3, 5, 200)
+    assert(MediaCodec.imageResize(10, 7).open().decode(uni) === ((10, 7, 200L)))
+    // Identity resize of a gradient = plain decode mean.
+    val g = Multimodal.makeGradientPng(6, 6, 0)
+    assert(MediaCodec.imageResize(6, 6).open().decode(g) ===
+      ((6, 6, (0 to 5).sum.toLong / 6)))
+  }
 }
