@@ -438,6 +438,47 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Bloom-filter semi-join pre-filter — the sketch-based runtime-
+    // filter pattern for 100 TB joins: build a small Bloom filter over
+    // the build side's join keys (distributed, cell-OR merge), broadcast
+    // it, and drop probe rows BEFORE the shuffle; the exact semi-join
+    // afterwards removes the (bounded-rate) false positives, so the
+    // result is value-identical to the plain semi-join and the oracle
+    // checks it. The scale win: probe rows that cannot match never
+    // enter the exchange — this is what Spark's own InjectRuntimeFilter
+    // does, expressed as an explicit operator.
+    "q_bloom_semijoin" -> { (s, dir) =>
+      val hot = table(s, dir, "orders").filter(col("o_totalprice") > 490000)
+      val bf = hot.stat.bloomFilter("o_custkey", 2000, 0.03)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      table(s, dir, "customer")
+        .filter(mightContain(col("c_custkey")))
+        .join(hot, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Count-min-sketch frequency estimation — the heavy-hitters sketch
+    // for frequency questions at 100 TB without exact per-key state:
+    // distributed `count_min_sketch` aggregate (cell-wise-additive
+    // merge, order-independent => deterministic), one ~1 MB binary to
+    // the driver, point estimates for a fixed probe set. Engine-
+    // specific sketch -> rows-only driver check; the CMS guarantee
+    // (est >= exact, est <= exact + eps*N) is spec-asserted in
+    // QueryDeterminismSpec.
+    "q_sketch_freq" -> { (s, dir) =>
+      import s.implicits._
+      val bytes = table(s, dir, "lineitem")
+        .agg(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      (1L to 20L).map(k => (k, cms.estimateCount(java.lang.Long.valueOf(k))))
+        .toDF("l_partkey", "est_count")
+        .orderBy(col("l_partkey"))
+    },
+
     // HLL sketch cardinality — engine-specific algorithm, rows-only check.
     "q_approx_distinct" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -595,6 +636,15 @@ object RelationalQueries {
   )
 
   val oracles2: Map[String, String] = Map(
+    // The Bloom pre-filter only prunes; the exact semi-join removes
+    // false positives, so plain semi-join SQL is the exact oracle.
+    "q_bloom_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 490000)
+        |ORDER BY c_custkey""".stripMargin,
+    // q_sketch_freq intentionally omitted: rows-only check (CMS bound
+    // spec-asserted).
     "q_join_full" ->
       """SELECT o_custkey, n95, n96 FROM
         |  (SELECT o_custkey, COUNT(*) AS n95 FROM orders

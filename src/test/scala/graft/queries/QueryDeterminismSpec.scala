@@ -60,6 +60,27 @@ class QueryDeterminismSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch estimates obey the CMS guarantee vs exact counts") {
+    // q_sketch_freq's self-check: CMS never under-counts, and
+    // over-counts by at most eps * N (total items) with the query's
+    // eps = 1e-4. Compare the query's estimates against exact GROUP BY
+    // counts for the same probe keys.
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q_sketch_freq")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val n = li.count()
+    val exact = li.filter(col("l_partkey").between(1L, 20L))
+      .groupBy(col("l_partkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      val x = exact.getOrElse(k, 0L)
+      assert(e >= x, s"CMS under-counted key $k: est $e < exact $x")
+      assert(e <= x + math.max(1L, (n * 1e-4).toLong),
+        s"CMS over-count beyond eps*N for key $k: est $e, exact $x, n $n")
+    }
+  }
+
   test("every query is non-failing and yields rows at sf0.001") {
     val counts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> SparkEntry.queries(name)(spark, dir).count()
@@ -81,7 +102,7 @@ class QueryDeterminismSpec extends SparkSpec {
     // engine-specific sketches/training: rows-only + self-checks above
     // (kmeans correctness is asserted cluster-level in SimilaritySpec)
     val exempt = Set("dedup_simhash", "q_approx_distinct",
-      "q_percentile_approx", "ann_kmeans_ivf")
+      "q_percentile_approx", "ann_kmeans_ivf", "q_sketch_freq")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
