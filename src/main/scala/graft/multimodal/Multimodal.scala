@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * the direct generalization of the reference's raw byte[] cell values
   * (`HBaseScheme.java:101-102`).
   *
-  * IMAGE decode is REAL: [[MediaCodec.imageIO]] binds the JDK-built-in
-  * `javax.imageio` reader (PNG/JPEG/BMP/GIF), exercised end-to-end by
-  * the `mm_image_decode` oracle query. Audio/video codecs are not
-  * present in this environment and stay stubbed behind
+  * IMAGE decode and resize are REAL: [[MediaCodec.imageIO]] binds the
+  * JDK-built-in `javax.imageio` reader (PNG/JPEG/BMP/GIF) and
+  * [[MediaCodec.imageResize]] adds an exact nearest-neighbor resample,
+  * both exercised end-to-end by oracle queries. AUDIO decode is REAL
+  * for WAV/PCM: [[MediaCodec.wavPcm]] is a hand-rolled RIFF chunk
+  * walker (PCM needs no codec library), oracle-checked by
+  * `mm_audio_decode`. Compressed audio (mp3/aac) and video codecs are
+  * not present in this environment and stay stubbed behind
   * [[MediaCodec.stub]]: the Spark-side plumbing (schema, batched
   * per-partition execution, fixed-width feature output, partitioning
   * behavior) is identical either way — swap in a JNI/ffmpeg binding in
@@ -107,6 +111,25 @@ object Multimodal {
     out
   }
 
+  /** Deterministic 16-bit mono PCM WAV (RIFF) payload generator — the
+    * audio twin of [[makePng]]: PCM is uncompressed, so decoded rate /
+    * sample count / amplitudes are exact functions of the inputs,
+    * checkable by a non-audio oracle. */
+  def makeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)                   // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16)                  // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** Deterministic uniform-gray PNG — the test/query payload generator
     * (PNG is lossless, so decoded dimensions and pixel means are exact
     * arithmetic functions of the inputs, checkable by a non-image
@@ -141,6 +164,50 @@ object MediaCodec {
   def stub: MediaCodec[(Int, Long)] = () => new Session[(Int, Long)] {
     def decode(bytes: Array[Byte]): (Int, Long) =
       (bytes.length, bytes.take(16).foldLeft(1125899906842597L)((h, b) => 31 * h + b))
+  }
+
+  /** REAL audio codec for WAV/PCM — a hand-rolled RIFF chunk walker
+    * (no codec libs needed: PCM is raw little-endian samples behind a
+    * chunked header). Walks chunks in any order, skips unknown ones,
+    * honours word alignment; returns (sample rate, sample count, mean
+    * |amplitude|). Compressed audio (mp3/aac) still needs an external
+    * binding — see [[stub]] — but uncompressed audio, the dominant
+    * interchange format in training pipelines, is fully real here. */
+  def wavPcm: MediaCodec[(Int, Int, Long)] = () => new Session[(Int, Int, Long)] {
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "payload is not RIFF/WAVE")
+      var pos = 12
+      var rate = -1; var bits = -1; var channels = -1
+      var n = 0; var meanAbs = 0L; var sawData = false
+      while (pos + 8 <= bytes.length) {
+        val id = tag(pos)
+        val size = bb.getInt(pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " =>
+            require(bb.getShort(body) == 1, "only PCM wav supported")
+            channels = bb.getShort(body + 2)
+            rate = bb.getInt(body + 4)
+            bits = bb.getShort(body + 14)
+          case "data" =>
+            require(rate > 0, "data chunk before fmt")
+            require(bits == 16 && channels == 1, "expect 16-bit mono PCM")
+            n = size / 2
+            var i = 0; var sum = 0L
+            while (i < n) { sum += math.abs(bb.getShort(body + 2 * i).toLong); i += 1 }
+            meanAbs = if (n == 0) 0L else sum / n
+            sawData = true
+          case _ => () // LIST/INFO/fact/... — skip
+        }
+        pos = body + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(sawData, "no data chunk")
+      (rate, n, meanAbs)
+    }
   }
 
   /** REAL decode→resize codec: `javax.imageio` decode, then

@@ -59,6 +59,29 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL audio decode: deterministic 16-bit PCM WAVs parsed by the
+    // hand-rolled RIFF chunk walker (PCM is raw samples behind a
+    // chunked header — no codec libs needed), per-partition codec
+    // init; decoded rate / sample count / mean |amplitude| are exact
+    // arithmetic the oracle recomputes.
+    "mm_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val codec = MediaCodec.wavPcm.open()
+          it.map { id =>
+            val n = 64 + (id % 64).toInt
+            val rate = 8000 + (id % 8).toInt * 1000
+            val samples = Array.tabulate(n)(i =>
+              (((id + i.toLong * 37) % 2048) - 1024).toShort)
+            val (r, ns, meanAbs) = codec.decode(Multimodal.makeWav(rate, samples))
+            (id, r, ns, meanAbs)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "mean_abs")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_meta" -> { (s, dir) =>
       val payload = Multimodal.asPayload(col("text"))
       table(s, dir, "documents")
@@ -89,6 +112,14 @@ object MmQueries {
         |  CAST(list_sum(list_transform(range(0, 8),
         |    y -> ((doc_id * 37) % 256 + (y * (8 + (doc_id * 3) % 16)) // 8) % 256))
         |    // 8 AS BIGINT) AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(64 + doc_id % 64 AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, 64 + doc_id % 64),
+        |    i -> abs((doc_id + i * 37) % 2048 - 1024)))
+        |    // (64 + doc_id % 64) AS BIGINT) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,

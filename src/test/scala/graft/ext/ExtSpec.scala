@@ -309,6 +309,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Array((1, 1, 0L), (12, 9, 77L), (31, 2, 255L)))
   }
 
+  test("wav codec parses RIFF chunks in any order and skips unknown ones") {
+    val samples = Array[Short](100, -200, 300, -32768)
+    val wav = Multimodal.makeWav(16000, samples)
+    // meanAbs = (100+200+300+32768)/4 = 33368/4 = 8342
+    assert(MediaCodec.wavPcm.open().decode(wav) === ((16000, 4, 8342L)))
+    // Insert an unknown odd-sized chunk between fmt and data: the
+    // walker must skip it (with word-alignment padding) and still land
+    // on the data chunk.
+    val head = wav.take(36) // RIFF header + fmt chunk
+    val tail = wav.drop(36) // data chunk
+    val junk = java.nio.ByteBuffer.allocate(8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("LIST".getBytes("US-ASCII")); junk.putInt(3) // odd size -> pad
+    junk.put(Array[Byte](1, 2, 3, 0))
+    val padded = head ++ junk.array() ++ tail
+    assert(MediaCodec.wavPcm.open().decode(padded) === ((16000, 4, 8342L)))
+    // Non-WAV payloads are rejected, not misparsed.
+    intercept[IllegalArgumentException] {
+      MediaCodec.wavPcm.open().decode("definitely not audio".getBytes)
+    }
+  }
+
   test("nearest-neighbor resize samples exactly the expected source rows") {
     // 4×16 gradient (row y = gray 10+y) resized to 8×8: target row y
     // samples source row (y*16)/8 = 2y, so the resized mean must be
