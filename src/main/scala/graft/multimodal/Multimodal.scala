@@ -130,6 +130,26 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic YUV4MPEG2 (.y4m) payload generator — uncompressed
+    * 4:2:0 video: plain-text stream header, then `FRAME\n` + raw
+    * Y/U/V planes per frame. Frame `f` is uniform luma `lumas(f)`
+    * (chroma neutral 128), so decoded dimensions, frame counts, and
+    * sampled-luma means are exact arithmetic, checkable by a
+    * non-video oracle. */
+  def makeY4m(w: Int, h: Int, lumas: Array[Int]): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "4:2:0 needs even dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    lumas.foreach { l =>
+      out.write(frameHdr)
+      out.write(Array.fill(w * h)(l.toByte))
+      val uv = Array.fill(w * h / 4)(128.toByte)
+      out.write(uv); out.write(uv)
+    }
+    out.toByteArray
+  }
+
   /** Deterministic uniform-gray PNG — the test/query payload generator
     * (PNG is lossless, so decoded dimensions and pixel means are exact
     * arithmetic functions of the inputs, checkable by a non-image
@@ -209,6 +229,53 @@ object MediaCodec {
       (rate, n, meanAbs)
     }
   }
+
+  /** REAL video frame-sampling for uncompressed YUV4MPEG2 — a
+    * hand-rolled .y4m parser (header tags, per-frame `FRAME` markers,
+    * raw 4:2:0 planes; no codec libs needed). Decodes every
+    * `every`-th frame's Y plane and returns (width, height, total
+    * frames, sampled frames, mean luma over sampled pixels) — the
+    * frame-sampling step of a video training pipeline, for real.
+    * Compressed video (h264/vp9) still needs an ffmpeg binding — see
+    * [[stub]]. */
+  def y4mFrameSample(every: Int): MediaCodec[(Int, Int, Int, Int, Long)] =
+    () => new Session[(Int, Int, Int, Int, Long)] {
+      def decode(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+        var nl = 0
+        while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+        require(nl > 9 && nl < bytes.length, "missing y4m stream header")
+        val header = new String(bytes, 0, nl, "US-ASCII")
+        require(header.startsWith("YUV4MPEG2"), "payload is not YUV4MPEG2")
+        var w = -1; var h = -1
+        header.split(' ').drop(1).foreach { t =>
+          if (t.startsWith("W")) w = t.tail.toInt
+          else if (t.startsWith("H")) h = t.tail.toInt
+          else if (t.startsWith("C")) require(t == "C420", "only 4:2:0 supported")
+        }
+        require(w > 0 && h > 0, "y4m header missing W/H")
+        val frameLen = w * h + 2 * (w * h / 4)
+        var pos = nl + 1
+        var frames = 0; var sampled = 0; var sum = 0L
+        while (pos < bytes.length) {
+          require(pos + 5 <= bytes.length &&
+            new String(bytes, pos, 5, "US-ASCII") == "FRAME", "bad FRAME marker")
+          var q = pos
+          while (bytes(q) != '\n') q += 1 // FRAME may carry parameters
+          val body = q + 1
+          require(body + frameLen <= bytes.length, "truncated frame")
+          if (frames % every == 0) {
+            var i = 0
+            while (i < w * h) { sum += bytes(body + i) & 0xff; i += 1 }
+            sampled += 1
+          }
+          frames += 1
+          pos = body + frameLen
+        }
+        require(frames > 0, "no frames")
+        (w, h, frames, sampled,
+          if (sampled == 0) 0L else sum / (sampled.toLong * w * h))
+      }
+    }
 
   /** REAL decode→resize codec: `javax.imageio` decode, then
     * [[Multimodal.resizeNearest]] to `tw`×`th`, returning the resized

@@ -10,8 +10,12 @@ import graft.multimodal.{MediaCodec, Multimodal}
   * through the JDK's `javax.imageio` per partition — whose decoded
   * dimensions and pixel means the oracle checks arithmetically (PNG is
   * lossless, so decode must reproduce the generator's parameters
-  * exactly). Audio/video stay stubbed (no codec libs in this
-  * environment; see [[graft.multimodal.Multimodal]]).
+  * exactly); `mm_image_resize` adds the exact nearest-neighbor
+  * resample. `mm_audio_decode` (WAV/PCM via a RIFF chunk walker) and
+  * `mm_video_frames` (YUV4MPEG2 frame sampling) make the audio and
+  * video columns real for uncompressed formats — only compressed
+  * codecs (mp3/h264) stay stubbed (no codec libs in this environment;
+  * see [[graft.multimodal.Multimodal]]).
   */
 object MmQueries {
 
@@ -82,6 +86,31 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL video frame-sampling: deterministic uncompressed YUV4MPEG2
+    // streams (uniform-luma frames) parsed by the hand-rolled .y4m
+    // walker; every 3rd frame's Y plane is decoded and the oracle
+    // recomputes exactly which frames survive sampling and their mean
+    // luma — frame selection arithmetic is value-checked like the
+    // image resample's row selection.
+    "mm_video_frames" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val codec = MediaCodec.y4mFrameSample(3).open()
+          it.map { id =>
+            val w = 8 + (id % 8).toInt * 2
+            val h = 8 + ((id * 3) % 8).toInt * 2
+            val nf = 4 + (id % 12).toInt
+            val lumas = Array.tabulate(nf)(f => ((id * 13 + f * 7) % 256).toInt)
+            val (dw, dh, frames, sampled, meanLuma) =
+              codec.decode(Multimodal.makeY4m(w, h, lumas))
+            (id, dw, dh, frames, sampled, meanLuma)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "n_sampled", "mean_luma")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_meta" -> { (s, dir) =>
       val payload = Multimodal.asPayload(col("text"))
       table(s, dir, "documents")
@@ -120,6 +149,19 @@ object MmQueries {
         |  CAST(list_sum(list_transform(range(0, 64 + doc_id % 64),
         |    i -> abs((doc_id + i * 37) % 2048 - 1024)))
         |    // (64 + doc_id % 64) AS BIGINT) AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Sampled frames are 0,3,6,... (< nf), i.e. i*3 for i in
+    // [0, ceil(nf/3)); frame f's uniform luma is (id*13 + f*7) % 256,
+    // so sampled frame i contributes (id*13 + i*21) % 256.
+    "mm_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+        |  CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS height,
+        |  CAST(4 + doc_id % 12 AS INT) AS n_frames,
+        |  CAST((4 + doc_id % 12 + 2) // 3 AS INT) AS n_sampled,
+        |  CAST(list_sum(list_transform(range(0, (4 + doc_id % 12 + 2) // 3),
+        |    i -> (doc_id * 13 + i * 21) % 256))
+        |    // ((4 + doc_id % 12 + 2) // 3) AS BIGINT) AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,

@@ -331,6 +331,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("y4m codec samples every k-th frame and means only those lumas") {
+    // 5 frames of lumas 10,20,30,40,50; every=2 samples frames 0,2,4
+    // -> mean (10+30+50)/3 = 30. Dimensions and counts decode exactly.
+    val y4m = Multimodal.makeY4m(4, 2, Array(10, 20, 30, 40, 50))
+    assert(MediaCodec.y4mFrameSample(2).open().decode(y4m) ===
+      ((4, 2, 5, 3, 30L)))
+    // every=1 is a full decode: mean (10+20+30+40+50)/5 = 30.
+    assert(MediaCodec.y4mFrameSample(1).open().decode(y4m) ===
+      ((4, 2, 5, 5, 30L)))
+    // Non-y4m payloads are rejected, not misparsed.
+    intercept[IllegalArgumentException] {
+      MediaCodec.y4mFrameSample(2).open().decode("not a video".getBytes)
+    }
+  }
+
   test("nearest-neighbor resize samples exactly the expected source rows") {
     // 4×16 gradient (row y = gray 10+y) resized to 8×8: target row y
     // samples source row (y*16)/8 = 2y, so the resized mean must be
