@@ -92,6 +92,15 @@ class KvBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
+    // Serialize the commit's meta + manifest read-modify-write against
+    // other committers (v1 writers hold the same lock across their whole
+    // job): a concurrent committer can no longer drop this job's
+    // manifest segment or race the counter bump. (The LWW version V2
+    // tasks stamp is still assigned at job START — concurrent V2
+    // appends serialize their metadata but may share a version; the
+    // single-writer contract below remains the guidance for strict
+    // cross-job LWW ordering.)
+    graft.kv.TableLock.withLock(path, conf) {
     val fs = new HPath(path).getFileSystem(conf)
     if (truncate) preExisting.foreach(f => fs.delete(f.getPath, false))
     kvSchemaJson.foreach { json =>
@@ -135,6 +144,7 @@ class KvBatchWrite(path: String, schema: StructType,
     val (prevVer, prevBuckets) = KvV2Util.readMeta(path, conf)
     KvV2Util.writeMeta(path, conf, prevVer + 1,
       if (truncate) 0 else prevBuckets)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

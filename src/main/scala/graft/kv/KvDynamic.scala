@@ -110,6 +110,7 @@ object KvDynamic {
                  versionFrom: Option[Column] = None,
                  declaredFamilies: Option[Seq[String]] = None): Unit = {
     val spark = cells.sparkSession
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     mode match {
       case SinkMode.Keep if exists(spark, path) =>
         throw new IllegalStateException(s"KvDynamic $path exists and mode is Keep")
@@ -144,6 +145,7 @@ object KvDynamic {
     val newFams = declaredFamilies.getOrElse(
       obs.get.get.apply("fams").asInstanceOf[scala.collection.Seq[String]].toSeq)
     writeMeta(spark, path, keyField, prevFams ++ newFams, batch)
+    }
   }
 
   /** Wide-row convenience write: `df` holds the key plus one
@@ -182,6 +184,7 @@ object KvDynamic {
   private def appendTombstones(rows: DataFrame, path: String,
                                version: Option[Long]): Unit = {
     val spark = rows.sparkSession
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     require(exists(spark, path), s"KvDynamic $path does not exist")
     val (keyField, fams, prevVer) = readMeta(spark, path)
     val batch = version.getOrElse(prevVer + 1)
@@ -197,6 +200,7 @@ object KvDynamic {
     // version would let a later auto-versioned write collide with live
     // cell versions and decide LWW by arbitrary seq ties
     writeMeta(spark, path, keyField, fams, math.max(prevVer, batch))
+    }
   }
 
   /** Flat LWW cell view: one row per LIVE (key, family, qualifier),

@@ -112,6 +112,10 @@ object KvTable {
             mode: SinkMode = SinkMode.Append,
             versionFrom: Option[Column] = None): Unit = {
     val spark = df.sparkSession
+    // The lock spans version ALLOCATION through meta/manifest publish:
+    // two concurrent appends can no longer both compute prevVer + 1
+    // (which would collapse their LWW ordering to arbitrary seq ties).
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     mode match {
       case SinkMode.Keep if exists(spark, path) =>
         throw new IllegalStateException(s"KvTable $path exists and mode is Keep")
@@ -138,6 +142,7 @@ object KvTable {
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(false))
     appendRaw(out, path, schema, batch)
+    }
   }
 
   /** Delete by key: append tombstone markers (`Delete` mutations,
@@ -153,6 +158,7 @@ object KvTable {
   def delete(keys: DataFrame, path: String, schema: KvSchema,
              version: Option[Long] = None): Unit = {
     val spark = keys.sparkSession
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     require(exists(spark, path), s"KvTable $path does not exist")
     val batch = version.getOrElse(readMetaVersion(spark, path) + 1)
     // Tombstone rows must carry the TABLE's value types: parquet reads
@@ -168,6 +174,7 @@ object KvTable {
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(true))
     appendRaw(out, path, schema, batch)
+    }
   }
 
   private def appendRaw(df: DataFrame, path: String, schema: KvSchema,
@@ -419,14 +426,15 @@ object KvTable {
     * `__version` values and the meta version counter are preserved so
     * LWW ordering survives compaction in every version domain.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     val schema = readSchema(spark, path)
     val lastVer = readMetaVersion(spark, path)
     val current = collapseKeepVersion(readRaw(spark, path), schema)
       .withColumn(SeqCol, lit(0L))
       .withColumn(TombstoneCol, lit(false))
     swapData(spark, path, current, buckets = 0, lastVersion = lastVer)
-  }
+    }
 
   /** Major compaction INTO a hash-bucketed layout: the log is rewritten
     * as `__bucket=<pmod(hash(key), n)>/...` partition directories, one
@@ -435,7 +443,8 @@ object KvTable {
     * touch exactly one bucket directory via ordinary partition pruning —
     * the HBase region-addressing analog for read-mostly tables.
     */
-  def compactBucketed(spark: SparkSession, path: String, buckets: Int): Unit = {
+  def compactBucketed(spark: SparkSession, path: String, buckets: Int): Unit =
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     require(buckets > 0, "buckets must be positive")
     val schema = readSchema(spark, path)
     val lastVer = readMetaVersion(spark, path)
@@ -445,7 +454,7 @@ object KvTable {
       .withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
       .repartition(buckets, col(BucketCol))
     swapData(spark, path, current, buckets, lastVersion = lastVer)
-  }
+    }
 
   /** Swap the rewritten log in with the old generation renamed ASIDE
     * (never deleted first): every rename/delete result is CHECKED — a
