@@ -390,6 +390,22 @@ object KvTable {
         col(VersionCol).as("version") :+ col("version_rank"): _*)
   }
 
+  /** Time-travel read: the LWW view AS OF `version` — only cells with
+    * `__version <= version` participate, so the result is exactly what
+    * [[read]] returned when the table's counter stood at `version`.
+    * Free on a log-structured table (HBase's `Scan.setTimeRange` upper
+    * bound, and the VERSION AS OF snapshot read of Delta/Iceberg): the
+    * version predicate lands on the parquet scan and prunes whole
+    * append batches via file min/max stats BEFORE the collapse. Note
+    * compaction rewrites history into the single current version —
+    * as-of reads see through appends, not across compactions (same as
+    * HBase: a major compaction discards shadowed cells).
+    */
+  def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val schema = readSchema(spark, path)
+    collapse(readRaw(spark, path).filter(col(VersionCol) <= version), schema)
+  }
+
   /** Client-side direct read (`HBaseTap.openForRead` ->
     * `TupleEntryIterator`, `HBaseTap.java:107-113`): a driver-local
     * iterator over the LWW view in key order, streaming partitions one

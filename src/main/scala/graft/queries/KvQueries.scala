@@ -221,6 +221,7 @@ object KvQueries {
     "kv_roundtrip" -> ((s, d) => { setupRoundtrip(s, d); () }),
     "kv_append_upsert" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_versions" -> ((s, d) => { setupAppendUpsert(s, d); () }),
+    "kv_time_travel" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
@@ -311,6 +312,19 @@ object KvQueries {
         .orderBy(col("o_custkey"), col("version_rank"))
     },
 
+    // Time-travel (snapshot) read: the LWW view AS OF the end of 1995 —
+    // only cells whose event-time version predates 1996 participate, so
+    // the result is the table as it stood before the second (1996+)
+    // append batch. The version predicate prunes newer batches at the
+    // parquet scan (file min/max on __version) before the collapse.
+    "kv_time_travel" -> { (s, dir) =>
+      val path = setupAppendUpsert(s, dir)
+      // versions are unix_ts(o_orderdate)*1e9 + orderkey; everything
+      // strictly below the 1996-01-01 epoch bound is the 1995 snapshot
+      KvTable.readAsOf(s, path, 820454400L * 1000000000L - 1)
+        .orderBy(col("o_custkey"))
+    },
+
     // Rowkey-range scan over a byte-lex string rowkey (the HBase Scan
     // [startRow, stopRow) analog with correct closed-open bounds —
     // SURVEY.md §2b documents the reference's boundary bugs we fix).
@@ -366,6 +380,13 @@ object KvQueries {
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_time_travel" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
     "kv_v2_scan" ->

@@ -96,6 +96,22 @@ class KvTableSpec extends SparkSpec {
     assert(rows === Array(("k1", "new")))
   }
 
+  test("readAsOf returns the exact snapshot before later upserts and deletes") {
+    val path = TestSpark.scratch("kv-asof")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.write(Seq(("a", "v1"), ("b", "v1"), ("c", "v1")).toDF("k", "v"),
+      path, s, SinkMode.Replace)                       // batch 1
+    KvTable.write(Seq(("b", "v2")).toDF("k", "v"), path, s) // batch 2
+    KvTable.delete(Seq("c").toDF("k"), path, s)            // batch 3
+    def view(asOf: Long) = KvTable.readAsOf(spark, path, asOf)
+      .orderBy("k").as[(String, String)].collect()
+    assert(view(1L) === Array(("a", "v1"), ("b", "v1"), ("c", "v1")))
+    assert(view(2L) === Array(("a", "v1"), ("b", "v2"), ("c", "v1")))
+    assert(view(3L) === Array(("a", "v1"), ("b", "v2"))) // == read()
+    assert(KvTable.read(spark, path).orderBy("k")
+      .as[(String, String)].collect() === view(3L))
+  }
+
   test("tombstone delete removes a key; re-upsert resurrects it") {
     val path = TestSpark.scratch("kv-tomb")
     KvTable.write(parsed, path, schema, SinkMode.Replace)
