@@ -252,6 +252,47 @@ object RelationalQueries {
           "AS DECIMAL(18,4))) AS DOUBLE)").as("revenue"))
     },
 
+    // TPC-H Q4 order-priority checking, adapted to the testdata's
+    // columns (lateness = a lineitem shipped >90 days after the order
+    // date; the reference Q4 uses commit/receipt dates the synthetic
+    // tables don't carry). Expressed through SQL EXISTS — Catalyst
+    // rewrites the correlated subquery to a left-semi hash join, so the
+    // fact table streams through one semi-join + one small aggregation.
+    "q_tpch_q4" -> { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("orders_q4")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM orders_q4
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_q4
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // TPC-H Q14 promo-revenue share: month of lineitems joined to the
+    // (broadcast) part dim; both sums accumulate in exact DECIMAL and
+    // only the final ratio converts to double, so the answer is
+    // partitioning-independent.
+    "q_tpch_q14" -> { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+      val p = table(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .agg(expr(
+          """CAST(CAST(100 AS DOUBLE) *
+            |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+            |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+            |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+            |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            |    AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)""".stripMargin)
+          .as("promo_revenue"))
+    },
+
     // Exact percentiles (sort-based interpolated, Spark `percentile` ==
     // DuckDB `quantile_cont`: both linear-interpolate at (n-1)p, and the
     // inputs are small integers so the arithmetic is float-exact). For
@@ -900,6 +941,26 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT CAST(CAST(100 AS DOUBLE) *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
     "q_tpch_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
         |    AS DOUBLE) AS revenue

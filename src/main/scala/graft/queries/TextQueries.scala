@@ -185,6 +185,28 @@ object TextQueries {
     },
 
     // Global top-20 bigrams by frequency (native shingle expression).
+    // TF-IDF-style distinctive terms, kept integer-exact: top-3 tokens
+    // per document ranked by (term frequency DESC, document frequency
+    // ASC, token) — the same ordering tf·log(N/df) induces for fixed tf,
+    // without cross-engine float log hazards. Shape at scale: one
+    // tokenize pass, partial-agg tf shuffle on (doc, token), df is a
+    // second aggregation of the (already small) tf table, and the
+    // df join back is a plain shuffle join keyed by token.
+    "text_tfidf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(df, "token")
+        .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
     "text_ngrams" -> { (s, dir) =>
       graft.functions.Native.register(s)
       val t = TextOps.tokens(col("text"))
@@ -320,6 +342,19 @@ object TextQueries {
          |         ELSE 0 END)), 0) AS BIGINT) AS score
          |FROM (SELECT doc_id, $toks AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+         |SELECT doc_id, token, tf, df, rk FROM (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, df.df ASC, tf.token) AS INT) AS rk
+         |  FROM tf JOIN df USING (token))
+         |WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
     "text_ngrams" ->
       s"""SELECT bigram, COUNT(*) AS cnt
          |FROM (SELECT unnest(list_transform(range(1, len(t)),
