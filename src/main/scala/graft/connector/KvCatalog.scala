@@ -47,11 +47,36 @@ import graft.kv.{KvField, KvSchema}
   * the writer (one batch version per statement — each INSERT is one
   * HBase "flush", newest wins).
   */
-class KvCatalog extends TableCatalog with SupportsNamespaces {
+class KvCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
   private def conf = new Configuration()
+
+  // --- maintenance procedures: SQL `CALL graft_kv.system.compact(...)`
+  // maps the reference's admin-side maintenance (HBase major compaction,
+  // triggered through HBaseAdmin like the lifecycle ops in
+  // HBaseTap.java:69-101) onto Spark's ProcedureCatalog.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "compact"))
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    ident.name().toLowerCase match {
+      case "compact" => new KvCompactProcedure(this)
+      case other => throw new UnsupportedOperationException(
+        s"kvtable catalog has no procedure '$other' (available: compact)")
+    }
+
+  /** Resolve a `ns.table` string (catalog-relative, like ALTER TABLE
+    * RENAME targets) to its warehouse path. */
+  private[connector] def resolvePath(tableRef: String): String = {
+    val parts = tableRef.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    require(tableExists(ident), s"kvtable: no such table $tableRef")
+    tablePath(ident)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -195,5 +220,42 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
       f.delete(p, true)
     }
     existed
+  }
+}
+
+/** `CALL <catalog>.system.compact(table => 'ns.t' [, buckets => N])` —
+  * major compaction through SQL: rewrites the log to one current
+  * version per key ([[graft.kv.KvTable.compact]]); `buckets > 0`
+  * compacts INTO a hash-bucketed layout
+  * ([[graft.kv.KvTable.compactBucketed]]) so later point lookups prune
+  * to one bucket directory. Side-effect procedure: returns no rows.
+  * Serialized against concurrent writers by the table lock. */
+class KvCompactProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "major-compact a kvtable (optionally into a bucketed layout)"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[procedures.ProcedureParameter] = Array(
+    procedures.ProcedureParameter
+      .in("table", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("catalog-relative table reference, e.g. ns.t").build(),
+    procedures.ProcedureParameter
+      .in("buckets", org.apache.spark.sql.types.DataTypes.IntegerType)
+      .defaultValue("0")
+      .comment("hash-bucket count for the compacted layout; 0 = flat").build())
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val tableRef = input.getUTF8String(0).toString
+    val buckets = if (input.isNullAt(1)) 0 else input.getInt(1)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val path = cat.resolvePath(tableRef)
+    if (buckets > 0) graft.kv.KvTable.compactBucketed(spark, path, buckets)
+    else graft.kv.KvTable.compact(spark, path)
+    java.util.Collections.emptyIterator()
   }
 }

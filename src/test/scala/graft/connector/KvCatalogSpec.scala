@@ -69,6 +69,34 @@ class KvCatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("cat_test.ns.t2"))
   }
 
+  test("CALL system.compact rewrites the log; bucketed variant prunes gets") {
+    ensureCatalog()
+    spark.sql(
+      "CREATE TABLE cat_test.cmp (k BIGINT, n BIGINT) USING kvtable")
+    spark.sql("INSERT INTO cat_test.cmp (k, n) " +
+      "SELECT id, id * 10 FROM range(0, 100)")
+    spark.sql("INSERT INTO cat_test.cmp (k, n) " +
+      "SELECT id, id * 100 FROM range(0, 50)") // newer batch upserts half
+    val path = s"$warehouse/cmp"
+    assert(spark.table("cat_test.cmp").count() === 150) // raw log, 2 batches
+
+    // flat major compaction: one current version per key, LWW unchanged
+    spark.sql("CALL cat_test.system.compact(table => 'cmp')")
+    assert(spark.table("cat_test.cmp").count() === 100)
+    val lww = KvTable.read(spark, path)
+    assert(lww.count() === 100)
+    assert(lww.filter(col("k") === 7).select("n").as[Long].head() === 700L)
+
+    // bucketed compaction through the positional-args form
+    spark.sql("CALL cat_test.system.compact('cmp', 4)")
+    assert(KvTable.numBuckets(spark, path) === 4)
+    assert(KvTable.get(spark, path, 7).select("n").as[Long].head() === 700L)
+
+    // unknown procedure is a clear error
+    intercept[Exception] { spark.sql("CALL cat_test.system.nope('x')") }
+    spark.sql("DROP TABLE cat_test.cmp")
+  }
+
   test("INSERT OVERWRITE truncates driver-side (Replace semantics)") {
     ensureCatalog()
     spark.sql(
