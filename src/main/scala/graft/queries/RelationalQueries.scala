@@ -293,6 +293,28 @@ object RelationalQueries {
           .as("promo_revenue"))
     },
 
+    // TPC-H Q18 large-volume customers: the HAVING-filtered semi-join
+    // shape — a partial-agg over lineitem finds qualifying orders, the
+    // fact joins against that (semi), the small customer dim broadcasts,
+    // and TakeOrderedAndProject caps the result without a global sort.
+    "q_tpch_q18" -> { (s, dir) =>
+      val l = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("sq"))
+        .filter(col("sq") > 220)
+        .select(col("l_orderkey").as("big_orderkey"))
+      o.join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+
     // Exact percentiles (sort-based interpolated, Spark `percentile` ==
     // DuckDB `quantile_cont`: both linear-interpolate at (n-1)p, and the
     // inputs are small integers so the arithmetic is float-exact). For
@@ -961,6 +983,17 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 220)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_tpch_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
         |    AS DOUBLE) AS revenue
