@@ -94,6 +94,40 @@ class KvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked session window in APPEND mode emits only closed sessions") {
+    // The bounded-state production shape stream_sessionize's complete
+    // mode documents as its 100 TB variant: with a watermark, append
+    // mode emits a session only once the watermark passes its end —
+    // state for closed sessions is dropped, late data beyond the
+    // watermark is discarded.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val sessions = input.toDS().toDF("t", "k")
+      .withWatermark("t", "10 minutes")
+      .groupBy(col("k"), session_window(col("t"), "5 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("sw.start").cast("string").as("start"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "a"), (ts(2), "a"), (ts(20), "a"))
+      q.processAllAvailable()
+      // watermark (20:00 - 10m = 10:00) passed the first session's end
+      // (02:00 + 5m): it is emitted and its state dropped; the 20:00
+      // session stays open and unemitted.
+      val emitted = spark.table("sess").as[(String, String, Long)].collect()
+      assert(emitted.toSeq === Seq(("a", "2024-01-01 10:00:00", 2L)))
+      // advance far enough to close the second session too
+      input.addData((ts(59), "a"))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[(String, String, Long)].collect().sortBy(_._2)
+      assert(all.map(r => (r._2, r._3)).toSeq ===
+        Seq(("2024-01-01 10:00:00", 2L), ("2024-01-01 10:20:00", 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
