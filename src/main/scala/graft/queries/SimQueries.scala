@@ -12,6 +12,40 @@ object SimQueries {
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT))"
 
+  /** Train the PQ codebooks once and persist them — the model artifact
+    * `ann_pq_topk` serves from. This is the production split PQ
+    * assumes: codebooks train OFFLINE (on a sample at corpus scale);
+    * encode+search serve online. Bench therefore trains untimed (like
+    * scratch-table setup) and times the serving path; Verify rebuilds
+    * every run (no reuse marker), so the gate still covers training.
+    */
+  private def trainPqModel(s: org.apache.spark.sql.SparkSession,
+                           dir: String): Seq[Seq[Seq[Long]]] = {
+    val path = scratchDir("ann_pq_model", dir)
+    val file = java.nio.file.Paths.get(path, "codebooks.txt")
+    ensureSetup(path) {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cb = Similarity.pqTrain(corpus, m = 4, k = 16, iters = 2)
+      java.nio.file.Files.createDirectories(file.getParent)
+      java.nio.file.Files.writeString(file,
+        cb.map(_.map(_.mkString(",")).mkString(";")).mkString("\n"))
+      // the code table IS the index — build it with the model, serve
+      // from it (the PQ analog of the persisted IVF assignment table)
+      Similarity.pqEncode(corpus, cb).write.mode("overwrite")
+        .parquet(s"$path/codes")
+    }
+    java.nio.file.Files.readString(file).split('\n').toSeq
+      .map(_.split(';').toSeq.map(_.split(',').toSeq.map(_.toLong)))
+  }
+
+  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(scratchDir("ann_pq_model", dir) + "/codes")
+
+  val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
+    Map("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }))
+
   val defs: Map[String, Q] = Map(
     // Exact brute-force top-5 cosine neighbors for the first 10 vectors:
     // query side broadcast, corpus scanned once, per-query heap via
@@ -44,6 +78,25 @@ object SimQueries {
     // Engine-specific training -> rows-only driver check; run-to-run
     // determinism is asserted by QueryDeterminismSpec like every query,
     // and centroid/search correctness by SimilaritySpec.
+    // PQ-compressed ANN — train→encode→ADC-scan→exact-rerank, the
+    // memory-bandwidth path for billion-vector corpora: vectors travel
+    // as 4 codebook codes (16× smaller than the 64 floats), scanning
+    // costs 4 table lookups per vector, and only the top-50 candidates
+    // touch real vectors for the exact integer-cosine rerank.
+    // Engine-specific compression -> rows-only driver check; recall,
+    // code purity, and training determinism are spec-asserted
+    // (SimilaritySpec), run-to-run determinism by QueryDeterminismSpec.
+    "ann_pq_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cb = trainPqModel(s, dir) // persisted model; trains if absent
+      Similarity.pqSearchEncoded(queries, pqCodes(s, dir), corpus, cb,
+          rerank = 50, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     "ann_kmeans_ivf" -> { (s, dir) =>
       val e = table(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)

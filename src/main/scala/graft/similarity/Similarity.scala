@@ -200,6 +200,123 @@ object Similarity {
       .toDF("cid", "cvec")
   }
 
+  // --- Product quantization (PQ) ---------------------------------------
+
+  /** Train PQ codebooks: the vector space splits into `m` contiguous
+    * subspaces and each runs the deterministic [[kmeansCentroids]] on
+    * its slice of the corpus. Returns `codebooks(s)(c)` = quantized
+    * sub-centroid `c` of subspace `s` — model parameters (m·k·subDim
+    * longs, a few KB), legitimately driver-side like any trained model.
+    *
+    * At 100 TB: training cost is `m` passes over a SAMPLE (PQ codebooks
+    * converge on samples; pass a sampled corpus), encode is one full
+    * pass, and the resulting code table is dims·4/m× smaller than the
+    * vectors — the scan-side win that makes billion-vector ANN
+    * memory-bandwidth-feasible.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int,
+              iters: Int = 2): Seq[Seq[Seq[Long]]] = {
+    val dims = corpus.select(size(col("vec"))).head.getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      kmeansCentroids(corpus.select(col("id"),
+          slice(col("vec"), s * sub + 1, sub).as("vec")), k, iters)
+        .orderBy(col("cid")).collect()
+        .map(_.getSeq[Double](1).map(v => math.round(v * Scale)).toSeq)
+        .toSeq
+    }
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Encode each vector as `m` sub-centroid codes (nearest by exact
+    * integer L2² in each subspace, ties to the lowest code). One
+    * codegen'd corpus pass; codebooks travel as a literal, no join. */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val cb = typedlit(codebooks)
+    val vq = quantize(col("vec"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val subv = slice(vq, s * lit(sub) + lit(1), lit(sub))
+      aggregate(sequence(lit(0), lit(k - 1)),
+        struct(lit(-1).cast("int").as("c"), lit(Long.MaxValue).as("d")),
+        (acc, c) => {
+          val d = sqDist(subv, element_at(element_at(cb, s + lit(1)), c + lit(1)))
+          when(d < acc.getField("d"),
+            struct(c.cast("int").as("c"), d.as("d"))).otherwise(acc)
+        }).getField("c")
+    })
+    corpus.select(col("id"), codes.as("codes"))
+  }
+
+  /** PQ approximate top-k with exact rerank (asymmetric distance
+    * computation): per query, a small table of sub-dot-products against
+    * every sub-centroid is precomputed once; scanning a vector then
+    * costs `m` table lookups instead of `dims` multiplies, and the
+    * approximate cosine uses the RECONSTRUCTED corpus norm (a second,
+    * query-independent lookup table). The top-`rerank` candidates join
+    * their real vectors back for an exact integer-cosine rerank — the
+    * standard IVF-PQ refinement step, here over the full code table.
+    * Engine-specific compression → rows-only driver check; recall vs
+    * the exact scan is spec-asserted (SimilaritySpec).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             codebooks: Seq[Seq[Seq[Long]]], rerank: Int, k: Int): DataFrame =
+    pqSearchEncoded(queries, pqEncode(corpus, codebooks), corpus,
+      codebooks, rerank, k)
+
+  /** PQ search over a PRE-BUILT code table — the serving path: at scale
+    * the `(id, codes)` table is the persisted index (built once by
+    * [[pqEncode]], like the IVF assignment table), and a search touches
+    * codes + the `rerank` candidate vectors only. */
+  def pqSearchEncoded(queries: DataFrame, codeTable: DataFrame,
+                      corpus: DataFrame, codebooks: Seq[Seq[Seq[Long]]],
+                      rerank: Int, k: Int): DataFrame = {
+    graft.functions.Native.register(queries.sparkSession)
+    val m = codebooks.length
+    val nCent = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val cb = typedlit(codebooks)
+    // query-side ADC table: dtab(s)(c) = <q_s, cb(s)(c)>  (exact longs)
+    val qv = quantize(col("qvec"))
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(nCent - 1)), c =>
+        dotQ(slice(qv, s * lit(sub) + lit(1), lit(sub)),
+          element_at(element_at(cb, s + lit(1)), c + lit(1)))))
+    val q = broadcast(queries.select(col("qid"), qv.as("qq"), dtab.as("dtab")))
+    // corpus-side reconstructed self-dots: ntab(s)(c) = |cb(s)(c)|²
+    val ntab = typedlit(codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    val codeTab = codeTable
+      .withColumn("selfq", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, s) => acc +
+          element_at(element_at(ntab, s + lit(1)),
+            element_at(col("codes"), s + lit(1)) + lit(1))))
+    val approx = codeTab.join(q, col("qid") =!= col("id"))
+      .withColumn("adot", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, s) => acc +
+          element_at(element_at(col("dtab"), s + lit(1)),
+            element_at(col("codes"), s + lit(1)) + lit(1))))
+      .withColumn("ascore",
+        col("adot").cast("double") / sqrt(col("selfq").cast("double")))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("id"))
+    val cands = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= rerank)
+      .select(col("qid"), col("id"), col("qq"))
+    val vecs = corpus.select(col("id"), quantize(col("vec")).as("cq"))
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    cands.join(vecs, "id")
+      .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ `minCosine`, bucketed by the LSH
     * signature (colinear vectors always share a signature, so exact
     * duplicates are never missed; near-dups are found with the usual

@@ -269,6 +269,42 @@ class SimilaritySpec extends SparkSpec {
       dims = 4, minCosine = 0.5, bits = 20)
     assert(wide.count() === 3L) // 3 ids -> 3 pairs
   }
+
+  test("PQ: codebooks train deterministically, codes reconstruct clusters, " +
+    "search with exact rerank recalls the brute-force top-k") {
+    // 3 angular clusters in 8 dims (2 subspaces of 4): PQ codes must
+    // separate them, and pqTopK with a generous rerank must reproduce
+    // the exact scan's neighbor SET.
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val base = Array.fill(8)(0.0)
+      base(axis) = 10.0
+      base(axis + 4) = 10.0
+      base((axis + 1) % 3) = 0.2 * (i / 3)
+      (i.toLong, base.toSeq)
+    }
+    val corpus = vecs.toDF("id", "vec")
+    val cb1 = Similarity.pqTrain(corpus, m = 2, k = 3, iters = 3)
+    val cb2 = Similarity.pqTrain(corpus, m = 2, k = 3, iters = 3)
+    assert(cb1 === cb2) // deterministic training
+    assert(cb1.length === 2 && cb1.forall(_.length === 3))
+    // same-cluster vectors share a code word; different clusters differ
+    val codes = Similarity.pqEncode(corpus, cb1)
+      .as[(Long, Seq[Int])].collect().toMap
+    (0 until 3).foreach { axis =>
+      val cluster = (0 until 30).filter(_ % 3 == axis).map(i => codes(i.toLong))
+      assert(cluster.distinct.size === 1, s"cluster $axis split: $cluster")
+    }
+    assert((0 until 3).map(a => codes(a.toLong)).distinct.size === 3)
+    // search: top-3 of query 0 under PQ+rerank == exact top-3 set
+    val queries = corpus.filter($"id" === 0L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val pq = Similarity.pqTopK(queries, corpus, cb1, rerank = 10, k = 3)
+      .select($"id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select($"id").as[Long].collect().toSet
+    assert(pq === exact, s"pq $pq != exact $exact")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
