@@ -21,13 +21,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KvQueries.defs ++ RelationalQueries.defs ++ RelationalQueries.defs2 ++
-      TextQueries.defs ++ DedupQueries.defs ++ SimQueries.defs ++
-      MmQueries.defs ++ UdfQueries.defs ++ StreamQueries.defs
+      TpchQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      SimQueries.defs ++ MmQueries.defs ++ UdfQueries.defs ++
+      StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     KvQueries.oracles ++ RelationalQueries.oracles ++ RelationalQueries.oracles2 ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ SimQueries.oracles ++
-      MmQueries.oracles ++ UdfQueries.oracles ++ StreamQueries.oracles
+      TpchQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
+      SimQueries.oracles ++ MmQueries.oracles ++ UdfQueries.oracles ++
+      StreamQueries.oracles
 }
