@@ -80,6 +80,36 @@ object DedupQueries {
             expr("length(text) DIV 20").cast("string")), ngram = 2)
         .filter(col("jaccard") >= 0.1)
         .orderBy(col("id1"), col("id2"))
+    },
+
+    // Embedding-cosine near-dup: exact all-pairs cosine over integer-
+    // quantized vectors (the embedding analog of dedup_ngram_jaccard's
+    // exact verify). Corpus = embeddings ∪ deterministically perturbed
+    // copies of every 10th vector (+0.001·((i mod 7)−3) per dim, double
+    // arithmetic both engines reproduce bit-for-bit). This brute-force
+    // O(n²) shape is the exact-verify BASELINE; at corpus scale the
+    // same threshold runs through Similarity.lshNearDupPairs
+    // (`ann_lsh_neardup`) whose banded buckets make it the candidate
+    // generator and this cosine the per-candidate verify.
+    "dedup_embed_cosine" -> { (s, dir) =>
+      import graft.similarity.Similarity
+      val e = table(s, dir, "embeddings")
+      val base = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val copies = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + lit(0.001) * (((i + 1) % 7) - 3)).as("vec"))
+      val corpus = base.unionByName(copies)
+        .select(col("vec_id"), Similarity.quantize(col("vec")).as("q"))
+      graft.functions.Native.register(s)
+      corpus.select(col("vec_id").as("id1"), col("q").as("q1"))
+        .join(broadcast(corpus.select(col("vec_id").as("id2"), col("q").as("q2"))),
+          col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          graft.functions.Native.cosineQ(col("q1"), col("q2")).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+        .orderBy(col("id1"), col("id2"))
     }
   )
 
@@ -209,6 +239,28 @@ object DedupQueries {
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_ngram_jaccard" -> jaccardSql
+    "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_embed_cosine" ->
+      """WITH corpus AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) + 0.001 * ((i % 7) - 3))
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(vec, x -> CAST(round(x * 10000) AS BIGINT)) AS q
+        |  FROM corpus)
+        |SELECT id1, id2, cosine FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_dot_product(a.q, b.q)
+        |      / (sqrt(list_dot_product(a.q, a.q))
+        |         * sqrt(list_dot_product(b.q, b.q))) AS cosine
+        |  FROM qv a, qv b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.95
+        |ORDER BY id1, id2""".stripMargin
   )
 }

@@ -184,6 +184,165 @@ object TpchQueries {
           |                              TIMESTAMP '2000-01-01'))
           |GROUP BY cntrycode
           |ORDER BY cntrycode""".stripMargin)
+    },
+
+    // Q7 volume shipping: the two-nation-pair disjunction. Both nation
+    // dims pre-filter to the two names BEFORE broadcasting (the OR
+    // implies each side is one of the pair — Catalyst doesn't derive
+    // that IN from the disjunction on its own), so the broadcasts carry
+    // 2 rows each and the pair predicate evaluates post-join on the
+    // already-restricted stream. Fact tables shuffle-join on their
+    // natural keys; at 100 TB the l/o join dominates and neither dim
+    // touches an exchange.
+    "q_tpch_q7" -> { (s, dir) =>
+      val pair = Seq("NATION_3", "NATION_8")
+      val n1 = table(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = table(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
+          (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec4)).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Q8 national market share: conditional-aggregate ratio over an
+    // 8-table join (two roles for nation). Numerator and denominator
+    // sum the SAME decimal volume column (one CASE-gated), so one
+    // aggregate computes both and the double division of two exact
+    // decimals is engine-deterministic.
+    "q_tpch_q8" -> { (s, dir) =>
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("nat"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4)
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("p_partkey") === col("l_partkey"))
+        .join(table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(table(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("nat") === "NATION_5", vol)
+            .otherwise(lit(0).cast(dec4))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // Q9 product-type profit (adapted: p_retailprice stands in for the
+    // absent partsupp.ps_supplycost — same 6-table join shape, LIKE
+    // part filter, two-level group key). Profit is a DIFFERENCE of two
+    // separately-quantized positive products, so the decimal sum stays
+    // exact even where a line's profit is negative.
+    "q_tpch_q9" -> { (s, dir) =>
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_name").like("%red%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4)
+            - (col("p_retailprice") * col("l_quantity")).cast(dec4))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q12 shipping-priority audit (adapted: no shipmode/commit/receipt
+    // columns — the late-line predicate becomes ship>order+30d and the
+    // mode group becomes l_returnflag; the SHAPE is Q12's: one fact
+    // join, a join-side range filter, two CASE-conditional counts).
+    "q_tpch_q12" -> { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("orders_q12")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_q12")
+      s.sql(
+        """SELECT l_returnflag,
+          |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |      THEN 1 ELSE 0 END) AS high_line_count,
+          |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |      THEN 1 ELSE 0 END) AS low_line_count
+          |FROM orders_q12, lineitem_q12
+          |WHERE o_orderkey = l_orderkey
+          |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // Q16 supplier-count-by-part (adapted: lineitem is the part⇄supplier
+    // relation — no partsupp; the complaints NOT IN becomes a negative-
+    // balance exclusion). The shape survives intact: a null-aware anti
+    // join feeding COUNT(DISTINCT) under a wide group key.
+    "q_tpch_q16" -> { (s, dir) =>
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+      table(s, dir, "part").createOrReplaceTempView("part_q16")
+      table(s, dir, "supplier").createOrReplaceTempView("supplier_q16")
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem_q16, part_q16
+          |WHERE p_partkey = l_partkey
+          |  AND p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+          |  AND p_size IN (1, 9, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+          |                        WHERE s_acctbal < 0.0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    },
+
+    // Q20 excess-inventory suppliers (adapted: availqty-vs-half-of-
+    // shipments becomes 1996-share-of-lifetime-shipments > 0.9 with a
+    // volume floor — the nested IN chain and the correlated HAVING
+    // threshold over the same fact are the Q20 plan shape: two
+    // left-semi joins, the inner one against a grouped aggregate).
+    // Quantities sum as DECIMAL (the column is DOUBLE-typed whole
+    // numbers; decimal keeps the sums order-independent), and the
+    // 0.9 threshold multiplies exactly in decimal.
+    "q_tpch_q20" -> { (s, dir) =>
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+      table(s, dir, "part").createOrReplaceTempView("part_q20")
+      table(s, dir, "supplier").createOrReplaceTempView("supplier_q20")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier_q20
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM lineitem_q20
+          |  WHERE l_partkey IN (SELECT p_partkey FROM part_q20
+          |                      WHERE p_name LIKE 'red%')
+          |  GROUP BY l_suppkey, l_partkey
+          |  HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+          |                   AND l_shipdate < TIMESTAMP '1997-01-01'
+          |             THEN CAST(l_quantity AS DECIMAL(18,2))
+          |             ELSE CAST(0 AS DECIMAL(18,2)) END)
+          |       > CAST(0.9 AS DECIMAL(2,1))
+          |         * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+          |     AND SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 50)
+          |ORDER BY s_suppkey""".stripMargin)
     }
   )
 
@@ -277,6 +436,99 @@ object TpchQueries {
         |                          AND o_orderdate >=
         |                              TIMESTAMP '2000-01-01'))
         |GROUP BY cntrycode
-        |ORDER BY cntrycode""".stripMargin
+        |ORDER BY cntrycode""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |          AS volume
+        |      FROM supplier, lineitem, orders, customer,
+        |           nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey
+        |        AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN nat = 'NATION_5' THEN volume
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |          AS volume,
+        |        n2.n_name AS nat
+        |      FROM part, lineitem, orders, customer, supplier,
+        |           nation n1, region, nation n2
+        |      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |        AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |        AND c_nationkey = n1.n_nationkey
+        |        AND n1.n_regionkey = r_regionkey
+        |        AND s_nationkey = n2.n_nationkey
+        |        AND r_name = 'AMERICA' AND p_type = 'PROMO'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n_name AS nation,
+        |        CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |          - CAST(p_retailprice * l_quantity AS DECIMAL(18,4))
+        |          AS amount
+        |      FROM lineitem, part, orders, supplier, nation
+        |      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |        AND l_suppkey = s_suppkey
+        |        AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%red%')
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 9, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'red%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |             THEN CAST(l_quantity AS DECIMAL(18,2))
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |       > CAST(0.9 AS DECIMAL(2,1))
+        |         * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |     AND SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 50)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }
