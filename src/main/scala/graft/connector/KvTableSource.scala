@@ -83,17 +83,52 @@ class KvTableProvider extends TableProvider with DataSourceRegister {
 
 class KvBatchTable(path: String, tableSchema: StructType)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"kvtable($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path, tableSchema)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new KvWriteBuilder(path, info)
+
+  /** SQL `DELETE FROM t WHERE <rowkey predicate>` — the reference's
+    * Delete-mutation dispatch (`TableOutputFormatWrap.java:79-84`)
+    * surfaced through SQL. Supported shapes are exactly the HBase
+    * Delete(rowkey) addressing: EqualTo/In (and OR-trees of them) on
+    * the key column — the delete then APPENDS tombstones through the
+    * same V2 writer as any other mutation, never rewriting data files.
+    * An unconditional `DELETE FROM t` truncates. Any non-key predicate
+    * makes `canDeleteWhere` return false, failing analysis loudly
+    * instead of silently scanning-and-rewriting (which a log-structured
+    * table cannot do atomically).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    KvV2Util.deleteTarget(path, filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    KvV2Util.deleteTarget(path, filters) match {
+      case Some(None) =>
+        // unconditional: truncate the log (driver-side, like REPLACE)
+        KvV2Util.truncateData(path, new Configuration())
+      case Some(Some(keys)) if keys.nonEmpty =>
+        val schema = graft.kv.KvTable.readSchema(spark, path)
+        val keyType = tableSchema.fields.find(_.name == schema.keyField)
+          .map(_.dataType).getOrElse(StringType)
+        val rows = keys.toSeq.map(k => org.apache.spark.sql.Row(k))
+        val df = spark.createDataFrame(
+          new util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+          StructType(Seq(StructField(schema.keyField, keyType))))
+        graft.kv.KvTable.deleteV2(df, path, schema)
+      case _ => () // empty key set: nothing to delete
+    }
+  }
 }
 
 class KvScanBuilder(path: String, fullSchema: StructType)
@@ -514,6 +549,46 @@ object KvV2Util {
       }
     }.toArray
   }
+
+  /** Classify a SQL DELETE's filters for [[KvBatchTable.deleteWhere]].
+    * Returns None = unsupported (some predicate is not key-membership);
+    * Some(None) = unconditional delete (truncate); Some(Some(keys)) =
+    * delete exactly these rowkeys. AND-ed key filters intersect; OR
+    * trees of EqualTo/In union — the full addressable surface of an
+    * HBase Delete/multi-Delete. */
+  def deleteTarget(path: String,
+                   filters: Array[Filter]): Option[Option[Set[Any]]] = {
+    val keyField = readKeyField(path, new Configuration()).getOrElse(return None)
+    def keySet(f: Filter): Option[Set[Any]] = f match {
+      case EqualTo(c, v) if c == keyField && v != null => Some(Set(v))
+      case EqualNullSafe(c, v) if c == keyField && v != null => Some(Set(v))
+      case In(c, vs) if c == keyField => Some(vs.filter(_ != null).toSet)
+      case Or(a, b) => for { x <- keySet(a); y <- keySet(b) } yield x ++ y
+      case _ => None
+    }
+    val rest = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (rest.isEmpty) Some(None) // DELETE FROM t (or WHERE true)
+    else {
+      val sets = rest.map(keySet)
+      if (sets.exists(_.isEmpty)) None
+      else Some(Some(sets.flatten.reduce(_ intersect _)))
+    }
+  }
+
+  /** Driver-side truncation of the data log outside a write job (SQL
+    * `DELETE FROM t` / TRUNCATE): removes the data files, resets the
+    * stats manifest to empty, bumps the version counter, and drops any
+    * bucket-layout marker — the same post-state as a truncating V2
+    * commit with zero task files. Serialized by the table lock. */
+  def truncateData(path: String, conf: Configuration): Unit =
+    graft.kv.TableLock.withLock(path, conf) {
+      val fs = new HPath(path).getFileSystem(conf)
+      dataFiles(path, conf).foreach(f => fs.delete(f.getPath, false))
+      val schemaStr = KvStats.read(path, conf).map(_.schema).getOrElse("")
+      KvStats.write(path, KvStats.Manifest(schemaStr, Seq.empty), conf)
+      val (prevVer, _) = readMeta(path, conf)
+      writeMeta(path, conf, prevVer + 1, 0)
+    }
 
   /** The table's declared rowkey column, if a `_kvschema.json` exists. */
   def readKeyField(path: String, conf: Configuration): Option[String] = {

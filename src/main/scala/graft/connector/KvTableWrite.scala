@@ -53,7 +53,63 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
       new KvBatchWrite(path, info.schema(), assignedVersion,
         Option(info.options.get("kvschema")), doTruncate)
     }
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!doTruncate,
+        "kvtable streaming sink is append-only: use outputMode append/update")
+      new KvStreamingWrite(path, info.schema(),
+        Option(info.options.get("kvschema")))
+    }
   }
+}
+
+/** Native streaming sink: `df.writeStream.format("kvtable")` — every
+  * micro-batch epoch is one append commit into the log, the streaming
+  * generalization of the reference's flow-at-a-time APPEND
+  * (`MultiFamilyCascadeHBaseTest.java:94-104`; each APPEND flow run ≡
+  * one epoch). Each epoch gets its own monotone LWW version (assigned
+  * driver-side when the epoch's writer factory is created), so readers
+  * see last-write-wins across epochs exactly as across batch writes —
+  * a stream of HBase Puts.
+  *
+  * Epoch replay after a crash re-appends the epoch's rows under a NEW
+  * version: at-least-once, like replayed HBase Puts — the LWW collapse
+  * makes the replay value-identical for upsert streams (same key, same
+  * value, later version wins). Exactly-once would need the epoch id
+  * persisted in the commit and deduplicated, which the log's
+  * append-only contract supports but the HBase model doesn't promise.
+  */
+class KvStreamingWrite(path: String, schema: StructType,
+                       kvSchemaJson: Option[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    // per-epoch version: planned on the driver at epoch start, same
+    // counter the batch path bumps at its commit
+    val assignedVersion = KvV2Util.readMeta(path, new Configuration())._1 + 1
+    new KvStreamingWriterFactory(path, schema, assignedVersion)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    // identical driver-side commit as a batch append: publish stats
+    // segment, bump version counter — under the table lock
+    new KvBatchWrite(path, schema, 0L, kvSchemaJson, truncate = false)
+      .commit(messages)
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    new KvBatchWrite(path, schema, 0L, kvSchemaJson, truncate = false)
+      .abort(messages)
+}
+
+class KvStreamingWriterFactory(path: String, schema: StructType,
+                               assignedVersion: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, schema, assignedVersion, partitionId, taskId)
 }
 
 /** Task-commit message: published file paths plus their stats, extracted

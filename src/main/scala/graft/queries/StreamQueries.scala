@@ -100,6 +100,34 @@ object StreamQueries {
       }
       KvTable.read(s, dst).orderBy(col("o_orderkey"))
     },
+    // The NATIVE streaming sink (`writeStream.format("kvtable")` —
+    // StreamingWrite in the connector, one append commit per epoch)
+    // instead of foreachBatch: customers flow through a file stream
+    // into a fresh KV table; rowkeys are unique so the LWW view equals
+    // the batch projection regardless of epoch slicing. Cross-epoch
+    // LWW ordering (distinct monotone versions per epoch) is
+    // spec-asserted in KvSqlDeleteSpec.
+    "kv_stream_sink" -> { (s, dir) =>
+      val path = scratchDir("kv_stream_sink", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("c_custkey",
+        "c_name" -> ("c", "name"),
+        "c_acctbal" -> ("c", "acctbal"))
+      val q = s.readStream
+        .schema(schemaOf(s, dir, "customer"))
+        .parquet(streamDir(dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .writeStream
+        .format("kvtable")
+        .option("kvschema", schema.toJson)
+        .option("checkpointLocation", s"$path-ckpt-${System.nanoTime()}")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(path)
+      q.awaitTermination()
+      KvTable.read(s, path).orderBy(col("c_custkey"))
+    },
+
     // Streamed upsert: orders flow through a file stream into the KV
     // table; the LWW view equals the batch latest-order-per-customer.
     "kv_stream_upsert" -> { (s, dir) =>
@@ -289,6 +317,9 @@ object StreamQueries {
     "stream_kv_source" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "kv_stream_sink" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "kv_stream_upsert" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

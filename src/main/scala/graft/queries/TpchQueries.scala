@@ -343,6 +343,64 @@ object TpchQueries {
           |         * SUM(CAST(l_quantity AS DECIMAL(18,2)))
           |     AND SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 50)
           |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // Q2 minimum-cost supplier (adapted: lineitem unit price stands in
+    // for partsupp.ps_supplycost — same shape: a correlated MIN
+    // subquery over a 4-table join, which Catalyst decorrelates into a
+    // per-part aggregate joined back on (partkey, price); DISTINCT
+    // collapses the multiple lineitems that realize the same min).
+    // Unit price is a per-row double DIVISION (deterministic IEEE, no
+    // summation), so the min and the equality compare identically
+    // across engines.
+    "q_tpch_q2" -> { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "nation", "region")
+        .foreach(t => table(s, dir, t).createOrReplaceTempView(s"${t}_q2"))
+      s.sql(
+        """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+          |FROM part_q2, supplier_q2, lineitem_q2, nation_q2, region_q2
+          |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |  AND p_size = 15
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'EUROPE'
+          |  AND l_extendedprice / l_quantity =
+          |    (SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          |     FROM lineitem_q2 l2, supplier_q2 s2, nation_q2 n2,
+          |          region_q2 r2
+          |     WHERE l2.l_partkey = p_partkey
+          |       AND l2.l_suppkey = s2.s_suppkey
+          |       AND s2.s_nationkey = n2.n_nationkey
+          |       AND n2.n_regionkey = r2.r_regionkey
+          |       AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin)
+    },
+
+    // Q11 important stock (adapted: per-part lineitem revenue within a
+    // nation group stands in for partsupp value — the shape is Q11's:
+    // a grouped aggregate filtered by an UNCORRELATED scalar subquery
+    // computing the same aggregate globally, which plans as a 1-row
+    // broadcast against the group-by output; the join+agg subtree runs
+    // twice, like the decorrelated original).
+    "q_tpch_q11" -> { (s, dir) =>
+      Seq("lineitem", "supplier", "nation")
+        .foreach(t => table(s, dir, t).createOrReplaceTempView(s"${t}_q11"))
+      s.sql(
+        """SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+          |FROM (SELECT l_partkey,
+          |        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+          |      FROM lineitem_q11, supplier_q11, nation_q11
+          |      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |        AND n_name LIKE 'NATION_1%'
+          |      GROUP BY l_partkey
+          |      HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+          |        (SELECT CAST(0.0007 AS DECIMAL(7,5))
+          |           * SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |         FROM lineitem_q11, supplier_q11, nation_q11
+          |         WHERE l_suppkey = s_suppkey
+          |           AND s_nationkey = n_nationkey
+          |           AND n_name LIKE 'NATION_1%'))
+          |ORDER BY value DESC, l_partkey""".stripMargin)
     }
   )
 
@@ -529,6 +587,39 @@ object TpchQueries {
         |       > CAST(0.9 AS DECIMAL(2,1))
         |         * SUM(CAST(l_quantity AS DECIMAL(18,2)))
         |     AND SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 50)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice / l_quantity =
+        |    (SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |     FROM lineitem l2, supplier s2, nation n2, region r2
+        |     WHERE l2.l_partkey = p_partkey
+        |       AND l2.l_suppkey = s2.s_suppkey
+        |       AND s2.s_nationkey = n2.n_nationkey
+        |       AND n2.n_regionkey = r2.r_regionkey
+        |       AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q11" ->
+      """SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM (SELECT l_partkey,
+        |        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        |      FROM lineitem, supplier, nation
+        |      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |        AND n_name LIKE 'NATION_1%'
+        |      GROUP BY l_partkey
+        |      HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+        |        (SELECT CAST(0.0007 AS DECIMAL(7,5))
+        |           * SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FROM lineitem, supplier, nation
+        |         WHERE l_suppkey = s_suppkey
+        |           AND s_nationkey = n_nationkey
+        |           AND n_name LIKE 'NATION_1%'))
+        |ORDER BY value DESC, l_partkey""".stripMargin
   )
 }

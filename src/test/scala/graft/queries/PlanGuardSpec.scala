@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Scale regression guard: mechanical assertions over the PHYSICAL
+  * plans of every side-effect-free query (relational, TPC-H, text,
+  * dedup, UDF). Correctness gates can't catch a plan that silently
+  * degrades to a shape that dies at 100 TB — this spec pins the
+  * properties the plan audits (PLANS.md) rely on:
+  *
+  *  - no CartesianProduct anywhere (an un-conditioned cross join of
+  *    two facts is never survivable; the deliberate small-side
+  *    all-pairs ops plan as BroadcastNestedLoopJoin, a different node);
+  *  - dimension-join TPC-H queries actually broadcast (a silent
+  *    regression to shuffling a 25-row nation dim would also shuffle
+  *    the fact side of that join);
+  *  - every lineitem scan is column-pruned (reading all 11 columns for
+  *    a 4-column query is the canonical 100 TB bandwidth bug);
+  *  - the pure-scan query (Q6) pushes its filters into the scan.
+  *
+  * Plans are inspected at sf0.001 — planning is data-size-independent
+  * for these properties (broadcast choices anchor on the dims, which
+  * are tiny at every SF).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Side-effect-free query sets (no KV scratch writes, no streams). */
+  private def audited: Map[String, Q] =
+    RelationalQueries.defs ++ RelationalQueries.defs2 ++
+      TpchQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      UdfQueries.defs
+
+  private def plan(name: String): String =
+    audited(name)(spark, dir).queryExecution.executedPlan.treeString
+
+  test("no audited query plans a CartesianProduct") {
+    val offenders = audited.keys.toSeq.sorted.filter { n =>
+      plan(n).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
+  test("dimension-star TPC-H queries broadcast their dims") {
+    val starQueries = Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q7",
+      "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q19")
+    starQueries.foreach { n =>
+      assert(plan(n).contains("BroadcastHashJoin"),
+        s"$n lost its broadcast join")
+    }
+  }
+
+  test("every TPC-H lineitem scan is column-pruned") {
+    val lineitemWidth = 11
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+    TpchQueries.defs.keys.toSeq.sorted.foreach { n =>
+      val p = plan(n)
+      scanCols.findAllMatchIn(p).foreach { m =>
+        val cols = m.group(1).split(",")
+        if (cols.exists(_.startsWith("l_")))
+          assert(cols.length < lineitemWidth,
+            s"$n reads ALL lineitem columns: ${m.group(1)}")
+      }
+    }
+  }
+
+  test("the pure-scan query (Q6) pushes every predicate to the scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      "q_tpch_q6 scan lost its pushed filters")
+    assert(!p.contains("PushedFilters: []"),
+      "q_tpch_q6 has an unfiltered scan")
+  }
+}
