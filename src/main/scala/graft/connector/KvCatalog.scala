@@ -104,6 +104,24 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     new KvBatchTable(path, KvV2Util.inferSchema(path, conf))
   }
 
+  /** SQL time travel: `SELECT ... FROM t VERSION AS OF <v>` — a
+    * read-only snapshot at LWW batch version `v` (the catalog analog of
+    * `KvTable.readAsOf`; versions are the monotone batch counter, or
+    * the caller's event-time domain when writes used `versionFrom`).
+    * `TIMESTAMP AS OF` is deliberately unsupported: the version domain
+    * is caller-defined, so a wall-clock mapping would be a guess. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"kvtable VERSION AS OF takes a numeric batch version, got '$version'")
+      }
+    val path = tablePath(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new KvBatchTable(path, KvV2Util.inferSchema(path, conf), Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -81,21 +81,31 @@ class KvTableProvider extends TableProvider with DataSourceRegister {
     new KvBatchTable(properties.get("path"), schema)
 }
 
-class KvBatchTable(path: String, tableSchema: StructType)
+/** `asOf`: a time-travel snapshot bound — scans see only log rows with
+  * `__version <= asOf` (version-ceiling row filter in the reader,
+  * row-group pruning from the manifest's `__version` min/max). The
+  * snapshot is read-only. SQL: `SELECT ... FROM t VERSION AS OF <v>`
+  * via [[KvCatalog.loadTable(ident, version)]]. */
+class KvBatchTable(path: String, tableSchema: StructType,
+                   asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  override def name(): String = s"kvtable($path)"
+  override def name(): String =
+    s"kvtable($path${asOf.map(v => s" VERSION AS OF $v").getOrElse("")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path, tableSchema)
+    new KvScanBuilder(path, tableSchema, asOf)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty, s"kvtable snapshot $name is read-only")
     new KvWriteBuilder(path, info)
+  }
 
   /** SQL `DELETE FROM t WHERE <rowkey predicate>` — the reference's
     * Delete-mutation dispatch (`TableOutputFormatWrap.java:79-84`)
@@ -131,7 +141,8 @@ class KvBatchTable(path: String, tableSchema: StructType)
   }
 }
 
-class KvScanBuilder(path: String, fullSchema: StructType)
+class KvScanBuilder(path: String, fullSchema: StructType,
+                    asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -150,7 +161,8 @@ class KvScanBuilder(path: String, fullSchema: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new KvScan(path, fullSchema, required, pushed)
+  override def build(): Scan =
+    new KvScan(path, fullSchema, required, pushed, asOf)
 }
 
 /** V2 scan over the KV log.
@@ -171,18 +183,26 @@ class KvScanBuilder(path: String, fullSchema: StructType)
   *    `spark.sql.sources.v2.bucketing.enabled=true`.
   */
 class KvScan(path: String, fullSchema: StructType, required: StructType,
-             pushed: Array[Filter])
+             pushed: Array[Filter], asOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"kvtable($path) PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${required.simpleString}" +
+      asOf.map(v => s", VersionAsOf: $v").getOrElse("")
+
+  // The snapshot bound participates in row-group pruning like any other
+  // long comparison (the manifest tracks __version min/max): groups
+  // written entirely after the snapshot never reach a task.
+  private def planFilters: Array[Filter] =
+    pushed ++ asOf.map(v =>
+      LessThanOrEqual(graft.kv.KvTable.VersionCol, v): Filter)
 
   private lazy val planned: Array[KvInputPartition] =
     KvV2Util.planPartitions(path, new Configuration(),
-      KvV2Util.dataFiles(path, new Configuration()), pushed, fullSchema)
+      KvV2Util.dataFiles(path, new Configuration()), planFilters, fullSchema)
 
   /** Streaming read over the same log: new data files become
     * micro-batches (see [[KvMicroBatchStream]]). */
@@ -238,7 +258,7 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required)
+    new KvReaderFactory(required, asOf)
 }
 
 /** One parquet row group: `[start, start+length)` byte range. `bucket`
@@ -251,7 +271,8 @@ case class KvInputPartition(file: String, start: Long, length: Long,
     new GenericInternalRow(Array[Any](bucket))
 }
 
-class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
+class KvReaderFactory(required: StructType, asOf: Option[Long] = None)
+    extends PartitionReaderFactory {
   // Per-executor projection cache keyed by file: a file with G row
   // groups yields G partitions that all need the IDENTICAL projection —
   // without the cache each would re-open and parse the footer.
@@ -260,14 +281,23 @@ class KvReaderFactory(required: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvPartitionReader(partition.asInstanceOf[KvInputPartition], required,
-      projectionCache)
+      projectionCache, asOf)
 }
 
 class KvPartitionReader(part: KvInputPartition, required: StructType,
-                        projectionCache: java.util.concurrent.ConcurrentHashMap[String, String])
+                        projectionCache: java.util.concurrent.ConcurrentHashMap[String, String],
+                        asOf: Option[Long] = None)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
+
+  // Time-travel reads need `__version` to evaluate the snapshot bound
+  // even when the query projects it away: widen the FILE projection
+  // (output rows still carry only `required`).
+  private val readFields: StructType =
+    if (asOf.isEmpty ||
+        required.fieldNames.contains(graft.kv.KvTable.VersionCol)) required
+    else required.add(graft.kv.KvTable.VersionCol, LongType)
 
   // Cut the column projection from THIS file's own schema, task-side:
   // parquet requires the requested repetition to match the file exactly,
@@ -282,7 +312,7 @@ class KvPartitionReader(part: KvInputPartition, required: StructType,
         HadoopInputFile.fromPath(new HPath(file), conf))
       val full = try r.getFooter.getFileMetaData.getSchema finally r.close()
       val kept: Seq[org.apache.parquet.schema.Type] =
-        required.fieldNames.toSeq.flatMap { n =>
+        readFields.fieldNames.toSeq.flatMap { n =>
           if (full.containsField(n)) Some(full.getType(Seq(n): _*)) else None
         }
       if (kept.isEmpty) ""
@@ -301,7 +331,20 @@ class KvPartitionReader(part: KvInputPartition, required: StructType,
 
   private var current: Group = _
 
-  override def next(): Boolean = { current = reader.read(); current != null }
+  /** Snapshot-bound check (trivially true for non-time-travel reads):
+    * rows versioned after the bound are invisible. */
+  private def visible(g: Group): Boolean = asOf.forall { v =>
+    !g.getType.containsField(graft.kv.KvTable.VersionCol) || {
+      val idx = g.getType.getFieldIndex(graft.kv.KvTable.VersionCol)
+      g.getFieldRepetitionCount(idx) == 0 || g.getLong(idx, 0) <= v
+    }
+  }
+
+  override def next(): Boolean = {
+    current = reader.read()
+    while (current != null && !visible(current)) current = reader.read()
+    current != null
+  }
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(required.length)

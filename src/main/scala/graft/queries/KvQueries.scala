@@ -115,6 +115,37 @@ object KvQueries {
     path
   }
 
+  /** SQL DELETE surface (SupportsDelete → tombstone appends): load
+    * orders, DELETE an IN-list and an OR-of-equalities by rowkey, then
+    * resurrect one deleted key with a newer put — the mutation
+    * sequence `TableOutputFormatWrap.java:79-84` dispatches, driven
+    * entirely through SQL. */
+  private def setupSqlDelete(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_sql_delete", dir)
+    ensureCatalog(s)
+    val t = catalogRef(path)
+    ensureSetup(path) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(
+        s"""CREATE TABLE $t (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+           |USING kvtable TBLPROPERTIES (
+           |  'kv.key'='o_orderkey',
+           |  'kv.map.o_custkey'='o:custkey',
+           |  'kv.map.o_totalprice'='o:totalprice')""".stripMargin)
+      table(s, dir, "orders").createOrReplaceTempView("orders_src_del")
+      s.sql(
+        s"""INSERT INTO $t (o_orderkey, o_custkey, o_totalprice)
+           |SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders_src_del""".stripMargin)
+      s.sql(s"DELETE FROM $t WHERE o_orderkey IN (${(1 to 40).mkString(", ")})")
+      s.sql(s"DELETE FROM $t WHERE o_orderkey = 77 OR o_orderkey = 99")
+      s.sql(s"INSERT INTO $t (o_orderkey, o_custkey, o_totalprice) " +
+        "VALUES (7, 7, 777.0)")
+    }
+    path
+  }
+
   private def setupPointGet(s: SparkSession, dir: String): String = {
     val path = scratchDir("kv_point_get", dir)
     ensureSetup(path) {
@@ -224,6 +255,7 @@ object KvQueries {
     "kv_time_travel" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
+    "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_multi_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
@@ -280,6 +312,16 @@ object KvQueries {
     // read. The LWW view must show the second INSERT's F-order update.
     "kv_catalog_sql" -> { (s, dir) =>
       val path = setupCatalogSql(s, dir)
+      ensureCatalog(s)
+      KvTable.lwwView(s.table(catalogRef(path)), KvTable.readSchema(s, path))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // SQL DELETE by rowkey (IN-list + OR-of-equalities), then a
+    // resurrecting put: the LWW view hides tombstoned keys and shows
+    // the re-inserted one at its newest value.
+    "kv_sql_delete" -> { (s, dir) =>
+      val path = setupSqlDelete(s, dir)
       ensureCatalog(s)
       KvTable.lwwView(s.table(catalogRef(path)), KvTable.readSchema(s, path))
         .orderBy(col("o_orderkey"))
@@ -401,6 +443,12 @@ object KvQueries {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "kv_sql_delete" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_orderkey NOT IN (${(1 to 40).mkString(", ")}, 77, 99)
+         |UNION ALL
+         |SELECT CAST(7 AS BIGINT), CAST(7 AS BIGINT), 777.0
+         |ORDER BY o_orderkey""".stripMargin,
     "kv_point_get" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -97,6 +97,53 @@ class KvCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_test.cmp")
   }
 
+  test("SQL time travel: VERSION AS OF reads a snapshot of the log") {
+    ensureCatalog()
+    spark.sql(
+      "CREATE TABLE cat_test.tt (k STRING, n BIGINT) USING kvtable")
+    spark.sql("INSERT INTO cat_test.tt (k, n) VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO cat_test.tt (k, n) VALUES ('a', 10), ('c', 3)")
+
+    // snapshot at batch 1: only the first insert's rows are visible,
+    // even though the query never projects __version
+    val v1 = spark.sql(
+      "SELECT k, n FROM cat_test.tt VERSION AS OF 1 ORDER BY k")
+      .as[(String, Long)].collect()
+    assert(v1 === Array(("a", 1L), ("b", 2L)))
+
+    // snapshot at the head equals the live raw log
+    assert(spark.sql("SELECT * FROM cat_test.tt VERSION AS OF 2").count()
+      === spark.table("cat_test.tt").count())
+
+    // LWW over the snapshot equals readAsOf
+    val path = s"$warehouse/tt"
+    val schema = KvTable.readSchema(spark, path)
+    val snapLww = KvTable.lwwView(
+      spark.sql("SELECT * FROM cat_test.tt VERSION AS OF 1"), schema)
+      .orderBy("k").as[(String, Long)].collect()
+    val asOf = KvTable.readAsOf(spark, path, 1L)
+      .orderBy("k").as[(String, Long)].collect()
+    assert(snapLww === asOf)
+
+    // snapshots are read-only; non-numeric versions are a clear error
+    intercept[Exception] {
+      spark.sql("INSERT INTO cat_test.tt VERSION AS OF 1 VALUES ('x', 9)")
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM cat_test.tt VERSION AS OF 'yesterday'").count()
+    }
+
+    // the snapshot bound PRUNES at planning: batch-2 row groups (their
+    // manifest __version min > 1) never become partitions
+    val full = new KvScanBuilder(path, spark.table("cat_test.tt").schema)
+      .build().toBatch.planInputPartitions().length
+    val snap = new KvScanBuilder(path, spark.table("cat_test.tt").schema,
+      asOf = Some(1L)).build().toBatch.planInputPartitions().length
+    assert(snap < full, s"snapshot planned $snap of $full partitions")
+
+    spark.sql("DROP TABLE cat_test.tt")
+  }
+
   test("INSERT OVERWRITE truncates driver-side (Replace semantics)") {
     ensureCatalog()
     spark.sql(
