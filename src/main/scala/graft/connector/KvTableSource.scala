@@ -86,11 +86,22 @@ class KvTableProvider extends TableProvider with DataSourceRegister {
   * row-group pruning from the manifest's `__version` min/max). The
   * snapshot is read-only. SQL: `SELECT ... FROM t VERSION AS OF <v>`
   * via [[KvCatalog.loadTable(ident, version)]]. */
-class KvBatchTable(path: String, tableSchema: StructType,
+class KvBatchTable(path: String, tableSchema0: StructType,
                    asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  // The rowkey is structurally non-null (single-key invariant,
+  // `HBaseScheme.java:151-155`); declaring it so also satisfies the
+  // row-level API, whose row ID attributes must be non-nullable.
+  private val tableSchema: StructType =
+    KvV2Util.readKeyField(path, new Configuration())
+      .map(k => StructType(tableSchema0.fields.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f)))
+      .getOrElse(tableSchema0)
+
   override def name(): String =
     s"kvtable($path${asOf.map(v => s" VERSION AS OF $v").getOrElse("")})"
   override def schema(): StructType = tableSchema
@@ -118,6 +129,17 @@ class KvBatchTable(path: String, tableSchema: StructType,
     * instead of silently scanning-and-rewriting (which a log-structured
     * table cannot do atomically).
     */
+  /** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE` via the
+    * delta-based row-level API (see [[KvRowLevelOperationBuilder]]) —
+    * requires a bucket-compacted table so the operation's target scan
+    * can present the live view region-locally. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty, s"kvtable snapshot $name is read-only")
+    new KvRowLevelOperationBuilder(path, tableSchema, info)
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     KvV2Util.deleteTarget(path, filters).isDefined
 
@@ -355,6 +377,10 @@ class KvPartitionReader(part: KvInputPartition, required: StructType,
       // it from the partition (same as Spark's parquet partition columns)
       if (name == KvV2Util.BucketCol) {
         row.update(i, if (part.bucket >= 0) part.bucket else null)
+      } else if (!current.getType.containsField(name)) {
+        // the log legitimately mixes file schemas (delta tombstones
+        // carry only the key + engine columns): absent column = null
+        row.update(i, null)
       } else {
         val gIdx = current.getType.getFieldIndex(name)
         if (current.getFieldRepetitionCount(gIdx) == 0) row.update(i, null)

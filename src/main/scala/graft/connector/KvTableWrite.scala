@@ -87,8 +87,11 @@ class KvStreamingWrite(path: String, schema: StructType,
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     // per-epoch version: planned on the driver at epoch start, same
     // counter the batch path bumps at its commit
-    val assignedVersion = KvV2Util.readMeta(path, new Configuration())._1 + 1
-    new KvStreamingWriterFactory(path, schema, assignedVersion)
+    val (lastVer, buckets) = KvV2Util.readMeta(path, new Configuration())
+    val routeKey =
+      if (buckets > 0) KvV2Util.readKeyField(path, new Configuration())
+      else None
+    new KvStreamingWriterFactory(path, schema, lastVer + 1, buckets, routeKey)
   }
 
   override def commit(epochId: Long,
@@ -105,11 +108,13 @@ class KvStreamingWrite(path: String, schema: StructType,
 }
 
 class KvStreamingWriterFactory(path: String, schema: StructType,
-                               assignedVersion: Long)
+                               assignedVersion: Long, routeBuckets: Int = 0,
+                               routeKey: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, schema, assignedVersion, partitionId, taskId)
+    new KvDataWriter(path, schema, assignedVersion, partitionId, taskId,
+      routeBuckets, routeKey)
 }
 
 /** Task-commit message: published file paths plus their stats, extracted
@@ -143,8 +148,17 @@ class KvBatchWrite(path: String, schema: StructType,
   private val preExisting: Seq[org.apache.hadoop.fs.FileStatus] =
     KvV2Util.dataFiles(path, new Configuration())
 
+  // bucket layout + rowkey resolved ONCE, driver-side: appends to a
+  // bucket-compacted table route rows by key hash (a truncating write
+  // resets the layout, so it never routes)
+  private val routeBuckets: Int =
+    if (truncate) 0 else KvV2Util.readMeta(path, new Configuration())._2
+  private val routeKey: Option[String] =
+    if (routeBuckets > 0) KvV2Util.readKeyField(path, new Configuration())
+    else None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path, schema, assignedVersion)
+    new KvWriterFactory(path, schema, assignedVersion, routeBuckets, routeKey)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -214,26 +228,45 @@ class KvBatchWrite(path: String, schema: StructType,
 }
 
 class KvWriterFactory(path: String, schema: StructType,
-                      assignedVersion: Long)
+                      assignedVersion: Long, routeBuckets: Int = 0,
+                      keyField: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, schema, assignedVersion, partitionId, taskId)
+    new KvDataWriter(path, schema, assignedVersion, partitionId, taskId,
+      routeBuckets, keyField)
 }
 
 /** Per-task buffered writer. Rows carrying a `__bucket` column are
   * routed to per-bucket files under `data/__bucket=N/` (the column is a
   * DIRECTORY coordinate, excluded from the parquet schema — the same
   * layout the v1 `partitionBy` writer produces), so appends to a
-  * bucket-compacted table stay bucket-aligned. Unbucketed input writes
+  * bucket-compacted table stay bucket-aligned. Rows WITHOUT the column
+  * are routed by hashing the rowkey when the table is bucket-compacted
+  * (`routeBuckets` > 0, from the meta at job start) — so a plain SQL
+  * `INSERT INTO` keeps the region layout too. Unbucketed tables write
   * one file, as before.
   */
 class KvDataWriter(path: String, schema: StructType,
                    assignedVersion: Long, partitionId: Int,
-                   taskId: Long) extends DataWriter[InternalRow] {
+                   taskId: Long, routeBuckets: Int = 0,
+                   routeKeyField: Option[String] = None)
+    extends DataWriter[InternalRow] {
 
   import graft.kv.KvTable.{SeqCol, TombstoneCol, VersionCol}
 
   private val bucketIdx: Int = schema.fieldNames.indexOf(KvV2Util.BucketCol)
+
+  // key-hash routing for bucket-compacted tables when rows carry no
+  // explicit __bucket (SQL INSERT, delta mutations)
+  private val routeKeyIdx: Int =
+    routeKeyField.map(k => schema.fieldNames.indexOf(k)).getOrElse(-1)
+  // the bucket COLUMN may exist but hold null (SQL INSERT null-fills
+  // it like any other unnamed column) — key-hash routing covers both
+  // the absent and the null case
+  private val bucketer: KeyBucketer =
+    if (routeBuckets > 0 && routeKeyIdx >= 0)
+      new KeyBucketer(schema(routeKeyIdx).dataType, routeBuckets)
+    else null
   // engine columns missing from the incoming rows entirely get APPENDED
   // to the file schema and synthesized per row
   private val appendEngine: Boolean =
@@ -280,7 +313,10 @@ class KvDataWriter(path: String, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     val bucket =
-      if (bucketIdx < 0 || row.isNullAt(bucketIdx)) -1 else row.getInt(bucketIdx)
+      if (bucketIdx >= 0 && !row.isNullAt(bucketIdx)) row.getInt(bucketIdx)
+      else if (bucketer != null && !row.isNullAt(routeKeyIdx))
+        bucketer.bucketOf(row.get(routeKeyIdx, schema(routeKeyIdx).dataType))
+      else -1
     val g = factory.newGroup()
     var i = 0
     var out = 0
@@ -389,5 +425,25 @@ object KvWriteUtil {
       b.addField(prim.named(f.name))
     }
     b.named("spark_schema")
+  }
+}
+
+/** Spark-compatible key→bucket hashing (`pmod(hash(key), n)` with the
+  * same Murmur3 seed Catalyst uses), evaluated row-at-a-time in
+  * writers so every append path — prepared writes, SQL INSERT, delta
+  * mutations, streaming epochs — lands rows in the same bucket
+  * directory the readers will probe. */
+class KeyBucketer(keyType: org.apache.spark.sql.types.DataType, buckets: Int) {
+  private val hashExpr =
+    new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, keyType, nullable = true)), 42)
+  private val keyRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+  def bucketOf(key: Any): Int = {
+    keyRow.update(0, key)
+    val h = hashExpr.eval(keyRow).asInstanceOf[Int]
+    ((h % buckets) + buckets) % buckets
   }
 }

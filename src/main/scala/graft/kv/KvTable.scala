@@ -218,13 +218,24 @@ object KvTable {
   /** Raw log scan (all versions + tombstones), for debugging/compaction.
     * Self-heals a crash-stranded `.data-old` generation before resolving
     * the data dir (the failure-path check costs nothing when the table
-    * is healthy — it only runs after the read fails to resolve). */
+    * is healthy — it only runs after the read fails to resolve).
+    *
+    * A table whose every key was tombstoned and then COMPACTED has a
+    * data dir with zero parquet files (nothing survives the collapse),
+    * so schema inference fails — the stats manifest still remembers the
+    * file layout, and an empty frame with that schema is the correct
+    * read (found by the KvLifecycleProps random-op sequences). */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(dataDir(path))
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         if (restoreIfStranded(spark, path)) spark.read.parquet(dataDir(path))
-        else throw e
+        else if (e.getCondition == "UNABLE_TO_INFER_SCHEMA" && exists(spark, path)) {
+          val schema = graft.connector.KvV2Util.inferSchema(path,
+            spark.sparkContext.hadoopConfiguration)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        } else throw e
     }
 
   /** The last-write-wins read view: one row per live key, newest
@@ -490,6 +501,24 @@ object KvTable {
     restoreIfStranded(spark, path)
     val w = current.write.mode("overwrite")
     (if (buckets > 0) w.partitionBy(BucketCol) else w).parquet(tmp)
+    // A dynamic-partitioned write of an EMPTY collapse (every key
+    // tombstoned) emits NO files at all — unreadable. Rewrite the
+    // generation unpartitioned (one empty schema-bearing file) and
+    // drop the bucket layout: an empty table has no regions (found by
+    // the KvLifecycleProps random-op sequences).
+    val effBuckets = {
+      def hasParquet: Boolean = {
+        val it = f.listFiles(new HPath(tmp), true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.endsWith(".parquet")
+        found
+      }
+      if (buckets > 0 && !hasParquet) {
+        current.drop(BucketCol).write.mode("overwrite").parquet(tmp)
+        0
+      } else buckets
+    }
     if (f.exists(new HPath(old)))
       require(f.delete(new HPath(old), true),
         s"KvTable $path: could not clean stale $old")
@@ -501,7 +530,7 @@ object KvTable {
       throw new java.io.IOException(
         s"KvTable $path: compaction could not publish $tmp; old data restored")
     }
-    writeMeta(spark, path, lastVersion, buckets)
+    writeMeta(spark, path, lastVersion, effBuckets)
     f.delete(new HPath(old), true)
     // compaction replaced every file: rebuild the stats manifest
     // (base + segments) from scratch
