@@ -146,6 +146,50 @@ object KvQueries {
     path
   }
 
+  /** SQL MERGE surface (delta-based row-level operation on a
+    * bucket-compacted table): load orders, compact into buckets, then
+    * one MERGE whose source updates even-key orders (price bump),
+    * deletes every key divisible by 10, and inserts fresh high keys —
+    * the full Put/Delete mutation stream as ONE SQL statement. */
+  private def setupSqlMerge(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_sql_merge", dir)
+    ensureCatalog(s)
+    val t = catalogRef(path)
+    ensureSetup(path) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(
+        s"""CREATE TABLE $t (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+           |USING kvtable TBLPROPERTIES (
+           |  'kv.key'='o_orderkey',
+           |  'kv.map.o_custkey'='o:custkey',
+           |  'kv.map.o_totalprice'='o:totalprice')""".stripMargin)
+      table(s, dir, "orders").createOrReplaceTempView("orders_src_mrg")
+      s.sql(
+        s"""INSERT INTO $t (o_orderkey, o_custkey, o_totalprice)
+           |SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders_src_mrg""".stripMargin)
+      // API compaction (the CALL form is spec-covered; scratch names
+      // carry dots from the sf tag, which SQL parses as namespaces)
+      KvTable.compactBucketed(s, path, 8)
+      s.sql(
+        s"""MERGE INTO $t t USING (
+           |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p
+           |  FROM orders_src_mrg WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000 AS k, o_custkey AS c,
+           |         CAST(1.5 AS DOUBLE) AS p
+           |  FROM orders_src_mrg WHERE o_orderkey % 1000 = 7) s
+           |ON t.o_orderkey = s.k
+           |WHEN MATCHED AND s.k % 10 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p + 100.0
+           |WHEN NOT MATCHED THEN
+           |  INSERT (o_orderkey, o_custkey, o_totalprice)
+           |  VALUES (s.k, s.c, s.p)""".stripMargin)
+    }
+    path
+  }
+
   private def setupPointGet(s: SparkSession, dir: String): String = {
     val path = scratchDir("kv_point_get", dir)
     ensureSetup(path) {
@@ -256,6 +300,7 @@ object KvQueries {
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
+    "kv_sql_merge" -> ((s, d) => { setupSqlMerge(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_multi_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
@@ -322,6 +367,17 @@ object KvQueries {
     // the re-inserted one at its newest value.
     "kv_sql_delete" -> { (s, dir) =>
       val path = setupSqlDelete(s, dir)
+      ensureCatalog(s)
+      KvTable.lwwView(s.table(catalogRef(path)), KvTable.readSchema(s, path))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // SQL MERGE INTO on a bucket-compacted table: one statement
+    // updating, deleting, and inserting by rowkey through the delta
+    // row-level path — the LWW view must equal the set algebra of the
+    // three branches over orders.
+    "kv_sql_merge" -> { (s, dir) =>
+      val path = setupSqlMerge(s, dir)
       ensureCatalog(s)
       KvTable.lwwView(s.table(catalogRef(path)), KvTable.readSchema(s, path))
         .orderBy(col("o_orderkey"))
@@ -449,6 +505,17 @@ object KvQueries {
          |UNION ALL
          |SELECT CAST(7 AS BIGINT), CAST(7 AS BIGINT), 777.0
          |ORDER BY o_orderkey""".stripMargin,
+    "kv_sql_merge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, CAST(1.5 AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 1000 = 7)
+        |ORDER BY o_orderkey""".stripMargin,
     "kv_point_get" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
