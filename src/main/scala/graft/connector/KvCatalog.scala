@@ -160,10 +160,94 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     new KvBatchTable(path, fileSchema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "kvtable: ALTER TABLE is not supported (schema is declared at " +
-        "creation, like the reference's fieldMap)")
+  /** Schema evolution: `ALTER TABLE t ADD COLUMNS (c TYPE [COMMENT
+    * 'family:qualifier'])` and `ALTER TABLE t DROP COLUMN c`. The log's
+    * files are immutable, so evolution is pure METADATA — adding a
+    * column null-fills it in every existing row (the readers treat an
+    * absent parquet field as null), dropping one merely hides it (the
+    * bytes stay in the files, like dropping an HBase column qualifier
+    * from a scan's projection). The (family, qualifier) address of an
+    * added column comes from its COMMENT when it matches 'fam:qual',
+    * else defaults to ('f', name) — the same convention as kv.map at
+    * CREATE. The rowkey cannot be dropped or replaced. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    graft.kv.TableLock.withLock(path, conf) {
+      var kv = readKvSchema(path)
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "kvtable: nested columns are not supported")
+          val name = add.fieldNames()(0)
+          require(name != kv.keyField && !kv.valueFields.exists(_.name == name),
+            s"kvtable: column '$name' already exists")
+          val (fam, qual) = Option(add.comment())
+            .map(_.split(":", 2)).collect {
+              case Array(f0, q0) if f0.nonEmpty && q0.nonEmpty => (f0, q0)
+            }.getOrElse(("f", name))
+          kv = KvSchema(kv.keyField, kv.valueFields :+ KvField(name, fam, qual))
+          addManifestColumn(path, name, add.dataType())
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            "kvtable: nested columns are not supported")
+          val name = del.fieldNames()(0)
+          require(name != kv.keyField, "kvtable: the rowkey cannot be dropped")
+          require(kv.valueFields.exists(_.name == name),
+            s"kvtable: no such column '$name'")
+          kv = KvSchema(kv.keyField, kv.valueFields.filterNot(_.name == name))
+          dropManifestColumn(path, name)
+        case other => throw new UnsupportedOperationException(
+          s"kvtable: unsupported ALTER TABLE change $other")
+      }
+      val out = fs(path).create(schemaFileOf(path), true)
+      try out.write(kv.toJson.getBytes("UTF-8")) finally out.close()
+    }
+    new KvBatchTable(path, KvV2Util.inferSchema(path, conf))
+  }
+
+  private def readKvSchema(path: String): KvSchema = {
+    val in = fs(path).open(schemaFileOf(path))
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    KvSchema.fromJson(s)
+  }
+
+  /** Rewrite the manifest base with the column added to the parquet
+    * schema (before the engine columns), folding any segments so file
+    * stats survive — metadata-only, no data IO. */
+  private def addManifestColumn(path: String, name: String,
+                                dt: org.apache.spark.sql.types.DataType): Unit = {
+    val manifest = KvStats.read(path, conf).getOrElse(
+      throw new IllegalStateException(s"kvtable($path): no stats manifest"))
+    val msg = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType(manifest.schema)
+    val added = KvWriteUtil.toParquetSchema(
+      new StructType().add(name, dt)).getFields.get(0)
+    val engine = Set(graft.kv.KvTable.VersionCol, graft.kv.KvTable.SeqCol,
+      graft.kv.KvTable.TombstoneCol)
+    val (front, back) = msg.getFields.asScala.toSeq
+      .partition(f => !engine(f.getName))
+    val fields: util.List[org.apache.parquet.schema.Type] =
+      ((front :+ added) ++ back).asJava
+    rewriteManifest(path, manifest,
+      new org.apache.parquet.schema.MessageType("spark_schema", fields).toString)
+  }
+
+  private def dropManifestColumn(path: String, name: String): Unit = {
+    val manifest = KvStats.read(path, conf).getOrElse(return)
+    val msg = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType(manifest.schema)
+    val fields: util.List[org.apache.parquet.schema.Type] =
+      msg.getFields.asScala.filterNot(_.getName == name).toSeq.asJava
+    rewriteManifest(path, manifest,
+      new org.apache.parquet.schema.MessageType("spark_schema", fields).toString)
+  }
+
+  private def rewriteManifest(path: String, folded: KvStats.Manifest,
+                              newSchema: String): Unit = {
+    KvStats.clear(path, conf)
+    KvStats.write(path, KvStats.Manifest(newSchema, folded.files), conf)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)

@@ -166,10 +166,12 @@ class KvBatchTable(path: String, tableSchema0: StructType,
 class KvScanBuilder(path: String, fullSchema: StructType,
                     asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -183,9 +185,76 @@ class KvScanBuilder(path: String, fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Metadata-only `SELECT COUNT(*) FROM t`: the stats manifest already
+    * knows every row group's row count, so an unfiltered, ungrouped
+    * count never touches a data file — the answer is one driver-side
+    * JSON read (footer fallback only for unmanifested files). Spark
+    * only attempts aggregate pushdown when the scan has no residual
+    * filters, and this connector keeps EVERY filter as a residual, so
+    * a filtered count can never be wrongly answered from metadata;
+    * time-travel snapshots decline too (their bound filters rows). */
+  private def isCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && pushed.isEmpty && asOf.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isCountStar(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countStar = isCountStar(agg)
+    countStar
+  }
+
   override def build(): Scan =
-    new KvScan(path, fullSchema, required, pushed, asOf)
+    if (countStar) new KvCountScan(path)
+    else new KvScan(path, fullSchema, required, pushed, asOf)
 }
+
+/** One-row scan answering COUNT(*) from the manifest (see
+  * [[KvScanBuilder.pushAggregation]]). */
+class KvCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"kvtable-count($path) metadata-only"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val byRel: Map[String, KvStats.FileStat] =
+      KvStats.read(path, conf)
+        .map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+    val total = KvV2Util.dataFiles(path, conf).map { f =>
+      val rel = KvStats.relativize(path, f.getPath, conf)
+      byRel.get(rel).filter(_.len == f.getLen) match {
+        case Some(st) => st.groups.map(_.rows).sum
+        case None =>
+          KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
+            .map(_.rows).sum
+      }
+    }.sum
+    Array(KvCountPartition(total))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              Array[Any](p.asInstanceOf[KvCountPartition].rows))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class KvCountPartition(rows: Long) extends InputPartition
 
 /** V2 scan over the KV log.
   *

@@ -144,6 +144,38 @@ class KvCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_test.tt")
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS: metadata-only schema evolution") {
+    ensureCatalog()
+    spark.sql(
+      "CREATE TABLE cat_test.ev (k STRING, v STRING) USING kvtable " +
+        "TBLPROPERTIES ('kv.key'='k')")
+    spark.sql("INSERT INTO cat_test.ev (k, v) VALUES ('a','1'), ('b','2')")
+
+    // add a column with an explicit (family, qualifier) via COMMENT;
+    // existing rows read it as null — no file was rewritten
+    spark.sql(
+      "ALTER TABLE cat_test.ev ADD COLUMNS (n BIGINT COMMENT 'right:num')")
+    val path = s"$warehouse/ev"
+    assert(KvTable.readSchema(spark, path).field("n").family === "right")
+    assert(KvTable.readSchema(spark, path).field("n").qualifier === "num")
+    assert(spark.table("cat_test.ev").filter(col("n").isNull).count() === 2)
+
+    // new writes carry the column; LWW view merges old and new shapes
+    spark.sql("INSERT INTO cat_test.ev (k, v, n) VALUES ('a','1x',10)")
+    val lww = KvTable.lwwView(spark.table("cat_test.ev"),
+      KvTable.readSchema(spark, path)).orderBy("k")
+      .as[(String, String, Option[Long])].collect()
+    assert(lww === Array(("a", "1x", Some(10L)), ("b", "2", None)))
+
+    // drop hides the column (files untouched); the rowkey is protected
+    spark.sql("ALTER TABLE cat_test.ev DROP COLUMN n")
+    assert(!spark.table("cat_test.ev").columns.contains("n"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cat_test.ev DROP COLUMN k")
+    }
+    spark.sql("DROP TABLE cat_test.ev")
+  }
+
   test("INSERT OVERWRITE truncates driver-side (Replace semantics)") {
     ensureCatalog()
     spark.sql(

@@ -339,4 +339,30 @@ class KvTableSourceSpec extends SparkSpec {
     assert(df.filter($"id" > 50L).select("v").as[String].collect().sorted ===
       Array("c", "d"))
   }
+
+  test("COUNT(*) is answered from the manifest: no data scan, no footers") {
+    val path = TestSpark.scratch("v2-countstar")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.write((1 to 500).map(i => (s"k$i", s"v$i")).toDF("k", "v"),
+      path, schema, SinkMode.Replace)
+    KvTable.write((1 to 200).map(i => (s"k$i", s"w$i")).toDF("k", "v"),
+      path, schema, SinkMode.Append)
+    val df = spark.read.format("kvtable").load(path)
+
+    val counted = df.groupBy().count()
+    // the plan carries the metadata-only scan, not a parquet read
+    assert(counted.queryExecution.executedPlan.treeString
+      .contains("kvtable-count"))
+    val before = KvV2Util.footerOpens.get()
+    assert(counted.as[Long].head() === 700L) // raw log: 500 + 200
+    assert(KvV2Util.footerOpens.get() === before,
+      "metadata count opened parquet footers")
+
+    // a FILTERED count must NOT be metadata-answered (filters are
+    // residuals here, so the aggregate stays above a real scan)
+    val filtered = df.filter($"k" === "k7").groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.treeString
+      .contains("kvtable-count"))
+    assert(filtered.as[Long].head() === 2L)
+  }
 }
