@@ -301,6 +301,7 @@ object KvQueries {
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
     "kv_sql_merge" -> ((s, d) => { setupSqlMerge(s, d); () }),
+    "kv_count_star" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_point_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_multi_get" -> ((s, d) => { setupPointGet(s, d); () }),
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
@@ -381,6 +382,16 @@ object KvQueries {
       ensureCatalog(s)
       KvTable.lwwView(s.table(catalogRef(path)), KvTable.readSchema(s, path))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Metadata-only COUNT(*): the V2 scan answers an unfiltered count
+    // from the stats manifest (one driver-side JSON read, zero data
+    // IO — plan-asserted in KvTableSourceSpec). The log holds orders
+    // twice (full + F-status re-upsert), so the raw count is the sum.
+    "kv_count_star" -> { (s, dir) =>
+      val path = setupCatalogSql(s, dir)
+      s.read.format("kvtable").load(path)
+        .groupBy().count().withColumnRenamed("count", "n_raw")
     },
 
     // Point lookup on a bucket-compacted table (the HBase Get): only the
@@ -505,6 +516,10 @@ object KvQueries {
          |UNION ALL
          |SELECT CAST(7 AS BIGINT), CAST(7 AS BIGINT), 777.0
          |ORDER BY o_orderkey""".stripMargin,
+    "kv_count_star" ->
+      """SELECT COUNT(*) + (SELECT COUNT(*) FROM orders
+        |                   WHERE o_orderstatus = 'F') AS n_raw
+        |FROM orders""".stripMargin,
     "kv_sql_merge" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_custkey,
