@@ -67,10 +67,39 @@ class KvRowLevelOperation(path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new DeltaWrite {
+      override def build(): DeltaWrite = new DeltaWrite
+          with RequiresDistributionAndOrdering {
+        // Row-level ops REQUIRE a bucket-compacted table (enforced at
+        // scan planning), so declare the same write distribution the
+        // plain V2 write does: clustered by rowkey into exactly
+        // `buckets` partitions — each task then feeds ONE bucket's
+        // writer instead of holding an open row-group buffer per bucket
+        // it happens to touch. Skipped when the delta write schema
+        // doesn't carry the key (pure-DELETE plans project no data
+        // columns; their tombstone volume is the matched-row count,
+        // routed row-at-a-time without memory risk).
+        private val distBuckets = KvV2Util.readBuckets(path, new Configuration())
+        private val distKey: Option[String] =
+          KvV2Util.readKeyField(path, new Configuration())
+            .filter(k => distBuckets > 0 &&
+              info.schema().fieldNames.contains(k))
+
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+
+        override def requiredDistribution(): Distribution =
+          distKey.fold(Distributions.unspecified(): Distribution)(k =>
+            Distributions.clustered(Array(Expressions.identity(k))))
+        override def requiredNumPartitions(): Int =
+          if (distKey.isDefined) distBuckets else 0
+        override def requiredOrdering(): Array[SortOrder] =
+          distKey.fold(Array.empty[SortOrder])(k =>
+            Array(Expressions.sort(Expressions.identity(k),
+              SortDirection.ASCENDING)))
+
         override def toBatch: DeltaBatchWrite =
           new KvDeltaBatchWrite(path, tableSchema,
-            KvV2Util.readBuckets(path, new Configuration()), info.schema())
+            distBuckets, info.schema())
       }
     }
 }

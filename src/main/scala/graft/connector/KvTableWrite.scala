@@ -38,7 +38,41 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    // Writes into a bucket-compacted table DECLARE their distribution:
+    // clustered by rowkey into exactly `buckets` partitions (Catalyst's
+    // hash partitioning pmod(murmur3(key), n) is the same function
+    // KeyBucketer routes files with, so each task receives exactly one
+    // bucket's rows) and key-sorted within partitions. This bounds every
+    // append path — SQL INSERT, df.write, streaming epochs — to ONE open
+    // ParquetWriter per task (a task spanning B buckets would hold B
+    // full row-group buffers) and produces key-sorted row groups, which
+    // is what keeps manifest min/max pruning tight after appends.
+    // Truncating writes reset the layout to unbucketed, so they need no
+    // distribution; neither do writes that don't carry the key column.
+    private val routeBuckets: Int =
+      if (doTruncate) 0
+      else KvV2Util.readMeta(path, new Configuration())._2
+    private val routeKey: Option[String] =
+      if (routeBuckets <= 0) None
+      else Option(info.options.get("kvschema"))
+        .map(j => graft.kv.KvSchema.fromJson(j).keyField)
+        .orElse(KvV2Util.readKeyField(path, new Configuration()))
+        .filter(k => info.schema().fieldNames.contains(k))
+
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+    override def requiredDistribution(): Distribution =
+      routeKey.fold(Distributions.unspecified(): Distribution)(k =>
+        Distributions.clustered(Array(Expressions.identity(k))))
+    override def requiredNumPartitions(): Int =
+      if (routeKey.isDefined) routeBuckets else 0
+    override def requiredOrdering(): Array[SortOrder] =
+      routeKey.fold(Array.empty[SortOrder])(k =>
+        Array(Expressions.sort(Expressions.identity(k),
+          SortDirection.ASCENDING)))
     override def toBatch: BatchWrite = {
       // Rows arriving without engine-column VALUES (SQL `INSERT INTO`
       // via the catalog — columns absent, or present-but-NULL when the

@@ -290,4 +290,71 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Connected components over an undirected pair list: returns one row
+    * per node appearing in any pair, `(id, rep)` where `rep` is the
+    * smallest id in the node's component — the duplicate-CLUSTER
+    * resolution step a dedup pipeline needs after pair generation
+    * (near-dup similarity is not transitive, but the keep-one-per-
+    * cluster decision is made on the pair graph's components; keeping
+    * the min id is the deterministic-keeper convention used by
+    * [[exactKeepMin]]).
+    *
+    * Algorithm: min-label propagation to a fixpoint. Each round every
+    * node adopts the smallest label among itself and its neighbors —
+    * one equi-join of the (persisted) symmetric edge list against the
+    * current labels plus one `min` aggregation, i.e. two shuffles per
+    * round at any scale, no driver-side data. Rounds needed = the
+    * graph's diameter; near-dup graphs are unions of small dense
+    * clusters (diameter rarely exceeds single digits even at corpus
+    * scale — a chain of pairwise-similar-but-transitively-different
+    * docs is the pathological case, bounded by `maxRounds`).
+    * Convergence is detected by the label-sum checksum: labels only
+    * ever decrease, so the per-round `sum(rep)` is strictly decreasing
+    * until the fixpoint, where it is stable — one O(1)-row action per
+    * round. Each round's result is `localCheckpoint`ed: the iteration
+    * would otherwise stack an unboundedly deep lineage (re-analysis
+    * cost per round, recovery recomputes every round). On a cluster
+    * with dynamic executors, a reliable `checkpoint` dir is the
+    * safer variant of the same call.
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
+                          maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val half = pairs.select(col(idCol1).cast("long").as("src"),
+      col(idCol2).cast("long").as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def checksum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    var prevSum = checksum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
+        .select(col("src").as("id"), col("rep"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint()
+      val s = checksum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(pair graph has a path longer than maxRounds; raise maxRounds)")
+    labels
+  }
 }

@@ -308,15 +308,14 @@ object KvTable {
     * multiply task memory by the bucket fan-out. */
   private def rawV2Write(out0: DataFrame, path: String, schema: KvSchema,
                          mode: SinkMode): Unit = {
-    val spark = out0.sparkSession
-    val buckets =
-      if (mode == SinkMode.Replace) 0 else numBuckets(spark, path)
-    val out =
-      if (buckets > 0)
-        out0.withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
-          .repartition(buckets, col(BucketCol))
-      else out0
-    out.write.format("kvtable")
+    // Bucket alignment needs no explicit repartition here: the V2 Write
+    // declares its distribution (RequiresDistributionAndOrdering —
+    // clustered by rowkey into exactly `buckets` partitions, key-sorted),
+    // so Spark plans the single aligned shuffle and each task writes one
+    // bucket directory via KeyBucketer. Declaring it once in the
+    // connector covers every append path (this one, SQL INSERT, delta
+    // mutations, streaming epochs) instead of only this API call.
+    out0.write.format("kvtable")
       .option("kvschema", schema.toJson)
       .mode(if (mode == SinkMode.Replace) "overwrite" else "append")
       .save(path)
@@ -417,6 +416,21 @@ object KvTable {
     collapse(readRaw(spark, path).filter(col(VersionCol) <= version), schema)
   }
 
+  /** TTL read: the LWW view with every cell whose `__version` is below
+    * `minVersion` expired — HBase's column-family TTL semantics, where
+    * a cell past its TTL is invisible to scans even if it is the key's
+    * newest (the row then disappears), and expired tombstones stop
+    * masking nothing. The caller computes the cutoff in the table's own
+    * version domain (event-time versions: `now - ttl`; batch-counter
+    * versions: `counter - n`), the dual of [[readAsOf]]'s upper bound —
+    * the predicate lands on the parquet scan and prunes whole append
+    * batches via file min/max stats before the collapse.
+    */
+  def readTtl(spark: SparkSession, path: String, minVersion: Long): DataFrame = {
+    val schema = readSchema(spark, path)
+    collapse(readRaw(spark, path).filter(col(VersionCol) >= minVersion), schema)
+  }
+
   /** Client-side direct read (`HBaseTap.openForRead` ->
     * `TupleEntryIterator`, `HBaseTap.java:107-113`): a driver-local
     * iterator over the LWW view in key order, streaming partitions one
@@ -453,15 +467,26 @@ object KvTable {
     * `__version` values and the meta version counter are preserved so
     * LWW ordering survives compaction in every version domain.
     */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String,
+              expireBelow: Option[Long] = None): Unit =
     TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     val schema = readSchema(spark, path)
     val lastVer = readMetaVersion(spark, path)
-    val current = collapseKeepVersion(readRaw(spark, path), schema)
+    val current = collapseKeepVersion(expireRaw(spark, path, expireBelow), schema)
       .withColumn(SeqCol, lit(0L))
       .withColumn(TombstoneCol, lit(false))
     swapData(spark, path, current, buckets = 0, lastVersion = lastVer)
     }
+
+  /** Raw log, optionally with TTL-expired cells dropped — the physical
+    * half of HBase's TTL: a major compaction discards expired cells, so
+    * after `compact(path, expireBelow = Some(v))` the files hold exactly
+    * what [[readTtl]] showed at cutoff `v`. */
+  private def expireRaw(spark: SparkSession, path: String,
+                        expireBelow: Option[Long]): DataFrame = {
+    val raw = readRaw(spark, path)
+    expireBelow.fold(raw)(v => raw.filter(col(VersionCol) >= v))
+  }
 
   /** Major compaction INTO a hash-bucketed layout: the log is rewritten
     * as `__bucket=<pmod(hash(key), n)>/...` partition directories, one
@@ -470,12 +495,13 @@ object KvTable {
     * touch exactly one bucket directory via ordinary partition pruning —
     * the HBase region-addressing analog for read-mostly tables.
     */
-  def compactBucketed(spark: SparkSession, path: String, buckets: Int): Unit =
+  def compactBucketed(spark: SparkSession, path: String, buckets: Int,
+                      expireBelow: Option[Long] = None): Unit =
     TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     require(buckets > 0, "buckets must be positive")
     val schema = readSchema(spark, path)
     val lastVer = readMetaVersion(spark, path)
-    val current = collapseKeepVersion(readRaw(spark, path), schema)
+    val current = collapseKeepVersion(expireRaw(spark, path, expireBelow), schema)
       .withColumn(SeqCol, lit(0L))
       .withColumn(TombstoneCol, lit(false))
       .withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))

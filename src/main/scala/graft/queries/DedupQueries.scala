@@ -59,6 +59,23 @@ object DedupQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // Duplicate-CLUSTER resolution: connected components over the
+    // MinHash near-dup pair graph (min-label propagation to fixpoint),
+    // then one keeper per cluster (min id) + cluster sizes. This is the
+    // step between pair generation and the actual drop decision in a
+    // corpus dedup pipeline — near-dup similarity is not transitive, so
+    // pairs alone don't say which rows to keep.
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minHashNearDupPairs(corpusNear(s, dir), "doc_id",
+        "text", shingleLen = 3, k = 12, bands = 6, minJaccard = 0.5)
+      val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))
+      comp.select(col("id").as("doc_id"), col("rep"),
+          count(lit(1)).over(w).as("cluster_size"),
+          (col("id") === col("rep")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup pairs — md5-60bit token hashes, so the DuckDB
     // oracle mirrors the ENTIRE pipeline (64 bit-votes, chunk banding,
     // hamming verify) value-for-value.
@@ -162,8 +179,30 @@ object DedupQueries {
        |    / (len(list_distinct(sh1)) + len(list_distinct(sh2))
        |       - len(list_filter(list_distinct(sh1), x -> list_contains(sh2, x)))) AS jaccard
        |  FROM cand)
-       |WHERE jaccard >= 0.5
-       |ORDER BY id1, id2""".stripMargin
+       |WHERE jaccard >= 0.5""".stripMargin + "\nORDER BY id1, id2"
+
+  /** Transitive closure over the mirrored MinHash pair graph: DuckDB's
+    * recursive CTE reproduces the engine's label-propagation fixpoint
+    * exactly (both compute min-id-per-component, a plan-independent
+    * value). */
+  private val clustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashSql.stripSuffix("\nORDER BY id1, id2")}
+       |),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION
+       |  SELECT id2, id1 FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, MIN(lab) AS rep FROM reach GROUP BY id)
+       |SELECT id AS doc_id, rep,
+       |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size,
+       |  (id = rep) AS is_keeper
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
 
   private val jaccardSql = {
     s"""WITH corpus AS (
@@ -238,6 +277,7 @@ object DedupQueries {
          |FROM ($corpusExactSql)
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> minhashSql,
+    "dedup_clusters" -> clustersSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embed_cosine" ->

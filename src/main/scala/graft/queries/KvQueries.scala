@@ -297,6 +297,7 @@ object KvQueries {
     "kv_append_upsert" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_versions" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_time_travel" -> ((s, d) => { setupAppendUpsert(s, d); () }),
+    "kv_ttl" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
@@ -434,6 +435,17 @@ object KvQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // TTL read — HBase's column-family TTL: cells older than the cutoff
+    // are invisible even when they are a key's newest, so customers
+    // whose last order predates 1996 DISAPPEAR from the view (vs
+    // kv_time_travel, which shows exactly those). The version predicate
+    // is the dual bound, pruned identically at the parquet scan.
+    "kv_ttl" -> { (s, dir) =>
+      val path = setupAppendUpsert(s, dir)
+      KvTable.readTtl(s, path, 820454400L * 1000000000L)
+        .orderBy(col("o_custkey"))
+    },
+
     // Rowkey-range scan over a byte-lex string rowkey (the HBase Scan
     // [startRow, stopRow) analog with correct closed-open bounds —
     // SURVEY.md §2b documents the reference's boundary bugs we fix).
@@ -496,6 +508,13 @@ object KvQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_ttl" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
     "kv_v2_scan" ->

@@ -129,6 +129,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Stratified (per-group) sampling — corpus BALANCING: cap every
+    // language at ~50 docs by downsampling overrepresented groups at
+    // rate 50/|group| (en is ~3x the other langs in this corpus). One
+    // tiny census aggregate broadcast back onto the corpus, then the
+    // same engine-independent hash threshold text_sample uses; the
+    // keep decision is EXACT integer arithmetic (h·n < cap·P — no
+    // float rounding at the rate boundary), so any engine keeps the
+    // identical rows, and re-running after the corpus grows keeps a
+    // subset-stable sample per group (thresholds nest).
+    "text_stratified_sample" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val h = graft.dedup.Dedup.hash60(col("doc_id").cast("string"))
+      docs.join(broadcast(census), Seq("lang"))
+        .filter(h * col("n_lang") < lit(50L) * lit(graft.dedup.Dedup.MinHashP))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Content-defined chunking by rolling hash: a 3-token rolling hash
     // (the same base-31 poly roll the dedup pipeline uses) marks a chunk
     // boundary wherever hash % 8 == 0 — boundaries move with content,
@@ -302,6 +321,15 @@ object TextQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |         AS BIGINT) % 1000000007) % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "text_stratified_sample" ->
+      """WITH census AS (SELECT lang, COUNT(*) AS n_lang FROM documents
+        |  GROUP BY 1)
+        |SELECT doc_id, lang, source
+        |FROM documents JOIN census USING (lang)
+        |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1000000007) * n_lang
+        |      < CAST(50 AS BIGINT) * 1000000007
         |ORDER BY doc_id""".stripMargin,
     "text_chunks" ->
       s"""SELECT doc_id,

@@ -154,6 +154,40 @@ class KvTableSourceSpec extends SparkSpec {
     assert(KvTable.readV2(spark, path).count() === 40L) // 40 + new - k7
   }
 
+  test("V2 write declares its distribution: an append lands at most one " +
+    "file per bucket regardless of input partitioning") {
+    val path = TestSpark.scratch("v2-dist")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.write((1 to 40).map(i => (s"k$i", s"v$i")).toDF("k", "v"),
+      path, schema, SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, buckets = 3)
+    val before = countDataFiles(path)
+    // 8 input partitions, keys spanning every bucket: without the
+    // declared clustering each of the 8 tasks could open a writer in
+    // every bucket it touches (up to 24 files, B row-group buffers per
+    // task); with RequiresDistributionAndOrdering Spark shuffles into
+    // exactly 3 key-clustered partitions -> at most one file per bucket
+    KvTable.writeV2(
+      (1 to 40).map(i => (s"k$i", s"u$i")).toDF("k", "v").repartition(8),
+      path, schema)
+    val added = countDataFiles(path) - before
+    assert(added <= 3, s"append produced $added files (expected <= 3 buckets)")
+    assert(KvTable.get(spark, path, "k7").as[(String, String)].collect() ===
+      Array(("k7", "u7")))
+  }
+
+  private def countDataFiles(path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val entries = fs.listStatus(p)
+      entries.filter(_.isFile).toSeq ++
+        entries.filter(_.isDirectory).flatMap(d => walk(d.getPath))
+    }
+    walk(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   test("one InputPartition per parquet ROW GROUP (big files still parallelize)") {
     val path = TestSpark.scratch("v2-rowgroups")
     val schema = KvSchema.of("k", "v" -> ("f", "v"))

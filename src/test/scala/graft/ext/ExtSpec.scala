@@ -86,6 +86,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 - p._1 == 1000L))
   }
 
+  test("connectedComponents resolves clusters to min-id representatives") {
+    // chain 1-2-3-4-5 (multi-round propagation), pair {10,11}, pair
+    // {20,21} plus cross-edge 21-22; node 30 isolated via self-pair-free
+    // absence (not in any pair -> not in output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(comp === Array(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain and detects cycles") {
+    // a 30-node chain needs ~15 propagation rounds (labels spread one
+    // hop per round from the minimum); a cycle must not loop forever
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(chain, "id1", "id2")
+      .as[(Long, Long)].collect()
+    assert(got.length === 30 && got.forall(_._2 == 1L))
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id1", "id2")
+    val gotC = Dedup.connectedComponents(cycle, "id1", "id2")
+      .as[(Long, Long)].collect()
+    assert(gotC.length === 3 && gotC.forall(_._2 == 1L))
+    // maxRounds guard throws rather than spinning
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id1", "id2", maxRounds = 3)
+    }
+  }
+
   test("maxBucket caps pathological-bucket pair expansion") {
     // 120 identical docs: every band bucket holds all 120 ids. Uncapped,
     // that expands 120·119/2 pairs; with the cap the hot buckets are

@@ -112,6 +112,29 @@ class KvTableSpec extends SparkSpec {
       .as[(String, String)].collect() === view(3L))
   }
 
+  test("readTtl expires old cells (rows vanish when their newest cell " +
+    "is expired) and compact(expireBelow) makes it physical") {
+    val path = TestSpark.scratch("kv-ttl")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    val batch1 = Seq(("a", "old", 10L), ("b", "old", 10L)).toDF("k", "v", "ver")
+    val batch2 = Seq(("b", "new", 20L)).toDF("k", "v", "ver")
+    KvTable.write(batch1, path, s, SinkMode.Replace, Some(col("ver")))
+    KvTable.write(batch2, path, s, SinkMode.Append, Some(col("ver")))
+    // cutoff 15: a's only cell expired -> row gone; b's newest survives
+    def ttlView = KvTable.readTtl(spark, path, 15L)
+      .orderBy("k").as[(String, String)].collect()
+    assert(ttlView === Array(("b", "new")))
+    // an expired tombstone stops masking nothing (delete below cutoff)
+    KvTable.delete(Seq("b").toDF("k"), path, s, version = Some(12L))
+    assert(ttlView === Array(("b", "new")))
+    // physical expiry: compaction drops expired cells; plain read then
+    // equals the TTL view, and the log holds only surviving cells
+    KvTable.compact(spark, path, expireBelow = Some(15L))
+    assert(KvTable.read(spark, path).orderBy("k")
+      .as[(String, String)].collect() === Array(("b", "new")))
+    assert(KvTable.readRaw(spark, path).count() === 1L)
+  }
+
   test("tombstone delete removes a key; re-upsert resurrects it") {
     val path = TestSpark.scratch("kv-tomb")
     KvTable.write(parsed, path, schema, SinkMode.Replace)
