@@ -60,13 +60,16 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
   // HBaseTap.java:69-101) onto Spark's ProcedureCatalog.
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array("system"), "compact"))
+    Array(Identifier.of(Array("system"), "compact"),
+      Identifier.of(Array("system"), "compact_minor"))
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name().toLowerCase match {
       case "compact" => new KvCompactProcedure(this)
+      case "compact_minor" => new KvCompactMinorProcedure(this)
       case other => throw new UnsupportedOperationException(
-        s"kvtable catalog has no procedure '$other' (available: compact)")
+        s"kvtable catalog has no procedure '$other' " +
+          "(available: compact, compact_minor)")
     }
 
   /** Resolve a `ns.table` string (catalog-relative, like ALTER TABLE
@@ -358,6 +361,40 @@ class KvCompactProcedure(cat: KvCatalog)
     val path = cat.resolvePath(tableRef)
     if (buckets > 0) graft.kv.KvTable.compactBucketed(spark, path, buckets)
     else graft.kv.KvTable.compact(spark, path)
+    java.util.Collections.emptyIterator()
+  }
+}
+
+/** `CALL <catalog>.system.compact_minor(table => 'ns.t'
+  * [, small_file_bytes => N])` — minor compaction through SQL: merge
+  * each region's small files into one without rewriting the table
+  * ([[graft.kv.KvTable.compactMinor]]); lossless, preserves version
+  * history. Side-effect procedure: returns no rows. */
+class KvCompactMinorProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+
+  override def name(): String = "compact_minor"
+  override def description(): String =
+    "merge a kvtable's small files per bucket (lossless minor compaction)"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[procedures.ProcedureParameter] = Array(
+    procedures.ProcedureParameter
+      .in("table", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("catalog-relative table reference, e.g. ns.t").build(),
+    procedures.ProcedureParameter
+      .in("small_file_bytes", org.apache.spark.sql.types.DataTypes.LongType)
+      .defaultValue(s"${32L * 1024 * 1024}")
+      .comment("files below this size are merged").build())
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val tableRef = input.getUTF8String(0).toString
+    val small =
+      if (input.isNullAt(1)) 32L * 1024 * 1024 else input.getLong(1)
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.kv.KvTable.compactMinor(spark, cat.resolvePath(tableRef), small)
     java.util.Collections.emptyIterator()
   }
 }

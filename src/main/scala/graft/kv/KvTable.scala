@@ -416,6 +416,31 @@ object KvTable {
     collapse(readRaw(spark, path).filter(col(VersionCol) <= version), schema)
   }
 
+  /** Incremental change feed (CDC): every mutation with
+    * `afterVersion < __version <= toVersion`, in version order — puts
+    * with their values, deletes flagged `is_delete` — NOT collapsed:
+    * this is the raw mutation stream a downstream consumer replays
+    * (the batch dual of the streaming source's offset-tracked read;
+    * HBase's WAL-replication surface). A consumer checkpoints the last
+    * version it processed and passes it back as `afterVersion`; the
+    * version predicate prunes un-changed append batches at the parquet
+    * scan via file min/max stats, so an incremental poll costs O(new
+    * data), not O(table). Caveat shared with [[readAsOf]]: compaction
+    * rewrites history — poll the feed past a version BEFORE compacting
+    * across it.
+    */
+  def readChanges(spark: SparkSession, path: String, afterVersion: Long,
+                  toVersion: Long = Long.MaxValue): DataFrame = {
+    val schema = readSchema(spark, path)
+    readRaw(spark, path)
+      .filter(col(VersionCol) > afterVersion && col(VersionCol) <= toVersion)
+      .orderBy(col(VersionCol), col(SeqCol))
+      .select((col(schema.keyField) +:
+        schema.valueFields.map(f => col(f.name).as(f.name, f.metadata))) :+
+        col(VersionCol).as("version") :+
+        col(TombstoneCol).as("is_delete"): _*)
+  }
+
   /** TTL read: the LWW view with every cell whose `__version` is below
     * `minVersion` expired — HBase's column-family TTL semantics, where
     * a cell past its TTL is invisible to scans even if it is the key's
@@ -470,6 +495,7 @@ object KvTable {
   def compact(spark: SparkSession, path: String,
               expireBelow: Option[Long] = None): Unit =
     TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
+    recoverMinor(spark, path) // BEFORE the read plan lists files
     val schema = readSchema(spark, path)
     val lastVer = readMetaVersion(spark, path)
     val current = collapseKeepVersion(expireRaw(spark, path, expireBelow), schema)
@@ -488,6 +514,137 @@ object KvTable {
     expireBelow.fold(raw)(v => raw.filter(col(VersionCol) >= v))
   }
 
+  /** MINOR compaction: merge each region's SMALL files into one, without
+    * rewriting the table — the maintenance op that actually runs at
+    * scale. [[compact]]/[[compactBucketed]] rewrite the whole log
+    * (O(table) IO per run — HBase's MAJOR compaction, correct but a
+    * scheduled rarity at 100 TB); an append-heavy table instead
+    * accumulates many small files (micro-batches, per-task appends)
+    * whose per-file overhead dominates scans. This op concatenates,
+    * per bucket directory (per region), every data file smaller than
+    * `smallFileBytes` into one merged file and deletes the originals —
+    * large files are never read or touched, so the cost is
+    * O(small-file bytes), independent of table size.
+    *
+    * Physically LOSSLESS, deliberately: rows keep their exact
+    * (`__version`, `__seq`, tombstone) — unlike major compaction it
+    * preserves version history, so [[readAsOf]]/[[readVersions]] are
+    * unaffected (HBase's minor compaction likewise keeps delete
+    * markers; only a major discards history).
+    *
+    * Crash safety: each group commit is journaled (`_minorlog.json`:
+    * target file + originals) before the publish rename. A crash
+    * between publish and the deletes can leave BOTH the merged file
+    * and some originals visible — harmless to the LWW view (identical
+    * (key, version, seq) rows collapse) but visible to raw-log
+    * consumers until the journal is replayed, which happens at the
+    * START of the next compactMinor (or any compaction). Single-writer
+    * per table, like every mutation (TableLock).
+    *
+    * @return number of file groups merged
+    */
+  def compactMinor(spark: SparkSession, path: String,
+                   smallFileBytes: Long = 32L * 1024 * 1024,
+                   minFiles: Int = 2): Int =
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val f = fs(spark, path)
+      recoverMinor(spark, path)
+      val dataSchema = readRaw(spark, path).schema
+      val root = new HPath(dataDir(path))
+      val groups: Seq[HPath] = {
+        val entries = f.listStatus(root)
+        val bucketDirs = entries.filter(e => e.isDirectory &&
+          e.getPath.getName.startsWith(s"$BucketCol="))
+        if (bucketDirs.nonEmpty) bucketDirs.map(_.getPath).toSeq else Seq(root)
+      }
+      var merged = 0
+      groups.foreach { g =>
+        val smalls = f.listStatus(g).filter { e =>
+          val n = e.getPath.getName
+          e.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+            !n.startsWith("_") && e.getLen < smallFileBytes
+        }
+        if (smalls.length >= minFiles) {
+          val tmp = s"$path/.minor-tmp"
+          f.delete(new HPath(tmp), true)
+          spark.read.schema(dataSchema)
+            .parquet(smalls.map(_.getPath.toString).toIndexedSeq: _*)
+            .coalesce(1)
+            .write.parquet(tmp)
+          val produced = f.listStatus(new HPath(tmp))
+            .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+          require(produced.length == 1,
+            s"minor compaction expected one merged file, got ${produced.length}")
+          val target = new HPath(g,
+            s"minor-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+          // journal BEFORE publishing: lists what to delete once the
+          // target exists, replayed by recoverMinor after a crash
+          writeString(spark, minorLog(path), minorLogJson(
+            relToData(path, target), smalls.map(e => relToData(path, e.getPath))))
+          require(f.rename(produced.head.getPath, target),
+            s"KvTable $path: minor compaction could not publish $target")
+          smalls.foreach(e => f.delete(e.getPath, false))
+          f.delete(new HPath(tmp), true)
+          // manifest: drop merged-away entries, add the new file's stat
+          // (ONE footer read) — O(group) not O(table)
+          import graft.connector.KvStats
+          KvStats.read(path, conf).foreach { m =>
+            val dropped = smalls.map(e => relToData(path, e.getPath)).toSet
+            val tgtLen = f.getFileStatus(target).getLen
+            val kept = m.files.filterNot(fs0 => dropped.contains(fs0.path))
+            val added = KvStats.fromFooter(target,
+              KvStats.relativize(path, target, conf), tgtLen, conf)
+            KvStats.clear(path, conf)
+            KvStats.write(path, KvStats.Manifest(m.schema, kept :+ added), conf)
+          }
+          f.delete(new HPath(minorLog(path)), false)
+          merged += 1
+        }
+      }
+      merged
+    }
+
+  private def minorLog(path: String) = s"$path/_minorlog.json"
+  private def relToData(path: String, file: HPath): String = {
+    val base = new HPath(dataDir(path)).toUri.getPath
+    val p = file.toUri.getPath
+    require(p.startsWith(base), s"$p outside $base")
+    p.drop(base.length + 1)
+  }
+  private def minorLogJson(target: String, olds: Seq[String]): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"target":"${esc(target)}","olds":[${olds.map(o => s""""${esc(o)}"""").mkString(",")}]}"""
+  }
+
+  /** Replay a crashed minor compaction's journal: if the merged target
+    * was published, finish the originals' deletes; if not, discard the
+    * temp output. Either way the table returns to a clean state and the
+    * journal is removed. */
+  private def recoverMinor(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val log = new HPath(minorLog(path))
+    if (!f.exists(log)) return
+    val json = {
+      val in = f.open(log)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val target = new HPath(s"${dataDir(path)}/${node.get("target").asText}")
+    if (f.exists(target)) {
+      val it = node.get("olds").elements()
+      while (it.hasNext)
+        f.delete(new HPath(s"${dataDir(path)}/${it.next().asText}"), false)
+      // entries for deleted files may linger in the manifest; rebuild
+      graft.connector.KvStats.clear(path, spark.sparkContext.hadoopConfiguration)
+      graft.connector.KvStats.refresh(path, spark.sparkContext.hadoopConfiguration)
+    }
+    f.delete(new HPath(s"$path/.minor-tmp"), true)
+    f.delete(log, false)
+  }
+
   /** Major compaction INTO a hash-bucketed layout: the log is rewritten
     * as `__bucket=<pmod(hash(key), n)>/...` partition directories, one
     * current version per key, and every later append follows the same
@@ -499,6 +656,7 @@ object KvTable {
                       expireBelow: Option[Long] = None): Unit =
     TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     require(buckets > 0, "buckets must be positive")
+    recoverMinor(spark, path) // BEFORE the read plan lists files
     val schema = readSchema(spark, path)
     val lastVer = readMetaVersion(spark, path)
     val current = collapseKeepVersion(expireRaw(spark, path, expireBelow), schema)

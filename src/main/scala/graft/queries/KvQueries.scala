@@ -298,6 +298,7 @@ object KvQueries {
     "kv_versions" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_time_travel" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_ttl" -> ((s, d) => { setupAppendUpsert(s, d); () }),
+    "kv_changes" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
@@ -435,6 +436,16 @@ object KvQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // CDC change feed: the mutation stream after a version checkpoint —
+    // here "everything since the pre-1996 batch", i.e. the second
+    // append batch's puts, version-ordered, NOT collapsed. The
+    // incremental-poll primitive: the version predicate prunes all
+    // earlier batches at the scan, so the poll costs O(new data).
+    "kv_changes" -> { (s, dir) =>
+      val path = setupAppendUpsert(s, dir)
+      KvTable.readChanges(s, path, afterVersion = 820454400L * 1000000000L - 1)
+    },
+
     // TTL read — HBase's column-family TTL: cells older than the cutoff
     // are invisible even when they are a key's newest, so customers
     // whose last order predates 1996 DISAPPEAR from the view (vs
@@ -510,6 +521,13 @@ object KvQueries {
         |      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+    "kv_changes" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey
+        |    AS version,
+        |  FALSE AS is_delete
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |ORDER BY version""".stripMargin,
     "kv_ttl" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -97,6 +97,29 @@ class KvCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_test.cmp")
   }
 
+  test("CALL system.compact_minor merges small files but keeps the raw " +
+    "log (lossless maintenance through SQL)") {
+    ensureCatalog()
+    spark.sql("CREATE TABLE cat_test.mnr (k BIGINT, n BIGINT) USING kvtable")
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO cat_test.mnr (k, n) " +
+        s"SELECT id, id * $i FROM range(0, 20)")
+    }
+    val path = s"$warehouse/mnr"
+    assert(spark.table("cat_test.mnr").count() === 60) // raw log intact
+    spark.sql("CALL cat_test.system.compact_minor(table => 'mnr')")
+    // lossless: every log row survives, fewer files hold them
+    assert(spark.table("cat_test.mnr").count() === 60)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val files = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+    assert(files.length === 1, s"expected 1 merged file, got ${files.length}")
+    assert(KvTable.read(spark, path).filter(col("k") === 7)
+      .select("n").as[Long].head() === 21L)
+    spark.sql("DROP TABLE cat_test.mnr")
+  }
+
   test("SQL time travel: VERSION AS OF reads a snapshot of the log") {
     ensureCatalog()
     spark.sql(

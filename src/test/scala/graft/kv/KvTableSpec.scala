@@ -112,6 +112,25 @@ class KvTableSpec extends SparkSpec {
       .as[(String, String)].collect() === view(3L))
   }
 
+  test("readChanges replays the mutation stream after a version " +
+    "checkpoint, deletes flagged") {
+    val path = TestSpark.scratch("kv-changes")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.write(Seq(("a", "v1"), ("b", "v1")).toDF("k", "v"),
+      path, s, SinkMode.Replace)                         // version 1
+    KvTable.write(Seq(("b", "v2")).toDF("k", "v"), path, s) // version 2
+    KvTable.delete(Seq("a").toDF("k"), path, s)             // version 3
+    def feed(after: Long) = KvTable.readChanges(spark, path, after)
+      .select("k", "version", "is_delete")
+      .as[(String, Long, Boolean)].collect()
+    assert(feed(0L).toSet ===
+      Set(("a", 1L, false), ("b", 1L, false), ("b", 2L, false),
+        ("a", 3L, true)))
+    // incremental poll from a checkpoint sees only newer mutations
+    assert(feed(2L) === Array(("a", 3L, true)))
+    assert(feed(3L).isEmpty)
+  }
+
   test("readTtl expires old cells (rows vanish when their newest cell " +
     "is expired) and compact(expireBelow) makes it physical") {
     val path = TestSpark.scratch("kv-ttl")
@@ -289,6 +308,61 @@ class KvTableSpec extends SparkSpec {
     val rows = KvTable.readVersions(spark, path, 1)
       .select("num", "lower", "version").as[(String, String, Long)].collect()
     assert(rows === Array(("1", "b", 2L)))
+  }
+
+  test("minor compaction merges small files losslessly: raw log " +
+    "identical, version history intact, large files untouched") {
+    val path = TestSpark.scratch("kv-minor")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    // four appends -> >= 4 small files; one delete -> tombstones too
+    (1 to 4).foreach { i =>
+      KvTable.write(Seq((s"k${i % 2}", s"v$i")).toDF("k", "v"), path, s,
+        if (i == 1) SinkMode.Replace else SinkMode.Append)
+    }
+    KvTable.delete(Seq("k0").toDF("k"), path, s)
+    def rawRows = KvTable.readRaw(spark, path)
+      .select("k", "v", KvTable.VersionCol, KvTable.SeqCol, KvTable.TombstoneCol)
+      .collect().toSet
+    def dataFiles = {
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+        .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+    }
+    val before = rawRows
+    val nBefore = dataFiles.length
+    assert(nBefore >= 5)
+    // threshold below every file size: nothing qualifies, nothing merged
+    assert(KvTable.compactMinor(spark, path, smallFileBytes = 1L) === 0)
+    assert(dataFiles.length === nBefore)
+    // real run: all small files merge into one; bytes are preserved
+    assert(KvTable.compactMinor(spark, path) === 1)
+    assert(dataFiles.length === 1)
+    assert(rawRows === before)
+    // LWW view and multi-version history unchanged
+    assert(KvTable.read(spark, path).orderBy("k")
+      .as[(String, String)].collect() === Array(("k1", "v3")))
+    assert(KvTable.readVersions(spark, path, 10)
+      .select("k", "v").as[(String, String)].collect().toSet ===
+      Set(("k1", "v1"), ("k1", "v3")))
+  }
+
+  test("minor compaction on a bucketed table merges per bucket and " +
+    "keeps region pruning") {
+    val path = TestSpark.scratch("kv-minor-bucketed")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    KvTable.write((1 to 20).map(i => (s"k$i", s"v$i")).toDF("k", "v"),
+      path, s, SinkMode.Replace)
+    KvTable.compactBucketed(spark, path, buckets = 3)
+    // two appends spread over every bucket -> small files per bucket dir
+    KvTable.write((1 to 20).map(i => (s"k$i", s"u$i")).toDF("k", "v"), path, s)
+    KvTable.write((1 to 20).map(i => (s"k$i", s"w$i")).toDF("k", "v"), path, s)
+    val merged = KvTable.compactMinor(spark, path)
+    assert(merged === 3, s"expected one merge per bucket, got $merged")
+    assert(KvTable.numBuckets(spark, path) === 3)
+    assert(KvTable.get(spark, path, "k7").as[(String, String)].collect() ===
+      Array(("k7", "w7")))
+    assert(KvTable.read(spark, path).count() === 20)
   }
 
   test("compact preserves the LWW view") {
