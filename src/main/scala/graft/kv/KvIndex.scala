@@ -1,0 +1,140 @@
+package graft.kv
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global secondary index over a KvTable value column — the
+  * HBase-ecosystem pattern (Phoenix global indexes, DynamoDB GSIs) for
+  * serving value-predicate lookups without scanning the primary: the
+  * index IS another KvTable whose rowkey is the composite
+  * `<value>\0<primary key>` (the standard byte-concatenated index-key
+  * encoding), so a value-equality lookup becomes a rowkey PREFIX scan
+  * on the index — planned as an ordinary [[KvTable.readRange]], which
+  * prunes index files/row groups by key min/max — followed by a
+  * semi-join of the primary's LWW view against the matched keys.
+  *
+  * Maintenance is INCREMENTAL, driven by the primary's CDC feed
+  * ([[KvTable.readChanges]]): `refresh` polls mutations since the
+  * index's recorded checkpoint version, reads the changed keys'
+  * PRE-IMAGE via [[KvTable.readAsOf]] at the checkpoint (the index
+  * entry to retract lives under the OLD value — the pre-image read is
+  * how Phoenix global-index writers compute delete-old/put-new pairs),
+  * tombstones those entries and appends the current ones. Cost is
+  * O(changed keys), not O(table). The checkpoint caveat is
+  * [[KvTable.readAsOf]]'s: refresh before major-compacting across the
+  * checkpoint.
+  *
+  * Scale shape: build is one scan + one write, lookup is a pruned
+  * range scan + semi-join (broadcast when the match set is small),
+  * refresh is two key-filtered scans + two appends — nothing
+  * driver-side, no collect.
+  */
+object KvIndex {
+
+  /** Composite-key separator: sorts before every printable character,
+    * so `[v\0, v\1)` brackets exactly the entries whose value is `v`. */
+  val Sep = "\u0000"
+  private val SepSucc = "\u0001"
+
+  /** Index table schema: composite rowkey + the primary key echoed as a
+    * value column (covered column — lookups never parse the rowkey). */
+  val indexSchema: KvSchema = KvSchema.of("__ikey", "__pk" -> ("i", "pk"))
+
+  private def metaFile(indexPath: String) = s"$indexPath/_kvindexmeta.json"
+
+  private def writeIndexMeta(spark: SparkSession, indexPath: String,
+                             col: String, checkpoint: Long): Unit = {
+    val f = new HPath(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new HPath(metaFile(indexPath)), true)
+    try out.write(
+      s"""{"col":"$col","checkpoint":$checkpoint}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (indexed column, checkpoint version of the primary). */
+  def readIndexMeta(spark: SparkSession, indexPath: String): (String, Long) = {
+    val f = new HPath(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = f.open(new HPath(metaFile(indexPath)))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    (node.get("col").asText, node.get("checkpoint").asLong)
+  }
+
+  private def entriesOf(view: DataFrame, keyField: String,
+                        col0: String): DataFrame =
+    view.select(
+      concat(col(col0).cast("string"), lit(Sep),
+        col(keyField).cast("string")).as("__ikey"),
+      col(keyField).cast("string").as("__pk"))
+
+  /** Full build: index every live row's (value, key) pair; records the
+    * primary's current version as the checkpoint `refresh` resumes
+    * from. */
+  def build(spark: SparkSession, primaryPath: String, indexPath: String,
+            valueCol: String): Unit = {
+    val schema = KvTable.readSchema(spark, primaryPath)
+    require(schema.valueFields.exists(_.name == valueCol),
+      s"$valueCol is not a value column of $primaryPath")
+    val checkpoint = graft.connector.KvV2Util.readMeta(primaryPath,
+      spark.sparkContext.hadoopConfiguration)._1
+    KvTable.write(entriesOf(KvTable.read(spark, primaryPath),
+        schema.keyField, valueCol),
+      indexPath, indexSchema, SinkMode.Replace)
+    writeIndexMeta(spark, indexPath, valueCol, checkpoint)
+  }
+
+  /** Incremental maintenance from the primary's change feed: retract
+    * the changed keys' OLD entries (pre-image at the checkpoint),
+    * append their current ones, advance the checkpoint. */
+  def refresh(spark: SparkSession, primaryPath: String,
+              indexPath: String): Unit = {
+    val (valueCol, checkpoint) = readIndexMeta(spark, indexPath)
+    val schema = KvTable.readSchema(spark, primaryPath)
+    val key = schema.keyField
+    val newCheckpoint = graft.connector.KvV2Util.readMeta(primaryPath,
+      spark.sparkContext.hadoopConfiguration)._1
+    if (newCheckpoint == checkpoint) return
+    val changedKeys = KvTable.readChanges(spark, primaryPath, checkpoint)
+      .select(col(key)).distinct()
+    // retract pre-image entries (keys that existed at the checkpoint)
+    val old = entriesOf(
+      KvTable.readAsOf(spark, primaryPath, checkpoint)
+        .join(changedKeys, Seq(key), "left_semi"),
+      key, valueCol)
+    KvTable.delete(old.select(col("__ikey")), indexPath, indexSchema)
+    // assert current entries (keys still live now)
+    val current = entriesOf(
+      KvTable.read(spark, primaryPath)
+        .join(changedKeys, Seq(key), "left_semi"),
+      key, valueCol)
+    KvTable.write(current, indexPath, indexSchema, SinkMode.Append)
+    writeIndexMeta(spark, indexPath, valueCol, newCheckpoint)
+  }
+
+  /** The primary keys whose indexed value equals `value` (as strings —
+    * the composite rowkey stores the key's string rendering). */
+  def lookupKeys(spark: SparkSession, indexPath: String,
+                 value: String): DataFrame =
+    KvTable.readRange(spark, indexPath,
+        Some(value + Sep), Some(value + SepSucc))
+      .select(col("__pk"))
+
+  /** Index-served point query: the primary's LWW rows whose `valueCol`
+    * equals `value` — a pruned prefix scan on the index, then a
+    * semi-join against the primary (the probe side is the small one;
+    * Catalyst broadcasts it). */
+  def lookup(spark: SparkSession, primaryPath: String, indexPath: String,
+             value: String): DataFrame = {
+    val schema = KvTable.readSchema(spark, primaryPath)
+    val key = schema.keyField
+    val keyType = KvTable.read(spark, primaryPath).schema(key).dataType
+    val probes = lookupKeys(spark, indexPath, value)
+      .select(col("__pk").cast(keyType).as(key))
+    KvTable.read(spark, primaryPath)
+      .join(broadcast(probes), Seq(key), "left_semi")
+  }
+}

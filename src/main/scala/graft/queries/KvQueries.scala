@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.kv.{KvDynamic, KvSchema, KvTable, SinkMode}
+import graft.kv.{KvDynamic, KvIndex, KvSchema, KvTable, SinkMode}
 
 /** Queries exercising the KV-table surface — the reference's REF
   * operators (SURVEY.md §2a/§2d): upsert-by-rowkey LWW reads, rowkey
@@ -42,6 +42,15 @@ object KvQueries {
         versionFrom = Some(orderVersion))
     }
     path
+  }
+
+  private def setupIndex(s: SparkSession, dir: String): (String, String) = {
+    val primary = setupRoundtrip(s, dir)
+    val index = scratchDir("kv_index", dir)
+    ensureSetup(index) {
+      KvIndex.build(s, primary, index, "o_orderstatus")
+    }
+    (primary, index)
   }
 
   private def setupAppendUpsert(s: SparkSession, dir: String): String = {
@@ -299,6 +308,7 @@ object KvQueries {
     "kv_time_travel" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_ttl" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_changes" -> ((s, d) => { setupAppendUpsert(s, d); () }),
+    "kv_index_lookup" -> ((s, d) => { setupIndex(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
@@ -436,6 +446,16 @@ object KvQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // Secondary-index point query (Phoenix-style global index): the
+    // customers whose LATEST order is still open — a rowkey-prefix scan
+    // on the index table (pruned by key min/max like any range scan)
+    // semi-joined back into the primary, never a full value scan of the
+    // primary. Index maintenance is CDC-incremental (KvIndexSpec).
+    "kv_index_lookup" -> { (s, dir) =>
+      val (primary, index) = setupIndex(s, dir)
+      KvIndex.lookup(s, primary, index, "O").orderBy(col("o_custkey"))
+    },
+
     // CDC change feed: the mutation stream after a version checkpoint —
     // here "everything since the pre-1996 batch", i.e. the second
     // append batch's puts, version-ordered, NOT collapsed. The
@@ -520,6 +540,12 @@ object KvQueries {
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
         |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_index_lookup" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 AND o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
     "kv_changes" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

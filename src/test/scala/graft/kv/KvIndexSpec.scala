@@ -1,0 +1,53 @@
+package graft.kv
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, TestSpark}
+
+class KvIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = KvSchema.of("k", "status" -> ("f", "s"),
+    "amt" -> ("f", "a"))
+
+  test("build + lookup serve a value-equality query from the index") {
+    val primary = TestSpark.scratch("kvidx-primary")
+    val index = TestSpark.scratch("kvidx-index")
+    KvTable.write(Seq(("k1", "A", 1L), ("k2", "A", 2L), ("k3", "B", 3L))
+      .toDF("k", "status", "amt"), primary, schema, SinkMode.Replace)
+    KvIndex.build(spark, primary, index, "status")
+    assert(KvIndex.lookupKeys(spark, index, "A").as[String].collect().sorted
+      === Array("k1", "k2"))
+    assert(KvIndex.lookup(spark, primary, index, "A")
+      .select("k", "amt").as[(String, Long)].collect().sortBy(_._1)
+      === Array(("k1", 1L), ("k2", 2L)))
+    // no phantom match across the separator (value prefix of another)
+    assert(KvIndex.lookupKeys(spark, index, "").as[String].collect().isEmpty)
+  }
+
+  test("refresh is CDC-incremental: updates move entries, deletes " +
+    "retract them, result equals a fresh rebuild") {
+    val primary = TestSpark.scratch("kvidx2-primary")
+    val index = TestSpark.scratch("kvidx2-index")
+    KvTable.write(Seq(("k1", "A", 1L), ("k2", "A", 2L), ("k3", "B", 3L))
+      .toDF("k", "status", "amt"), primary, schema, SinkMode.Replace)
+    KvIndex.build(spark, primary, index, "status")
+    // mutate the primary: k1 A->B, k2 deleted, k4 added with A
+    KvTable.write(Seq(("k1", "B", 10L), ("k4", "A", 4L))
+      .toDF("k", "status", "amt"), primary, schema, SinkMode.Append)
+    KvTable.delete(Seq("k2").toDF("k"), primary, schema)
+    KvIndex.refresh(spark, primary, index)
+    assert(KvIndex.lookupKeys(spark, index, "A").as[String].collect().sorted
+      === Array("k4"))
+    assert(KvIndex.lookupKeys(spark, index, "B").as[String].collect().sorted
+      === Array("k1", "k3"))
+    // the refreshed index's live view equals a from-scratch rebuild
+    val rebuilt = TestSpark.scratch("kvidx2-rebuilt")
+    KvIndex.build(spark, primary, rebuilt, "status")
+    assert(KvTable.read(spark, index).collect().toSet ===
+      KvTable.read(spark, rebuilt).collect().toSet)
+    // a refresh with no new mutations is a no-op that stays consistent
+    KvIndex.refresh(spark, primary, index)
+    assert(KvIndex.lookupKeys(spark, index, "B").as[String].collect().sorted
+      === Array("k1", "k3"))
+  }
+}
