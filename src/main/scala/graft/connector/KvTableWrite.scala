@@ -92,7 +92,7 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
       require(!doTruncate,
         "kvtable streaming sink is append-only: use outputMode append/update")
       new KvStreamingWrite(path, info.schema(),
-        Option(info.options.get("kvschema")))
+        Option(info.options.get("kvschema")), info.queryId())
     }
   }
 }
@@ -106,15 +106,22 @@ class KvWriteBuilder(path: String, info: LogicalWriteInfo)
   * see last-write-wins across epochs exactly as across batch writes —
   * a stream of HBase Puts.
   *
-  * Epoch replay after a crash re-appends the epoch's rows under a NEW
-  * version: at-least-once, like replayed HBase Puts — the LWW collapse
-  * makes the replay value-identical for upsert streams (same key, same
-  * value, later version wins). Exactly-once would need the epoch id
-  * persisted in the commit and deduplicated, which the log's
-  * append-only contract supports but the HBase model doesn't promise.
+  * Epoch replay after a crash is DEDUPLICATED: the commit records
+  * (queryId, epochId) in `_kvepochs.json` inside the same table-lock
+  * scope as the meta/manifest publish, and a commit whose epoch is
+  * already recorded for this query skips the publish and deletes the
+  * replayed task files — exactly-once for the committed-then-replayed
+  * case (the Delta/Iceberg streaming-sink txn-id pattern; epoch ids
+  * are stable across restarts because they come from the query's own
+  * checkpoint). The one remaining at-least-once window is a crash
+  * INSIDE the commit after the meta publish but before the epoch
+  * record; a replay then re-appends under a new version, and the LWW
+  * collapse makes it value-identical for upsert streams. Distinct
+  * concurrent queries (different queryId) never dedupe each other.
   */
 class KvStreamingWrite(path: String, schema: StructType,
-                       kvSchemaJson: Option[String])
+                       kvSchemaJson: Option[String],
+                       queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -131,8 +138,10 @@ class KvStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit =
     // identical driver-side commit as a batch append: publish stats
-    // segment, bump version counter — under the table lock
-    new KvBatchWrite(path, schema, 0L, kvSchemaJson, truncate = false)
+    // segment, bump version counter — under the table lock, with the
+    // epoch recorded in the same locked scope (replays are skipped)
+    new KvBatchWrite(path, schema, 0L, kvSchemaJson, truncate = false,
+        epochTag = Some((queryId, epochId)))
       .commit(messages)
 
   override def abort(epochId: Long,
@@ -174,7 +183,8 @@ case class KvCommitMessage(files: Seq[String],
   */
 class KvBatchWrite(path: String, schema: StructType,
                    assignedVersion: Long,
-                   kvSchemaJson: Option[String], truncate: Boolean)
+                   kvSchemaJson: Option[String], truncate: Boolean,
+                   epochTag: Option[(String, Long)] = None)
     extends BatchWrite {
 
   // Snapshot the pre-job files on the DRIVER at job start; commit-time
@@ -206,6 +216,18 @@ class KvBatchWrite(path: String, schema: StructType,
     // cross-job LWW ordering.)
     graft.kv.TableLock.withLock(path, conf) {
     val fs = new HPath(path).getFileSystem(conf)
+    // streaming epoch replay: if this (queryId, epochId) already
+    // committed, drop the replayed task files and publish nothing —
+    // the check and the record below share this lock scope, so two
+    // replays cannot both pass
+    if (epochTag.exists { case (q, e) =>
+        KvEpochs.committed(path, conf, q, e) }) {
+      messages.foreach {
+        case KvCommitMessage(files, _) =>
+          files.foreach(f => fs.delete(new HPath(f), false))
+        case _ => ()
+      }
+    } else {
     if (truncate) preExisting.foreach(f => fs.delete(f.getPath, false))
     kvSchemaJson.foreach { json =>
       val out = fs.create(new HPath(s"$path/_kvschema.json"), true)
@@ -248,6 +270,8 @@ class KvBatchWrite(path: String, schema: StructType,
     val (prevVer, prevBuckets) = KvV2Util.readMeta(path, conf)
     KvV2Util.writeMeta(path, conf, prevVer + 1,
       if (truncate) 0 else prevBuckets)
+    epochTag.foreach { case (q, e) => KvEpochs.record(path, conf, q, e) }
+    }
     }
   }
 
@@ -459,6 +483,43 @@ object KvWriteUtil {
       b.addField(prim.named(f.name))
     }
     b.named("spark_schema")
+  }
+}
+
+/** Streaming-epoch commit ledger (`_kvepochs.json`): the highest epoch
+  * committed per streaming query id. Read and written ONLY inside the
+  * table lock's scope (KvBatchWrite.commit), so the replayed-epoch
+  * check and the record are atomic. One entry per query that ever wrote
+  * the table — bounded by writer count, not by epochs. */
+object KvEpochs {
+  private def file(path: String) = new HPath(s"$path/_kvepochs.json")
+
+  private def readAll(path: String, conf: Configuration): Map[String, Long] = {
+    val fs = file(path).getFileSystem(conf)
+    if (!fs.exists(file(path))) return Map.empty
+    val in = fs.open(file(path))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val it = node.fields()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong }
+    b.result()
+  }
+
+  def committed(path: String, conf: Configuration,
+                queryId: String, epochId: Long): Boolean =
+    readAll(path, conf).get(queryId).exists(_ >= epochId)
+
+  def record(path: String, conf: Configuration,
+             queryId: String, epochId: Long): Unit = {
+    val all = readAll(path, conf) + (queryId -> epochId)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = all.map { case (q, e) => s""""${esc(q)}":$e""" }
+      .mkString("{", ",", "}")
+    val fs = file(path).getFileSystem(conf)
+    val out = fs.create(file(path), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 }
 
