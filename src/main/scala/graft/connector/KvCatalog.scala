@@ -102,6 +102,17 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     fs(warehouse).exists(schemaFileOf(tablePath(ident)))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata table: `SELECT * FROM cat.ns.t$files`
+    // exposes the stats manifest (one row per data file: size, rows,
+    // row groups, rowkey min/max) — the layout-health view an operator
+    // watches to decide when to CALL system.compact_minor.
+    if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files"))
+      val path = tablePath(base)
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new KvFilesMetaTable(path)
+    }
     val path = tablePath(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new KvBatchTable(path, KvV2Util.inferSchema(path, conf))
@@ -397,4 +408,99 @@ class KvCompactMinorProcedure(cat: KvCatalog)
     graft.kv.KvTable.compactMinor(spark, cat.resolvePath(tableRef), small)
     java.util.Collections.emptyIterator()
   }
+}
+
+/** `t$files` metadata table: the stats manifest as SQL rows — one per
+  * data file with size, row count, row-group count, and the rowkey's
+  * min/max (from the per-group column stats, merged per type tag).
+  * Planning is one driver JSON read (the same manifest scans plan
+  * from); no data or footer IO. */
+class KvFilesMetaTable(path: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  override def name(): String = s"kvtable-files($path)"
+  override def schema(): StructType = KvFilesMetaTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = KvFilesMetaTable.Schema
+        override def description(): String = s"kvtable-files $path"
+        override def toBatch: Batch = this
+
+        override def planInputPartitions(): Array[InputPartition] = {
+          val conf = new Configuration()
+          val key = KvV2Util.readKeyField(path, conf)
+          val files = KvStats.read(path, conf).map(_.files)
+            .getOrElse(Seq.empty)
+          val rows = files.map { f =>
+            val ks = key.toSeq.flatMap(k =>
+              f.groups.flatMap(_.stats.get(k)).filter(_.t != "n"))
+            def pick(best: (String, String) => Boolean): String =
+              if (ks.isEmpty) null
+              else ks.map(c => (c.t, c)).foldLeft(null: String) {
+                case (null, (_, c)) => bestOf(c.t, c.mn, c.mx, best)
+                case (acc, (t, c)) =>
+                  val cand = bestOf(t, c.mn, c.mx, best)
+                  if (best(cand, acc)) cand else acc
+              }
+            def bestOf(t: String, mn: String, mx: String,
+                       best: (String, String) => Boolean): String =
+              if (best(mn, mx)) mn else mx
+            def lt(t: String)(a: String, b: String): Boolean = t match {
+              case "l" => a.toLong < b.toLong
+              case "d" => a.toDouble < b.toDouble
+              case _ => a < b
+            }
+            val tag = ks.headOption.map(_.t).getOrElse("s")
+            (f.path, f.len, f.groups.map(_.rows).sum, f.groups.length,
+              if (ks.isEmpty) null else pick(lt(tag)),
+              if (ks.isEmpty) null else pick((a, b) => !lt(tag)(a, b)))
+          }
+          Array(KvFilesPartition(rows))
+        }
+
+        override def createReaderFactory(): PartitionReaderFactory =
+          new KvFilesReaderFactory
+      }
+    }
+}
+
+object KvFilesMetaTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType), StructField("bytes", LongType),
+    StructField("rows", LongType), StructField("row_groups", IntegerType),
+    StructField("key_min", StringType), StructField("key_max", StringType)))
+}
+
+case class KvFilesPartition(
+    rows: Seq[(String, Long, Long, Int, String, String)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class KvFilesReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[KvFilesPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (f, bytes, rows, groups, kmin, kmax) = it.next()
+        def s(x: String) = if (x == null) null else UTF8String.fromString(x)
+        cur = new GenericInternalRow(
+          Array[Any](s(f), bytes, rows, groups, s(kmin), s(kmax)))
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
 }

@@ -38,53 +38,70 @@ object KvIndex {
   private val SepSucc = "\u0001"
 
   /** Index table schema: composite rowkey + the primary key echoed as a
-    * value column (covered column — lookups never parse the rowkey). */
-  val indexSchema: KvSchema = KvSchema.of("__ikey", "__pk" -> ("i", "pk"))
+    * value column, plus any COVERED primary columns (their values are
+    * stored in the index so a covered lookup never touches the primary
+    * at all — Phoenix's INCLUDE clause / a DynamoDB GSI projection). */
+  def indexSchema(covered: Seq[String]): KvSchema =
+    KvSchema.of("__ikey",
+      (("__pk" -> ("i", "pk")) +:
+        covered.map(c => c -> ("c", c))): _*)
 
   private def metaFile(indexPath: String) = s"$indexPath/_kvindexmeta.json"
 
   private def writeIndexMeta(spark: SparkSession, indexPath: String,
-                             col: String, checkpoint: Long): Unit = {
+                             col: String, covered: Seq[String],
+                             checkpoint: Long): Unit = {
     val f = new HPath(indexPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val out = f.create(new HPath(metaFile(indexPath)), true)
+    val cov = covered.map(c => s""""$c"""").mkString("[", ",", "]")
     try out.write(
-      s"""{"col":"$col","checkpoint":$checkpoint}""".getBytes("UTF-8"))
+      s"""{"col":"$col","covered":$cov,"checkpoint":$checkpoint}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** (indexed column, checkpoint version of the primary). */
-  def readIndexMeta(spark: SparkSession, indexPath: String): (String, Long) = {
+  /** (indexed column, covered columns, checkpoint version). */
+  def readIndexMeta(spark: SparkSession,
+                    indexPath: String): (String, Seq[String], Long) = {
     val f = new HPath(indexPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val in = f.open(new HPath(metaFile(indexPath)))
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    (node.get("col").asText, node.get("checkpoint").asLong)
+    val cov = Option(node.get("covered")).map { arr =>
+      val it = arr.elements(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText
+      b.result()
+    }.getOrElse(Seq.empty)
+    (node.get("col").asText, cov, node.get("checkpoint").asLong)
   }
 
-  private def entriesOf(view: DataFrame, keyField: String,
-                        col0: String): DataFrame =
+  private def entriesOf(view: DataFrame, keyField: String, col0: String,
+                        covered: Seq[String]): DataFrame =
     view.select(
       concat(col(col0).cast("string"), lit(Sep),
-        col(keyField).cast("string")).as("__ikey"),
-      col(keyField).cast("string").as("__pk"))
+        col(keyField).cast("string")).as("__ikey") +:
+      col(keyField).cast("string").as("__pk") +:
+      covered.map(col): _*)
 
-  /** Full build: index every live row's (value, key) pair; records the
-    * primary's current version as the checkpoint `refresh` resumes
-    * from. */
+  /** Full build: index every live row's (value, key) pair — plus the
+    * `covered` columns' values, stored in the index so covered lookups
+    * are index-only; records the primary's current version as the
+    * checkpoint `refresh` resumes from. */
   def build(spark: SparkSession, primaryPath: String, indexPath: String,
-            valueCol: String): Unit = {
+            valueCol: String, covered: Seq[String] = Seq.empty): Unit = {
     val schema = KvTable.readSchema(spark, primaryPath)
-    require(schema.valueFields.exists(_.name == valueCol),
-      s"$valueCol is not a value column of $primaryPath")
+    (valueCol +: covered).foreach(c =>
+      require(schema.valueFields.exists(_.name == c),
+        s"$c is not a value column of $primaryPath"))
     val checkpoint = graft.connector.KvV2Util.readMeta(primaryPath,
       spark.sparkContext.hadoopConfiguration)._1
     KvTable.write(entriesOf(KvTable.read(spark, primaryPath),
-        schema.keyField, valueCol),
-      indexPath, indexSchema, SinkMode.Replace)
-    writeIndexMeta(spark, indexPath, valueCol, checkpoint)
+        schema.keyField, valueCol, covered),
+      indexPath, indexSchema(covered), SinkMode.Replace)
+    writeIndexMeta(spark, indexPath, valueCol, covered, checkpoint)
   }
 
   /** Incremental maintenance from the primary's change feed: retract
@@ -92,7 +109,7 @@ object KvIndex {
     * append their current ones, advance the checkpoint. */
   def refresh(spark: SparkSession, primaryPath: String,
               indexPath: String): Unit = {
-    val (valueCol, checkpoint) = readIndexMeta(spark, indexPath)
+    val (valueCol, covered, checkpoint) = readIndexMeta(spark, indexPath)
     val schema = KvTable.readSchema(spark, primaryPath)
     val key = schema.keyField
     val newCheckpoint = graft.connector.KvV2Util.readMeta(primaryPath,
@@ -104,15 +121,16 @@ object KvIndex {
     val old = entriesOf(
       KvTable.readAsOf(spark, primaryPath, checkpoint)
         .join(changedKeys, Seq(key), "left_semi"),
-      key, valueCol)
-    KvTable.delete(old.select(col("__ikey")), indexPath, indexSchema)
+      key, valueCol, covered)
+    KvTable.delete(old.select(col("__ikey")), indexPath,
+      indexSchema(covered))
     // assert current entries (keys still live now)
     val current = entriesOf(
       KvTable.read(spark, primaryPath)
         .join(changedKeys, Seq(key), "left_semi"),
-      key, valueCol)
-    KvTable.write(current, indexPath, indexSchema, SinkMode.Append)
-    writeIndexMeta(spark, indexPath, valueCol, newCheckpoint)
+      key, valueCol, covered)
+    KvTable.write(current, indexPath, indexSchema(covered), SinkMode.Append)
+    writeIndexMeta(spark, indexPath, valueCol, covered, newCheckpoint)
   }
 
   /** The primary keys whose indexed value equals `value` (as strings —
@@ -122,6 +140,19 @@ object KvIndex {
     KvTable.readRange(spark, indexPath,
         Some(value + Sep), Some(value + SepSucc))
       .select(col("__pk"))
+
+  /** Covered (index-only) lookup: the covered columns' values straight
+    * from the index's prefix scan — ZERO primary IO, the read HBase
+    * users build covered indexes for. */
+  def lookupCovered(spark: SparkSession, indexPath: String,
+                    value: String): DataFrame = {
+    val (_, covered, _) = readIndexMeta(spark, indexPath)
+    require(covered.nonEmpty,
+      s"index $indexPath was built without covered columns")
+    KvTable.readRange(spark, indexPath,
+        Some(value + Sep), Some(value + SepSucc))
+      .select(col("__pk") +: covered.map(col): _*)
+  }
 
   /** Index-served point query: the primary's LWW rows whose `valueCol`
     * equals `value` — a pruned prefix scan on the index, then a

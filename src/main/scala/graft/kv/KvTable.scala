@@ -590,7 +590,11 @@ object KvTable {
           // (ONE footer read) — O(group) not O(table)
           import graft.connector.KvStats
           KvStats.read(path, conf).foreach { m =>
-            val dropped = smalls.map(e => relToData(path, e.getPath)).toSet
+            // manifest paths are TABLE-root-relative ("data/...") — use
+            // the same relativize the writers use, not the journal's
+            // data-dir-relative rendering
+            val dropped = smalls
+              .map(e => KvStats.relativize(path, e.getPath, conf)).toSet
             val tgtLen = f.getFileStatus(target).getLen
             val kept = m.files.filterNot(fs0 => dropped.contains(fs0.path))
             val added = KvStats.fromFooter(target,

@@ -48,7 +48,8 @@ object KvQueries {
     val primary = setupRoundtrip(s, dir)
     val index = scratchDir("kv_index", dir)
     ensureSetup(index) {
-      KvIndex.build(s, primary, index, "o_orderstatus")
+      KvIndex.build(s, primary, index, "o_orderstatus",
+        covered = Seq("o_orderkey", "o_totalprice"))
     }
     (primary, index)
   }
@@ -309,6 +310,7 @@ object KvQueries {
     "kv_ttl" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_changes" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_index_lookup" -> ((s, d) => { setupIndex(s, d); () }),
+    "kv_index_covered" -> ((s, d) => { setupIndex(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
@@ -456,6 +458,14 @@ object KvQueries {
       KvIndex.lookup(s, primary, index, "O").orderBy(col("o_custkey"))
     },
 
+    // Covered (index-only) variant: the covered columns come straight
+    // from the index's prefix scan — zero primary IO (spec proves it by
+    // answering after the primary is dropped).
+    "kv_index_covered" -> { (s, dir) =>
+      val (_, index) = setupIndex(s, dir)
+      KvIndex.lookupCovered(s, index, "O").orderBy(col("o_orderkey"))
+    },
+
     // CDC change feed: the mutation stream after a version checkpoint —
     // here "everything since the pre-1996 batch", i.e. the second
     // append batch's puts, version-ordered, NOT collapsed. The
@@ -547,6 +557,12 @@ object KvQueries {
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1 AND o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "kv_index_covered" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS __pk, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
     "kv_changes" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey

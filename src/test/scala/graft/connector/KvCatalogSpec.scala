@@ -120,6 +120,27 @@ class KvCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_test.mnr")
   }
 
+  test("t$files metadata table reports layout health from the manifest") {
+    ensureCatalog()
+    spark.sql("CREATE TABLE cat_test.mf (k BIGINT, n BIGINT) USING kvtable")
+    spark.sql("INSERT INTO cat_test.mf (k, n) SELECT id, id FROM range(0, 30)")
+    spark.sql("INSERT INTO cat_test.mf (k, n) SELECT id, id FROM range(30, 40)")
+    val before = spark.sql("SELECT * FROM cat_test.`mf$files`").collect()
+    assert(before.length >= 2) // at least one file per INSERT
+    assert(before.map(_.getAs[Long]("rows")).sum === 40L)
+    assert(before.forall(_.getAs[Long]("bytes") > 0))
+    // rowkey min/max merged from the per-group stats (long-typed key)
+    val mins = before.map(_.getAs[String]("key_min")).filter(_ != null)
+    assert(mins.map(_.toLong).min === 0L)
+    // after a minor compaction the view shows the merged layout
+    spark.sql("CALL cat_test.system.compact_minor(table => 'mf')")
+    val after = spark.sql(
+      "SELECT count(*) AS c, sum(rows) AS r FROM cat_test.`mf$files`")
+      .collect().head
+    assert(after.getAs[Long]("c") === 1L && after.getAs[Long]("r") === 40L)
+    spark.sql("DROP TABLE cat_test.mf")
+  }
+
   test("SQL time travel: VERSION AS OF reads a snapshot of the log") {
     ensureCatalog()
     spark.sql(

@@ -24,6 +24,23 @@ class KvIndexSpec extends SparkSpec {
     assert(KvIndex.lookupKeys(spark, index, "").as[String].collect().isEmpty)
   }
 
+  test("covered lookup is index-only: answers after the primary is gone") {
+    val primary = TestSpark.scratch("kvidx3-primary")
+    val index = TestSpark.scratch("kvidx3-index")
+    KvTable.write(Seq(("k1", "A", 1L), ("k2", "A", 2L), ("k3", "B", 3L))
+      .toDF("k", "status", "amt"), primary, schema, SinkMode.Replace)
+    KvIndex.build(spark, primary, index, "status", covered = Seq("amt"))
+    // refresh keeps covered values current
+    KvTable.write(Seq(("k2", "A", 20L)).toDF("k", "status", "amt"),
+      primary, schema, SinkMode.Append)
+    KvIndex.refresh(spark, primary, index)
+    // drop the primary entirely: a covered lookup must still answer
+    KvTable.drop(spark, primary)
+    assert(KvIndex.lookupCovered(spark, index, "A")
+      .as[(String, Long)].collect().sortBy(_._1)
+      === Array(("k1", 1L), ("k2", 20L)))
+  }
+
   test("refresh is CDC-incremental: updates move entries, deletes " +
     "retract them, result equals a fresh rebuild") {
     val primary = TestSpark.scratch("kvidx2-primary")
