@@ -310,6 +310,63 @@ object StreamQueries {
       KvTable.read(s, path)
         .select(col("user_id"), col("t"), col("o_orderkey"))
         .orderBy(col("user_id"), col("t"), col("o_orderkey"))
+    },
+
+    // Stream-stream LEFT OUTER interval join: matched rows emit eagerly
+    // like the inner join; UNMATCHED left rows emit null-padded only
+    // when the watermark proves no future right row can match (state
+    // eviction at wm > t + interval) — the semantics watermarks exist
+    // for. Determinism bound: the left side is clipped to t <
+    // 2024-01-25, ≥ 2 days clear of final-watermark eviction (events
+    // end Jan 30, wm delay 1d + interval 3d), so every clipped row's
+    // fate — match or null — resolves inside the run and the batch
+    // left join reproduces it exactly.
+    "stream_join_left" -> { (s, dir) =>
+      val path = scratchDir("stream_join_left", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("jk",
+        "user_id" -> ("j", "user_id"),
+        "t" -> ("j", "t"),
+        "o_orderkey" -> ("j", "orderkey"))
+      val ev = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .filter(col("user_id") < 20)
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        // clip AFTER the watermark node: the watermark must observe the
+        // full event range (max Jan 30) so eviction passes the clip
+        // bound; clipping first would cap the watermark at clip - 1d
+        // and strand the last days' unmatched rows in state forever
+        .withWatermark("t", "1 day")
+        .filter(col("t") < lit("2024-01-25").cast("timestamp"))
+        .select(col("user_id"), col("t"))
+      val ord = s.readStream
+        .schema(schemaOf(s, dir, "orders"))
+        .parquet(streamDir(dir, "orders"))
+        .filter(col("o_custkey") < 20)
+        .withColumn("o_orderdate",
+          col("o_orderdate").cast("timestamp") + expr("INTERVAL 29 YEARS"))
+        .withWatermark("o_orderdate", "1 day")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val joined = ev.join(ord,
+        col("user_id") === col("o_custkey") &&
+          col("t") >= col("o_orderdate") - expr("INTERVAL 3 DAYS") &&
+          col("t") <= col("o_orderdate") + expr("INTERVAL 3 DAYS"),
+        "left_outer")
+        .withColumn("jk", concat_ws("|",
+          col("user_id"), unix_micros(col("t")),
+          coalesce(col("o_orderkey"), lit(-1L))))
+        // unmatched rows carry -1, not NULL: nullable-int columns
+        // round-trip differently across engines' parquet/pandas
+        // renderings, and -1 is unambiguous here (real keys are > 0)
+        .select(col("jk"), col("user_id"), col("t"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"))
+      runStream(joined, outputMode = "append") { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path)
+        .select(col("user_id"), col("t"), col("o_orderkey"))
+        .orderBy(col("user_id"), col("t"), col("o_orderkey"))
     }
   )
 
@@ -371,6 +428,18 @@ object StreamQueries {
         | AND CAST(e.ts AS TIMESTAMP)
         |       <= o.o_orderdate + INTERVAL 29 YEAR + INTERVAL 3 DAY
         |WHERE e.user_id < 50
+        |ORDER BY user_id, t, o_orderkey""".stripMargin,
+    "stream_join_left" ->
+      """SELECT DISTINCT e.user_id, CAST(e.ts AS TIMESTAMP) AS t,
+        |  COALESCE(o.o_orderkey, -1) AS o_orderkey
+        |FROM (SELECT * FROM events WHERE user_id < 20
+        |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25') e
+        |LEFT JOIN (SELECT * FROM orders WHERE o_custkey < 20) o
+        |  ON e.user_id = o.o_custkey
+        | AND CAST(e.ts AS TIMESTAMP)
+        |       >= o.o_orderdate + INTERVAL 29 YEAR - INTERVAL 3 DAY
+        | AND CAST(e.ts AS TIMESTAMP)
+        |       <= o.o_orderdate + INTERVAL 29 YEAR + INTERVAL 3 DAY
         |ORDER BY user_id, t, o_orderkey""".stripMargin
   )
 }

@@ -30,6 +30,7 @@ object KvLifecycleProps extends Properties("KvTable.lifecycle") {
   private case class DeleteKeys(keys: Set[String]) extends Op
   private case object Compact extends Op
   private case class CompactBucketed(n: Int) extends Op
+  private case object CompactMinor extends Op
 
   private val genKey: Gen[String] = Gen.choose(0, 5).map(i => s"k$i")
 
@@ -41,7 +42,8 @@ object KvLifecycleProps extends Properties("KvTable.lifecycle") {
     } yield WriteBatch(ks.zip(vs).toMap)),
     2 -> Gen.nonEmptyListOf(genKey).map(ks => DeleteKeys(ks.toSet)),
     1 -> Gen.const(Compact),
-    1 -> Gen.choose(2, 4).map(CompactBucketed)
+    1 -> Gen.choose(2, 4).map(CompactBucketed),
+    2 -> Gen.const(CompactMinor)
   )
 
   /** The in-memory log: (version, key, value-or-tombstone) triples.
@@ -65,6 +67,10 @@ object KvLifecycleProps extends Properties("KvTable.lifecycle") {
       case DeleteKeys(keys) =>
         val v = lastVer + 1
         Model(log ++ keys.map(k => (v, k, Option.empty[String])), v)
+      case CompactMinor =>
+        // minor compaction is physically LOSSLESS: the model's log —
+        // live view, every snapshot, versions — is untouched
+        this
       case Compact | CompactBucketed(_) =>
         // live entries keep their versions; tombstones and history drop
         val keep = live.map { case (k, x) =>
@@ -87,6 +93,10 @@ object KvLifecycleProps extends Properties("KvTable.lifecycle") {
       if (KvTable.exists(spark, path)) KvTable.compact(spark, path)
     case CompactBucketed(n) =>
       if (KvTable.exists(spark, path)) KvTable.compactBucketed(spark, path, n)
+    case CompactMinor =>
+      // smallFileBytes at max: EVERY file qualifies — the hardest case
+      if (KvTable.exists(spark, path))
+        KvTable.compactMinor(spark, path, smallFileBytes = Long.MaxValue)
   }
 
   private def readLive(path: String): Map[String, String] =
