@@ -349,14 +349,67 @@ object KvTable {
     else collapse(raw, schema)
 
   private def collapse(raw: DataFrame, schema: KvSchema,
-                       groupExtra: Seq[Column] = Nil): DataFrame = {
+                       groupExtra: Seq[Column] = Nil,
+                       keepExtra: Boolean = false): DataFrame = {
     val payload = struct(
       (col(TombstoneCol) +: schema.valueFields.map(f => col(f.name))): _*)
+    val kept = if (keepExtra) groupExtra else Nil
     raw.groupBy(groupExtra :+ col(schema.keyField): _*)
       .agg(max_by(payload, struct(col(VersionCol), col(SeqCol))).as("__row"))
       .filter(!col("__row")(TombstoneCol))
-      .select(col(schema.keyField) +:
-        schema.valueFields.map(f => col("__row")(f.name).as(f.name, f.metadata)): _*)
+      .select(kept ++ (col(schema.keyField) +:
+        schema.valueFields.map(f => col("__row")(f.name).as(f.name, f.metadata))): _*)
+  }
+
+  /** Co-located (storage-partitioned) join of two BUCKET-COMPACTED
+    * tables on their rowkeys — the bucketing payoff: both sides scan
+    * region-locally (`KeyGroupedPartitioning(__bucket)`), each side's
+    * LWW collapse runs partition-local, and the join matches bucket
+    * partitions directly, so the WHOLE plan — two scans, two
+    * collapses, one join — has ZERO Exchange (spec-asserted). The
+    * bucket equality in the join condition is semantically redundant
+    * (bucket is a pure function of the key and both tables must share
+    * a bucket count — enforced) but is what lets Spark prove
+    * co-partitioning. Requires
+    * `spark.sql.sources.v2.bucketing.enabled=true` and
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` (partition
+    * keys are a subset of the join keys); without them the same query
+    * is correct with ordinary shuffles.
+    *
+    * At 100 TB this is the difference between a fact-to-fact join
+    * shuffling both tables and one that moves nothing: pre-bucket both
+    * tables once (`compactBucketed`, same n), join for free forever —
+    * the HBase analog of aligned region ranges.
+    */
+  def joinBucketed(spark: SparkSession, pathA: String, pathB: String,
+                   joinType: String = "inner"): DataFrame = {
+    val (sa, sb) = (readSchema(spark, pathA), readSchema(spark, pathB))
+    val (na, nb) = (numBuckets(spark, pathA), numBuckets(spark, pathB))
+    require(na > 0 && na == nb,
+      s"joinBucketed needs both tables bucket-compacted with the same " +
+        s"bucket count (got $na and $nb) — run compactBucketed(n) on both")
+    val overlap = (sb.valueFields.map(_.name).toSet + sb.keyField)
+      .intersect(sa.valueFields.map(_.name).toSet + sa.keyField)
+    require(overlap.isEmpty || sa.keyField == sb.keyField,
+      s"column collision between the two tables: ${overlap.mkString(", ")}")
+    def side(path: String, s: KvSchema, suffix: String) =
+      collapse(spark.read.format("kvtable").load(path), s,
+        groupExtra = Seq(col(BucketCol)), keepExtra = true)
+        .withColumnRenamed(BucketCol, s"${BucketCol}$suffix")
+        .withColumnRenamed(s.keyField, s"${s.keyField}$suffix")
+    val a = side(pathA, sa, "__a")
+    val b = side(pathB, sb, "__b")
+    a.join(b,
+        col(s"${sa.keyField}__a") === col(s"${sb.keyField}__b") &&
+          col(s"${BucketCol}__a") === col(s"${BucketCol}__b"),
+        joinType)
+      .withColumn(sa.keyField,
+        coalesce(col(s"${sa.keyField}__a"), col(s"${sb.keyField}__b")))
+      .drop(s"${sa.keyField}__a", s"${sb.keyField}__b",
+        s"${BucketCol}__a", s"${BucketCol}__b")
+      .select(col(sa.keyField) +:
+        (sa.valueFields.map(f => col(f.name)) ++
+          sb.valueFields.map(f => col(f.name))): _*)
   }
 
   /** Rowkey-range scan (`Scan(startRow, stopRow)` analog,

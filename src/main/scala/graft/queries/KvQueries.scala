@@ -54,6 +54,26 @@ object KvQueries {
     (primary, index)
   }
 
+  private def setupColocated(s: SparkSession, dir: String): (String, String) = {
+    val po = scratchDir("kv_coloc_orders", dir)
+    ensureSetup(po) {
+      KvTable.write(table(s, dir, "orders"), po, ordersSchema,
+        SinkMode.Replace, versionFrom = Some(orderVersion))
+      KvTable.compactBucketed(s, po, 8)
+    }
+    val pc = scratchDir("kv_coloc_customer", dir)
+    ensureSetup(pc) {
+      val custSchema = KvSchema.of("c_custkey",
+        "c_name" -> ("c", "name"), "c_acctbal" -> ("c", "acctbal"))
+      KvTable.write(
+        table(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal")),
+        pc, custSchema, SinkMode.Replace)
+      KvTable.compactBucketed(s, pc, 8)
+    }
+    (po, pc)
+  }
+
   private def setupAppendUpsert(s: SparkSession, dir: String): String = {
     val path = scratchDir("kv_append_upsert", dir)
     ensureSetup(path) {
@@ -311,6 +331,7 @@ object KvQueries {
     "kv_changes" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_index_lookup" -> ((s, d) => { setupIndex(s, d); () }),
     "kv_index_covered" -> ((s, d) => { setupIndex(s, d); () }),
+    "kv_colocated_join" -> ((s, d) => { setupColocated(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
@@ -466,6 +487,17 @@ object KvQueries {
       KvIndex.lookupCovered(s, index, "O").orderBy(col("o_orderkey"))
     },
 
+    // Co-located (storage-partitioned) join: latest order per customer
+    // joined to the customer's own KV table — both bucket-compacted
+    // with the same count, so scans, LWW collapses and the join run
+    // with ZERO shuffle (spec-asserted in KvTableSourceSpec). The
+    // region-aligned fact-to-fact join that makes bucketing pay at
+    // 100 TB.
+    "kv_colocated_join" -> { (s, dir) =>
+      val (po, pc) = setupColocated(s, dir)
+      KvTable.joinBucketed(s, po, pc).orderBy(col("o_custkey"))
+    },
+
     // CDC change feed: the mutation stream after a version checkpoint —
     // here "everything since the pre-1996 batch", i.e. the second
     // append batch's puts, version-ordered, NOT collapsed. The
@@ -557,6 +589,16 @@ object KvQueries {
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1 AND o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "kv_colocated_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+        |       c.c_name, c.c_acctbal
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice
+        |      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |            FROM orders)
+        |      WHERE rn = 1) o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_custkey""".stripMargin,
     "kv_index_covered" ->
       """SELECT CAST(o_custkey AS VARCHAR) AS __pk, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

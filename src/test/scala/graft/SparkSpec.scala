@@ -14,6 +14,7 @@ object TestSpark {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .getOrCreate()
 
   graft.functions.Native.register(spark)

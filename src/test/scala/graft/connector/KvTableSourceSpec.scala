@@ -188,6 +188,38 @@ class KvTableSourceSpec extends SparkSpec {
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  test("joinBucketed: scans, LWW collapses AND the join all plan with " +
+    "ZERO Exchange (storage-partitioned join)") {
+    val pa = TestSpark.scratch("spj-a")
+    val pb = TestSpark.scratch("spj-b")
+    val sa = KvSchema.of("k", "va" -> ("f", "a"))
+    val sb = KvSchema.of("k", "vb" -> ("f", "b"))
+    KvTable.write((1 to 40).map(i => (s"k$i", s"a$i")).toDF("k", "va"),
+      pa, sa, SinkMode.Replace)
+    KvTable.write((1 to 20).map(i => (s"k$i", s"b$i")).toDF("k", "vb"),
+      pb, sb, SinkMode.Replace)
+    // an upsert + delete so both LWW collapses have real work to do
+    KvTable.write(Seq(("k3", "a3x")).toDF("k", "va"), pa, sa)
+    KvTable.delete(Seq("k4").toDF("k"), pb, sb)
+    KvTable.compactBucketed(spark, pa, 3)
+    KvTable.compactBucketed(spark, pb, 3)
+    val j = KvTable.joinBucketed(spark, pa, pb)
+    val rows = j.orderBy("k").as[(String, String, String)].collect()
+    assert(rows.length === 19) // 20 shared keys minus deleted k4
+    assert(rows.contains(("k3", "a3x", "b3")))
+    assert(!rows.exists(_._1 == "k4"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"expected a shuffle-free storage-partitioned join plan:\n$plan")
+    // mismatched bucket counts are rejected with guidance, not silently shuffled
+    val pc = TestSpark.scratch("spj-c")
+    KvTable.write(Seq(("k1", "c1")).toDF("k", "vb"), pc, sb, SinkMode.Replace)
+    KvTable.compactBucketed(spark, pc, 5)
+    intercept[IllegalArgumentException] {
+      KvTable.joinBucketed(spark, pa, pc)
+    }
+  }
+
   test("one InputPartition per parquet ROW GROUP (big files still parallelize)") {
     val path = TestSpark.scratch("v2-rowgroups")
     val schema = KvSchema.of("k", "v" -> ("f", "v"))
