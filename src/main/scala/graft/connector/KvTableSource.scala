@@ -171,7 +171,6 @@ class KvScanBuilder(path: String, fullSchema: StructType,
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -185,59 +184,122 @@ class KvScanBuilder(path: String, fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** Metadata-only `SELECT COUNT(*) FROM t`: the stats manifest already
-    * knows every row group's row count, so an unfiltered, ungrouped
-    * count never touches a data file — the answer is one driver-side
-    * JSON read (footer fallback only for unmanifested files). Spark
-    * only attempts aggregate pushdown when the scan has no residual
-    * filters, and this connector keeps EVERY filter as a residual, so
-    * a filtered count can never be wrongly answered from metadata;
-    * time-travel snapshots decline too (their bound filters rows). */
-  private def isCountStar(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && pushed.isEmpty && asOf.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isCountStar(agg)
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    countStar = isCountStar(agg)
-    countStar
-  }
-
-  override def build(): Scan =
-    if (countStar) new KvCountScan(path)
-    else new KvScan(path, fullSchema, required, pushed, asOf)
-}
-
-/** One-row scan answering COUNT(*) from the manifest (see
-  * [[KvScanBuilder.pushAggregation]]). */
-class KvCountScan(path: String) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-  override def toBatch: Batch = this
-  override def description(): String = s"kvtable-count($path) metadata-only"
-
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Metadata-only aggregates: `COUNT(*)` plus `MIN`/`MAX` over
+    * int/long columns the manifest has complete row-group stats for —
+    * an unfiltered, ungrouped query of these never touches a data
+    * file; the answer is one driver-side JSON read (footer fallback
+    * only for unmanifested files). Safety: Spark only attempts
+    * aggregate pushdown when the scan has no residual filters, and
+    * this connector keeps EVERY filter as a residual, so a filtered
+    * aggregate can never be wrongly answered from metadata;
+    * time-travel snapshots decline too (their bound filters rows).
+    * MIN/MAX is deliberately limited to integral types (parquet
+    * float/double stats are unreliable around NaN) and declines
+    * unless EVERY non-empty row group carries stats for the column
+    * (all-NULL groups participate as "no value", matching MIN/MAX
+    * null-skipping). The values answered are over the RAW log —
+    * exactly what the same SQL over the catalog's raw-log view
+    * computes. */
+  private def tryMetadataAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || asOf.nonEmpty)
+      return None
+    def named(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val parsed: Seq[Option[(String, String)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count", null))
+        case m: Min => named(m.column).map(("min", _))
+        case m: Max => named(m.column).map(("max", _))
+        case _ => None
+      }
+    if (parsed.exists(_.isEmpty)) return None
+    val specs = parsed.flatten
+    def sparkType(c: String) = fullSchema.fields.find(_.name == c).map(_.dataType)
+    val typesOk = specs.forall {
+      case ("count", _) => true
+      case (_, c) => sparkType(c).exists {
+        case IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (!typesOk) return None
     val conf = new Configuration()
     val byRel: Map[String, KvStats.FileStat] =
       KvStats.read(path, conf)
         .map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
-    val total = KvV2Util.dataFiles(path, conf).map { f =>
+    val groups = KvV2Util.dataFiles(path, conf).flatMap { f =>
       val rel = KvStats.relativize(path, f.getPath, conf)
-      byRel.get(rel).filter(_.len == f.getLen) match {
-        case Some(st) => st.groups.map(_.rows).sum
-        case None =>
-          KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
-            .map(_.rows).sum
-      }
-    }.sum
-    Array(KvCountPartition(total))
+      byRel.get(rel).filter(_.len == f.getLen)
+        .getOrElse(KvStats.fromFooter(f.getPath, rel, f.getLen, conf))
+        .groups
+    }
+    def covered(c: String): Boolean = groups.forall(g =>
+      g.rows == 0 || g.stats.get(c).exists(cs => cs.t == "l" || cs.t == "n"))
+    if (!specs.forall { case (k, c) => k == "count" || covered(c) })
+      return None
+    val fields = specs.map {
+      case ("count", _) => StructField("count(*)", LongType, nullable = false)
+      case (k, c) => StructField(s"$k($c)", sparkType(c).get)
+    }
+    val values: Array[Any] = specs.map {
+      case ("count", _) => groups.map(_.rows).sum
+      case (kind, c) =>
+        val vals = groups.filter(_.rows > 0)
+          .flatMap(g => g.stats.get(c)).filter(_.t == "l")
+        if (vals.isEmpty) null
+        else {
+          val v =
+            if (kind == "min") vals.map(_.mn.toLong).min
+            else vals.map(_.mx.toLong).max
+          sparkType(c).get match {
+            case IntegerType => v.toInt
+            case _ => v
+          }
+        }
+    }.toArray
+    Some((StructType(fields), values))
   }
+
+  private var aggResult: Option[(StructType, Array[Any])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = tryMetadataAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = tryMetadataAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new KvAggScan(path, schema, values)
+    case None => new KvScan(path, fullSchema, required, pushed, asOf)
+  }
+}
+
+/** One-row scan answering COUNT(*)/MIN/MAX from the manifest (see
+  * [[KvScanBuilder.tryMetadataAgg]]; description keeps the
+  * `kvtable-count` marker plan audits grep for). */
+class KvAggScan(path: String, schema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kvtable-count/minmax($path) metadata-only"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvAggPartition(values))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -247,14 +309,13 @@ class KvCountScan(path: String) extends Scan with Batch {
           override def next(): Boolean =
             if (emitted) false else { emitted = true; true }
           override def get(): InternalRow =
-            new GenericInternalRow(
-              Array[Any](p.asInstanceOf[KvCountPartition].rows))
+            new GenericInternalRow(p.asInstanceOf[KvAggPartition].values)
           override def close(): Unit = ()
         }
     }
 }
 
-case class KvCountPartition(rows: Long) extends InputPartition
+case class KvAggPartition(values: Array[Any]) extends InputPartition
 
 /** V2 scan over the KV log.
   *

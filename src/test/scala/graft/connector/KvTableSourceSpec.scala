@@ -431,4 +431,32 @@ class KvTableSourceSpec extends SparkSpec {
       .contains("kvtable-count"))
     assert(filtered.as[Long].head() === 2L)
   }
+
+  test("MIN/MAX over stats-covered int/long columns are metadata-" +
+    "answered; string and filtered variants are not") {
+    val path = TestSpark.scratch("v2-minmax")
+    val schema = KvSchema.of("k", "n" -> ("f", "n"), "s" -> ("f", "s"))
+    KvTable.write((1 to 300).map(i => (i.toLong, i * 10L, s"x$i"))
+      .toDF("k", "n", "s"), path, schema, SinkMode.Replace)
+    KvTable.write((1 to 50).map(i => (i.toLong + 1000, i - 60L, s"y$i"))
+      .toDF("k", "n", "s"), path, schema, SinkMode.Append)
+    val df = spark.read.format("kvtable").load(path)
+
+    val q = df.groupBy().agg(min($"n"), max($"n"), count(lit(1)), max($"k"))
+    assert(q.queryExecution.executedPlan.treeString.contains("kvtable-count"),
+      q.queryExecution.executedPlan.treeString)
+    val before = KvV2Util.footerOpens.get()
+    assert(q.as[(Long, Long, Long, Long)].head() === ((-59L, 3000L, 350L, 1050L)))
+    assert(KvV2Util.footerOpens.get() === before,
+      "metadata min/max opened parquet footers")
+
+    // string min/max: no reliable stats contract -> real scan
+    val qs = df.groupBy().agg(min($"s"))
+    assert(!qs.queryExecution.executedPlan.treeString.contains("kvtable-count"))
+    assert(qs.as[String].head() === "x1")
+    // filtered min: residual filter -> real scan
+    val qf = df.filter($"n" > 0).groupBy().agg(min($"n"))
+    assert(!qf.queryExecution.executedPlan.treeString.contains("kvtable-count"))
+    assert(qf.as[Long].head() === 10L)
+  }
 }
