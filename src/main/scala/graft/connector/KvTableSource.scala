@@ -269,18 +269,28 @@ class KvScanBuilder(path: String, fullSchema: StructType,
   }
 
   private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggMemo: AnyRef = null
+
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // same Aggregation — memoize per instance so the driver-side listing
+  // + manifest read (+ footer fallback) runs once, not twice
+  private def metadataAggFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    if (!(aggMemo eq agg)) {
+      aggResult = tryMetadataAgg(agg)
+      aggMemo = agg
+    }
+    aggResult
+  }
 
   override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggResult = tryMetadataAgg(agg)
-    aggResult.isDefined
-  }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAggFor(agg).isDefined
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggResult = tryMetadataAgg(agg)
-    aggResult.isDefined
-  }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAggFor(agg).isDefined
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new KvAggScan(path, schema, values)

@@ -312,11 +312,14 @@ object Dedup {
     * Convergence is detected by the label-sum checksum: labels only
     * ever decrease, so the per-round `sum(rep)` is strictly decreasing
     * until the fixpoint, where it is stable — one O(1)-row action per
-    * round. Each round's result is `localCheckpoint`ed: the iteration
-    * would otherwise stack an unboundedly deep lineage (re-analysis
-    * cost per round, recovery recomputes every round). On a cluster
-    * with dynamic executors, a reliable `checkpoint` dir is the
-    * safer variant of the same call.
+    * round. Each round's labels are `localCheckpoint`ed (lineage
+    * truncation is NOT optional: an iterative plan chain grows
+    * super-linearly in analysis/explain cost and OOMs the driver
+    * within a few dozen rounds) and the PREVIOUS round's checkpoint
+    * blocks are freed once the new one is materialized, so peak cached
+    * state is two label sets — never O(rounds). On a cluster with
+    * dynamic executors, a reliable `checkpoint` dir is the safer
+    * variant of the same call.
     */
   def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
                           maxRounds: Int = 50): DataFrame = {
@@ -331,30 +334,42 @@ object Dedup {
       labels.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
-    var prevSum = checksum(labels)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
-        .select(col("src").as("id"), col("rep"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
-      val s = checksum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      round += 1
+    // free a localCheckpoint'd round's blocks (Dataset.unpersist only
+    // covers CacheManager entries; the checkpoint's RDD is held by the
+    // LogicalRDD leaf the checkpoint rewrote the plan to)
+    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
     }
-    edges.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds " +
-          "(pair graph has a path longer than maxRounds; raise maxRounds)")
-    labels
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("rep"))
+        .localCheckpoint()
+      var prevSum = checksum(labels)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val viaNeighbor = edges
+          .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
+          .select(col("src").as("id"), col("rep"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+          .localCheckpoint() // eager: materialized here
+        free(labels)
+        val s = checksum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        round += 1
+      }
+      if (!converged) {
+        free(labels)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            "(pair graph has a path longer than maxRounds; raise maxRounds)")
+      }
+      labels
+    } finally edges.unpersist()
   }
 }

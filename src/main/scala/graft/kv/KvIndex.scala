@@ -54,9 +54,10 @@ object KvIndex {
     val f = new HPath(indexPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val out = f.create(new HPath(metaFile(indexPath)), true)
-    val cov = covered.map(c => s""""$c"""").mkString("[", ",", "]")
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val cov = covered.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     try out.write(
-      s"""{"col":"$col","covered":$cov,"checkpoint":$checkpoint}"""
+      s"""{"col":"${esc(col)}","covered":$cov,"checkpoint":$checkpoint}"""
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -96,8 +97,11 @@ object KvIndex {
     (valueCol +: covered).foreach(c =>
       require(schema.valueFields.exists(_.name == c),
         s"$c is not a value column of $primaryPath"))
-    val checkpoint = graft.connector.KvV2Util.readMeta(primaryPath,
-      spark.sparkContext.hadoopConfiguration)._1
+    // checkpoint in the ROW-version domain (maxVersion), not the meta
+    // batch counter: on versionFrom (event-time) tables the two domains
+    // differ by orders of magnitude, and readAsOf/readChanges bounds
+    // below must compare against row __version values
+    val checkpoint = KvTable.maxVersion(spark, primaryPath)
     KvTable.write(entriesOf(KvTable.read(spark, primaryPath),
         schema.keyField, valueCol, covered),
       indexPath, indexSchema(covered), SinkMode.Replace)
@@ -106,14 +110,16 @@ object KvIndex {
 
   /** Incremental maintenance from the primary's change feed: retract
     * the changed keys' OLD entries (pre-image at the checkpoint),
-    * append their current ones, advance the checkpoint. */
+    * append their current ones, advance the checkpoint. Assumes
+    * version-monotone appends (true for batch counters and event-time
+    * streams): a BACKDATED write (version at or below the checkpoint)
+    * is invisible to the feed — rebuild the index after one. */
   def refresh(spark: SparkSession, primaryPath: String,
               indexPath: String): Unit = {
     val (valueCol, covered, checkpoint) = readIndexMeta(spark, indexPath)
     val schema = KvTable.readSchema(spark, primaryPath)
     val key = schema.keyField
-    val newCheckpoint = graft.connector.KvV2Util.readMeta(primaryPath,
-      spark.sparkContext.hadoopConfiguration)._1
+    val newCheckpoint = KvTable.maxVersion(spark, primaryPath)
     if (newCheckpoint == checkpoint) return
     val changedKeys = KvTable.readChanges(spark, primaryPath, checkpoint)
       .select(col(key)).distinct()

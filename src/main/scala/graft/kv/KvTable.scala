@@ -390,8 +390,13 @@ object KvTable {
         s"bucket count (got $na and $nb) — run compactBucketed(n) on both")
     val overlap = (sb.valueFields.map(_.name).toSet + sb.keyField)
       .intersect(sa.valueFields.map(_.name).toSet + sa.keyField)
-    require(overlap.isEmpty || sa.keyField == sb.keyField,
-      s"column collision between the two tables: ${overlap.mkString(", ")}")
+    // a shared KEY name is fine (both sides rename it); any other
+    // shared column would make the joined output ambiguous
+    val allowed: Set[String] =
+      if (sa.keyField == sb.keyField) Set(sa.keyField) else Set.empty
+    require((overlap -- allowed).isEmpty,
+      s"column collision between the two tables: " +
+        s"${(overlap -- allowed).mkString(", ")}")
     def side(path: String, s: KvSchema, suffix: String) =
       collapse(spark.read.format("kvtable").load(path), s,
         groupExtra = Seq(col(BucketCol)), keepExtra = true)
@@ -467,6 +472,29 @@ object KvTable {
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val schema = readSchema(spark, path)
     collapse(readRaw(spark, path).filter(col(VersionCol) <= version), schema)
+  }
+
+  /** Largest `__version` present in the log (0 for an empty table) —
+    * from the stats manifest, footer fallback for unmanifested files;
+    * no data IO. This is the right CHECKPOINT for incremental
+    * consumers ([[readChanges]], [[graft.kv.KvIndex]].refresh): unlike
+    * the meta BATCH counter it lives in the same domain as the rows'
+    * versions, so it stays correct for tables written with a custom
+    * `versionFrom` (event time). */
+  def maxVersion(spark: SparkSession, path: String): Long = {
+    import graft.connector.{KvStats, KvV2Util}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byRel = KvStats.read(path, conf)
+      .map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+    val groups = KvV2Util.dataFiles(path, conf).flatMap { f =>
+      val rel = KvStats.relativize(path, f.getPath, conf)
+      byRel.get(rel).filter(_.len == f.getLen)
+        .getOrElse(KvStats.fromFooter(f.getPath, rel, f.getLen, conf))
+        .groups
+    }
+    val vs = groups.filter(_.rows > 0)
+      .flatMap(_.stats.get(VersionCol)).filter(_.t == "l").map(_.mx.toLong)
+    if (vs.isEmpty) 0L else vs.max
   }
 
   /** Incremental change feed (CDC): every mutation with
@@ -603,14 +631,24 @@ object KvTable {
       val conf = spark.sparkContext.hadoopConfiguration
       val f = fs(spark, path)
       recoverMinor(spark, path)
-      val dataSchema = readRaw(spark, path).schema
+      // merge with the FILE schema: readRaw's schema includes the
+      // __bucket PARTITION column (a directory coordinate), which must
+      // not become a physical all-null column in merged files — its
+      // "all null" footer stats would poison bucket-predicate pruning
+      // and a manifest rebuild would then double-add the column.
+      // Lazy: an empty table (no data dir) must no-op before any read.
+      lazy val dataSchema = org.apache.spark.sql.types.StructType(
+        readRaw(spark, path).schema.fields.filterNot(_.name == BucketCol))
       val root = new HPath(dataDir(path))
-      val groups: Seq[HPath] = {
-        val entries = f.listStatus(root)
-        val bucketDirs = entries.filter(e => e.isDirectory &&
-          e.getPath.getName.startsWith(s"$BucketCol="))
-        if (bucketDirs.nonEmpty) bucketDirs.map(_.getPath).toSeq else Seq(root)
-      }
+      val groups: Seq[HPath] =
+        if (!f.exists(root)) Seq.empty // created-but-never-written table
+        else {
+          val entries = f.listStatus(root)
+          val bucketDirs = entries.filter(e => e.isDirectory &&
+            e.getPath.getName.startsWith(s"$BucketCol="))
+          if (bucketDirs.nonEmpty) bucketDirs.map(_.getPath).toSeq
+          else Seq(root)
+        }
       var merged = 0
       groups.foreach { g =>
         val smalls = f.listStatus(g).filter { e =>

@@ -24,6 +24,30 @@ class KvIndexSpec extends SparkSpec {
     assert(KvIndex.lookupKeys(spark, index, "").as[String].collect().isEmpty)
   }
 
+  test("refresh works on event-time-versioned (versionFrom) primaries: " +
+    "the checkpoint lives in the row-version domain") {
+    val primary = TestSpark.scratch("kvidx-ev-primary")
+    val index = TestSpark.scratch("kvidx-ev-index")
+    // versions are event times (~1e9 scale), NOT the meta batch counter
+    KvTable.write(
+      Seq(("k1", "A", 1000000000L), ("k2", "A", 1000000000L))
+        .toDF("k", "status", "ver").withColumn("amt", lit(0L)),
+      primary, schema, SinkMode.Replace, versionFrom = Some(col("ver")))
+    KvIndex.build(spark, primary, index, "status")
+    // k1 moves A -> B at a newer event time
+    KvTable.write(
+      Seq(("k1", "B", 2000000000L)).toDF("k", "status", "ver")
+        .withColumn("amt", lit(0L)),
+      primary, schema, SinkMode.Append, versionFrom = Some(col("ver")))
+    KvIndex.refresh(spark, primary, index)
+    // the stale "A\0k1" entry must be retracted (the pre-image read at
+    // the checkpoint must see the event-time snapshot)
+    assert(KvIndex.lookupKeys(spark, index, "A").as[String].collect().sorted
+      === Array("k2"))
+    assert(KvIndex.lookupKeys(spark, index, "B").as[String].collect()
+      === Array("k1"))
+  }
+
   test("covered lookup is index-only: answers after the primary is gone") {
     val primary = TestSpark.scratch("kvidx3-primary")
     val index = TestSpark.scratch("kvidx3-index")

@@ -363,6 +363,33 @@ class KvTableSpec extends SparkSpec {
     assert(KvTable.get(spark, path, "k7").as[(String, String)].collect() ===
       Array(("k7", "w7")))
     assert(KvTable.read(spark, path).count() === 20)
+    // merged files must NOT carry a physical __bucket column (it is a
+    // directory coordinate; an all-null physical copy would poison
+    // bucket-predicate stats and manifest schema rebuilds)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val mergedFile = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/data/__bucket=0"))
+      .filter(_.getPath.getName.startsWith("minor-")).head.getPath
+    assert(!spark.read.parquet(mergedFile.toString)
+      .schema.fieldNames.contains("__bucket"))
+    // V2 read path stays green after the per-bucket merges
+    assert(KvTable.readV2(spark, path).count() === 20)
+  }
+
+  test("compactMinor on an empty (created-but-never-written) table " +
+    "is a no-op, not a crash") {
+    val path = TestSpark.scratch("kv-minor-empty")
+    val s = KvSchema.of("k", "v" -> ("f", "v"))
+    // mimic catalog CREATE TABLE: schema + meta, no data dir
+    new java.io.File(path).mkdirs()
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$path/_kvschema.json"), true)
+    out.write(s.toJson.getBytes("UTF-8")); out.close()
+    graft.connector.KvV2Util.writeMeta(path,
+      spark.sparkContext.hadoopConfiguration, 0L, 0)
+    assert(KvTable.compactMinor(spark, path) === 0)
   }
 
   test("compact preserves the LWW view") {
