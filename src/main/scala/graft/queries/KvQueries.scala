@@ -74,6 +74,38 @@ object KvQueries {
     (po, pc)
   }
 
+  private def setupMinorCompacted(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_minor", dir)
+    ensureSetup(path) {
+      val o = table(s, dir, "orders")
+      val third = unix_timestamp(col("o_orderdate")) % 3
+      // three appends -> several small files, then a lossless minor
+      // compaction (every file qualifies) — the LWW view must be
+      // untouched by the merge
+      KvTable.write(o.filter(third === 0), path, ordersSchema,
+        SinkMode.Replace, versionFrom = Some(orderVersion))
+      KvTable.write(o.filter(third === 1), path, ordersSchema,
+        SinkMode.Append, versionFrom = Some(orderVersion))
+      KvTable.write(o.filter(third === 2), path, ordersSchema,
+        SinkMode.Append, versionFrom = Some(orderVersion))
+      KvTable.compactMinor(s, path, smallFileBytes = Long.MaxValue)
+    }
+    path
+  }
+
+  private def setupExpireCompacted(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_expire", dir)
+    ensureSetup(path) {
+      KvTable.write(table(s, dir, "orders"), path, ordersSchema,
+        SinkMode.Replace, versionFrom = Some(orderVersion))
+      // physical TTL: cells before 1996 are DISCARDED by the compaction,
+      // so the plain read equals the readTtl view (kv_ttl's oracle)
+      KvTable.compact(s, path,
+        expireBelow = Some(820454400L * 1000000000L))
+    }
+    path
+  }
+
   private def setupAppendUpsert(s: SparkSession, dir: String): String = {
     val path = scratchDir("kv_append_upsert", dir)
     ensureSetup(path) {
@@ -332,6 +364,8 @@ object KvQueries {
     "kv_index_lookup" -> ((s, d) => { setupIndex(s, d); () }),
     "kv_index_covered" -> ((s, d) => { setupIndex(s, d); () }),
     "kv_colocated_join" -> ((s, d) => { setupColocated(s, d); () }),
+    "kv_minor_compacted" -> ((s, d) => { setupMinorCompacted(s, d); () }),
+    "kv_compact_expire" -> ((s, d) => { setupExpireCompacted(s, d); () }),
     "kv_v2_scan" -> ((s, d) => { setupV2Scan(s, d); () }),
     "kv_catalog_sql" -> ((s, d) => { setupCatalogSql(s, d); () }),
     "kv_sql_delete" -> ((s, d) => { setupSqlDelete(s, d); () }),
@@ -508,6 +542,20 @@ object KvQueries {
       KvTable.readChanges(s, path, afterVersion = 820454400L * 1000000000L - 1)
     },
 
+    // Lossless minor compaction under the ORACLE gate: three appends
+    // merged to one file per group, read back — value-identical to the
+    // uncompacted LWW view (the maintenance op the driver now runs on
+    // real data every round).
+    "kv_minor_compacted" -> { (s, dir) =>
+      KvTable.read(s, setupMinorCompacted(s, dir)).orderBy(col("o_custkey"))
+    },
+
+    // Physical TTL under the oracle gate: compact(expireBelow) discards
+    // pre-1996 cells, so the PLAIN read equals kv_ttl's filtered view.
+    "kv_compact_expire" -> { (s, dir) =>
+      KvTable.read(s, setupExpireCompacted(s, dir)).orderBy(col("o_custkey"))
+    },
+
     // TTL read — HBase's column-family TTL: cells older than the cutoff
     // are invisible even when they are a key's newest, so customers
     // whose last order predates 1996 DISAPPEAR from the view (vs
@@ -612,6 +660,19 @@ object KvQueries {
         |  FALSE AS is_delete
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |ORDER BY version""".stripMargin,
+    "kv_minor_compacted" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_compact_expire" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     "kv_ttl" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
