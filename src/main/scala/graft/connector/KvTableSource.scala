@@ -740,6 +740,22 @@ object KvV2Util {
     // bucket directories directly (HBase Get/multi-Get region routing):
     // other buckets are dropped before any stats are consulted.
     val buckets = bucketSetFor(path, conf, pushed, fullSchema)
+    // rowkey point probes, for per-file BLOOM pruning (HBase's ROW
+    // bloom): a file whose bloom excludes every probed key is skipped
+    // whole — the win min/max can't deliver when append files'
+    // key ranges overlap. Bloom false negatives are impossible, so a
+    // tombstone-bearing file can never be wrongly skipped.
+    val keyName = readKeyField(path, conf)
+    val keyProbes: Seq[Seq[Any]] = pushed.toSeq.collect {
+      case org.apache.spark.sql.sources.EqualTo(a, v)
+        if keyName.contains(a) && v != null => Seq(v)
+      case org.apache.spark.sql.sources.In(a, vs)
+        if keyName.contains(a) && vs.nonEmpty && !vs.contains(null) =>
+        vs.toSeq
+    }
+    def bloomPasses(st: KvStats.FileStat): Boolean =
+      st.bloom.forall(b64 => keyProbes.forall(vs =>
+        vs.exists(v => KvBloom.mightContain(b64, v.toString))))
     files.flatMap { f =>
       val rel = KvStats.relativize(path, f.getPath, conf)
       val bucket = bucketOf(rel)
@@ -747,7 +763,8 @@ object KvV2Util {
       else {
         val hosts = KvV2Util.hosts(f, conf)
         val groups = byRel.get(rel).filter(_.len == f.getLen) match {
-          case Some(st) => st.groups
+          case Some(st) =>
+            if (bloomPasses(st)) st.groups else Seq.empty
           case None => // not in manifest: one footer read (the slow path)
             KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
         }

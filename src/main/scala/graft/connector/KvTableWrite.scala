@@ -129,9 +129,7 @@ class KvStreamingWrite(path: String, schema: StructType,
     // per-epoch version: planned on the driver at epoch start, same
     // counter the batch path bumps at its commit
     val (lastVer, buckets) = KvV2Util.readMeta(path, new Configuration())
-    val routeKey =
-      if (buckets > 0) KvV2Util.readKeyField(path, new Configuration())
-      else None
+    val routeKey = KvV2Util.readKeyField(path, new Configuration())
     new KvStreamingWriterFactory(path, schema, lastVer + 1, buckets, routeKey)
   }
 
@@ -197,9 +195,10 @@ class KvBatchWrite(path: String, schema: StructType,
   // resets the layout, so it never routes)
   private val routeBuckets: Int =
     if (truncate) 0 else KvV2Util.readMeta(path, new Configuration())._2
+  // resolved unconditionally: bucket routing needs it when bucketed,
+  // and the per-file rowkey BLOOM needs it on every table
   private val routeKey: Option[String] =
-    if (routeBuckets > 0) KvV2Util.readKeyField(path, new Configuration())
-    else None
+    KvV2Util.readKeyField(path, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KvWriterFactory(path, schema, assignedVersion, routeBuckets, routeKey)
@@ -358,6 +357,24 @@ class KvDataWriter(path: String, schema: StructType,
   private val writers = scala.collection.mutable.LinkedHashMap
     .empty[Int, (String, String, ParquetWriter[org.apache.parquet.example.data.Group])]
 
+  // per-FILE rowkey bloom (HBase per-store-file bloom), built while the
+  // rows stream through this writer. Disabled for a file if any row's
+  // key is null/unsupported (a bloom missing a key would let pruning
+  // skip a file that matters — false negatives are not an option).
+  private val blooms = scala.collection.mutable.LinkedHashMap
+    .empty[Int, (java.util.BitSet, Array[Boolean])]
+  private def bloomFor(bucket: Int) =
+    blooms.getOrElseUpdate(bucket, (new java.util.BitSet(KvBloom.Bits),
+      Array(true)))
+  private def keyRendering(row: InternalRow): String =
+    if (routeKeyIdx < 0 || row.isNullAt(routeKeyIdx)) null
+    else schema(routeKeyIdx).dataType match {
+      case StringType => row.getUTF8String(routeKeyIdx).toString
+      case LongType => row.getLong(routeKeyIdx).toString
+      case IntegerType => row.getInt(routeKeyIdx).toString
+      case _ => null
+    }
+
   private def writerFor(bucket: Int) = writers.getOrElseUpdate(bucket, {
     val name = newName()
     val sub = if (bucket >= 0) s"${KvV2Util.BucketCol}=$bucket/" else ""
@@ -410,27 +427,36 @@ class KvDataWriter(path: String, schema: StructType,
       g.add(TombstoneCol, false)
     }
     seq += 1
+    val (bits, valid) = bloomFor(bucket)
+    val kr = keyRendering(row)
+    if (kr == null) valid(0) = false else KvBloom.add(bits, kr)
     writerFor(bucket)._3.write(g)
   }
 
   override def commit(): WriterCommitMessage = {
     val conf = new Configuration()
     val fs = new HPath(path).getFileSystem(conf)
-    val published = writers.values.toSeq.map { case (staged, file, w) =>
+    val published = writers.toSeq.map { case (bucket, (staged, file, w)) =>
       w.close() // single buffered flush per task, like flushCommits()
       fs.mkdirs(new HPath(file).getParent)
       if (!fs.rename(new HPath(staged), new HPath(file)))
         throw new java.io.IOException(s"kvtable: failed to publish $staged")
-      file
+      (bucket, file)
     }
     // Extract this task's file stats from the footers IT just wrote —
-    // distributed stats collection, merged driver-side at job commit.
-    val stats = published.map { file =>
+    // distributed stats collection, merged driver-side at job commit —
+    // and attach the rowkey bloom built while the rows streamed through.
+    val stats = published.map { case (bucket, file) =>
       val p = new HPath(file)
       val len = fs.getFileStatus(p).getLen
-      KvStats.fromFooter(p, KvStats.relativize(path, p, conf), len, conf)
+      val st = KvStats.fromFooter(p, KvStats.relativize(path, p, conf), len, conf)
+      blooms.get(bucket) match {
+        case Some((bits, valid)) if valid(0) =>
+          st.copy(bloom = Some(KvBloom.encode(bits)))
+        case _ => st
+      }
     }
-    KvCommitMessage(published, stats)
+    KvCommitMessage(published.map(_._2), stats)
   }
 
   override def abort(): Unit = {

@@ -43,8 +43,16 @@ object KvStats {
   final case class GroupStat(start: Long, len: Long, rows: Long,
                              stats: Map[String, ColStat])
 
-  /** `path` is relative to the table root (tables stay relocatable). */
-  final case class FileStat(path: String, len: Long, groups: Seq[GroupStat])
+  /** `path` is relative to the table root (tables stay relocatable).
+    * `bloom` is an optional base64 rowkey bloom filter (see [[KvBloom]])
+    * computed task-side by the V2 writer while the file streamed through
+    * it — the HBase per-store-file bloom: point gets skip whole files
+    * whose bloom excludes the key. Absent on v1/compaction-written
+    * files (footer extraction never sees row values); blooms matter
+    * exactly for the many-small-append phase BEFORE compaction, which
+    * is when point reads touch the most files. */
+  final case class FileStat(path: String, len: Long, groups: Seq[GroupStat],
+                            bloom: Option[String] = None)
 
   /** `schema` is the parquet MessageType of the data files, so projection
     * and inference need no footer either. */
@@ -265,7 +273,8 @@ object KvStats {
         GroupStat(gn.get("start").asLong(), gn.get("len").asLong(),
           gn.get("rows").asLong(), stats)
       }.toSeq
-      FileStat(fn.get("path").asText(), fn.get("len").asLong(), groups)
+      FileStat(fn.get("path").asText(), fn.get("len").asLong(), groups,
+        Option(fn.get("bloom")).map(_.asText()))
     }.toSeq
     Manifest(Option(root.get("schema")).map(_.asText()).getOrElse(""), files)
   }
@@ -288,6 +297,7 @@ object KvStats {
       val fn = filesArr.addObject()
       fn.put("path", f.path)
       fn.put("len", f.len)
+      f.bloom.foreach(fn.put("bloom", _))
       val groupsArr = fn.putArray("groups")
       f.groups.foreach { g =>
         val gn = groupsArr.addObject()
@@ -347,5 +357,49 @@ object KvStats {
       write(path, Manifest(schemaStr, entries), conf)
     } else if (fresh.nonEmpty)
       writeSegment(path, Manifest(schemaStr, fresh.values.toSeq), conf)
+  }
+}
+
+/** Per-file rowkey bloom filter — HBase's per-store-file (ROW) bloom.
+  * 8192 bits / 4 FNV-1a-derived hashes: ~1 KB per file in the manifest,
+  * false-positive rate ~2.4% at 1000 keys per file (appends are small
+  * by definition — large files come from compaction, which has tight
+  * sorted min/max instead). Keys are hashed by their STRING rendering,
+  * identical on the write path (row values) and the probe path (Spark
+  * filter literals) for string/long/int keys. False positives cost one
+  * wasted file read; false negatives are impossible, so tombstones are
+  * never skipped (a missed tombstone would resurrect deleted rows).
+  */
+object KvBloom {
+  val Bits = 8192
+  val Hashes = 4
+
+  private def fnv(s: String, seed: Int): Int = {
+    var x = 0x811c9dc5 ^ seed
+    var i = 0
+    while (i < s.length) { x = (x ^ s.charAt(i)) * 0x01000193; i += 1 }
+    x
+  }
+
+  def indexes(v: String): Array[Int] = {
+    val out = new Array[Int](Hashes)
+    var k = 0
+    while (k < Hashes) {
+      out(k) = math.floorMod(fnv(v, k * 0x9e3779b9 + 1), Bits)
+      k += 1
+    }
+    out
+  }
+
+  def add(bits: java.util.BitSet, v: String): Unit =
+    indexes(v).foreach(bits.set)
+
+  def encode(bits: java.util.BitSet): String =
+    java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+
+  def mightContain(b64: String, v: String): Boolean = {
+    val bits = java.util.BitSet.valueOf(
+      java.util.Base64.getDecoder.decode(b64))
+    indexes(v).forall(bits.get)
   }
 }

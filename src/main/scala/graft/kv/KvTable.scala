@@ -759,6 +759,13 @@ object KvTable {
       .withColumn(TombstoneCol, lit(false))
       .withColumn(BucketCol, pmod(hash(col(schema.keyField)), lit(buckets)))
       .repartition(buckets, col(BucketCol))
+      // key-sorted regions: tight, non-overlapping row-group key
+      // min/max inside each bucket file, so range scans and gets prune
+      // at ROW-GROUP granularity, not just to the bucket — and the
+      // sorted layout matches what the V2 write distribution produces
+      // for later appends (HBase stores are key-sorted for the same
+      // reason)
+      .sortWithinPartitions(col(schema.keyField))
     swapData(spark, path, current, buckets, lastVersion = lastVer)
     }
 

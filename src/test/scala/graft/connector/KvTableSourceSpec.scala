@@ -432,6 +432,39 @@ class KvTableSourceSpec extends SparkSpec {
     assert(filtered.as[Long].head() === 2L)
   }
 
+  test("per-file rowkey blooms prune point gets across overlapping " +
+    "append files (min/max can't); no-bloom files are never skipped") {
+    val path = TestSpark.scratch("v2-bloom")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    // two V2 appends with fully OVERLAPPING key ranges (even/odd split):
+    // min/max stats cannot separate them, only the blooms can
+    KvTable.writeV2((1 to 200 by 2).map(i => (f"k$i%04d", s"odd$i"))
+      .toDF("k", "v"), path, schema, SinkMode.Replace)
+    KvTable.writeV2((2 to 200 by 2).map(i => (f"k$i%04d", s"even$i"))
+      .toDF("k", "v"), path, schema, SinkMode.Append)
+    val df = spark.read.format("kvtable").load(path)
+    def partsFor(key: String): Int =
+      df.filter(col("k") === key).rdd.getNumPartitions
+    val all = df.rdd.getNumPartitions
+    assert(all >= 2)
+    // a key present only in the odd file plans fewer partitions than
+    // the full scan — the even file's bloom excluded it
+    assert(partsFor("k0033") < all, s"bloom did not prune (all=$all)")
+    assert(df.filter(col("k") === "k0033").select("v")
+      .as[String].collect() === Array("odd33"))
+    // IN-list over keys from both files keeps both
+    assert(df.filter(col("k").isin("k0033", "k0034")).count() === 2)
+    // a v1-written file has NO bloom and must never be skipped
+    KvTable.write(Seq(("k0501", "late")).toDF("k", "v"), path, schema)
+    val df2 = spark.read.format("kvtable").load(path)
+    assert(df2.filter(col("k") === "k0501").select("v")
+      .as[String].collect() === Array("late"))
+    // tombstone safety: the delete's file bloom CONTAINS the key, so
+    // the get sees the tombstone and the row stays deleted
+    KvTable.deleteV2(Seq("k0033").toDF("k"), path, schema)
+    assert(KvTable.readV2(spark, path).filter(col("k") === "k0033").count() === 0)
+  }
+
   test("MIN/MAX over stats-covered int/long columns are metadata-" +
     "answered; string and filtered variants are not") {
     val path = TestSpark.scratch("v2-minmax")
