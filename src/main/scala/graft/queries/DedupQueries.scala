@@ -76,6 +76,62 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // SUB-document dedup over content-defined chunks: the rsync/CDC
+    // trick as a corpus operator. Rolling-hash boundaries move with
+    // CONTENT, so a boilerplate passage shared across documents yields
+    // byte-identical chunks regardless of where it sits in each doc
+    // (fixed windows would misalign) — those chunks dedup to their
+    // first occurrence and every doc is reassembled from its surviving
+    // chunks. Plant: every 5th doc carries a 40-token boilerplate tail
+    // (5 interior CDC boundaries, so its chunks resynchronize).
+    "dedup_cdc_chunks" -> { (s, dir) =>
+      graft.functions.Native.register(s)
+      import graft.functions.Native
+      import graft.ops.Ops.materializedColumn
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" " + CdcBoiler))).otherwise(col("text"))
+          .as("text"))
+      val withT = materializedColumn(docs.select(col("doc_id"), col("text")),
+        "t", TextOps.tokens(col("text")))
+      val withRh = materializedColumn(withT, "rh",
+        Native.shingleHashes(Native.tokenHashes(col("t")), 3))
+      // token-space cut positions: boundary shingle i cuts after token
+      // i+2; cuts strictly inside the doc, then the doc end
+      val boundaryCuts = when(size(col("rh")) > 0,
+        filter(
+          transform(sequence(lit(1), size(col("rh"))),
+            i => when(element_at(col("rh"), i) % 8 === 0, i + 2)
+              .otherwise(-1)),
+          x => x > 0 && x < size(col("t"))))
+        .otherwise(array().cast("array<int>"))
+      val withCuts = materializedColumn(withRh, "cuts",
+        concat(boundaryCuts, array(size(col("t")))))
+      val chunkStrs = transform(sequence(lit(1), size(col("cuts"))), j => {
+        val prev = when(j === 1, lit(0))
+          .otherwise(element_at(col("cuts"), (j - 1).cast("int")))
+        concat_ws(" ", slice(col("t"), prev + 1,
+          element_at(col("cuts"), j.cast("int")) - prev))
+      })
+      val chunks = withCuts
+        .select(col("doc_id"), size(col("cuts")).as("n_chunks"),
+          posexplode(chunkStrs).as(Seq("p", "chunk")))
+        .select(col("doc_id"), col("n_chunks"),
+          (col("p") + 1).as("cidx"), col("chunk"))
+      val kept = chunks.withColumn("rn", row_number().over(
+          Window.partitionBy(col("chunk"))
+            .orderBy(col("doc_id"), col("cidx"))))
+        .filter(col("rn") === 1)
+      kept.groupBy(col("doc_id"))
+        .agg(min(col("n_chunks")).cast("int").as("n_chunks"),
+          count(lit(1)).cast("int").as("n_kept"),
+          md5(concat_ws(" ",
+            transform(sort_array(collect_list(struct(col("cidx"), col("chunk")))),
+              s => s.getField("chunk")))).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash near-dup pairs — md5-60bit token hashes, so the DuckDB
     // oracle mirrors the ENTIRE pipeline (64 bit-votes, chunk banding,
     // hamming verify) value-for-value.
@@ -129,6 +185,51 @@ object DedupQueries {
         .orderBy(col("id1"), col("id2"))
     }
   )
+
+  /** 40-token boilerplate with 5 interior CDC boundaries (verified),
+    * so its chunks resynchronize across host documents. */
+  private val CdcBoiler =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi omega aleph bet " +
+      "gimel dalet he vav zayin het tet yod kaf lamed mem nun samekh ayin"
+
+  private val cdcChunksSql =
+    raw"""WITH corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |    THEN text || ' $CdcBoiler' ELSE text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id,
+         |  list_transform(string_split_regex(trim(text), '\s+'),
+         |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS th,
+         |  string_split_regex(trim(text), '\s+') AS t
+         |  FROM corpus),
+         |sh AS (SELECT doc_id, t,
+         |  CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th)-1),
+         |    i -> (th[i]*961 + th[i+1]*31 + th[i+2]) % 1000000007)
+         |  ELSE [] END AS rh
+         |  FROM tk),
+         |cuts AS (SELECT doc_id, t,
+         |  list_append(
+         |    list_filter(
+         |      list_transform(range(1, len(rh)+1),
+         |        i -> CASE WHEN rh[i] % 8 = 0 THEN i + 2 ELSE -1 END),
+         |      x -> x > 0 AND x < len(t)),
+         |    len(t)) AS cuts
+         |  FROM sh),
+         |chunks AS (
+         |  SELECT doc_id, len(cuts) AS n_chunks, j.i AS cidx,
+         |    array_to_string(
+         |      t[(CASE WHEN j.i = 1 THEN 0 ELSE cuts[j.i - 1] END + 1):cuts[j.i]],
+         |      ' ') AS chunk
+         |  FROM cuts, unnest(range(1, len(cuts)+1)) AS j(i)),
+         |ranked AS (SELECT *,
+         |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+         |  FROM chunks)
+         |SELECT doc_id, CAST(MIN(n_chunks) AS INT) AS n_chunks,
+         |  CAST(COUNT(*) AS INT) AS n_kept,
+         |  md5(string_agg(chunk, ' ' ORDER BY cidx)) AS clean_fp
+         |FROM ranked WHERE rn = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared hash-pipeline SQL: one md5 per token reduced to a 60-bit int
     * mod P, then n-gram shingle hashes as a base-31 polynomial — the
@@ -278,6 +379,7 @@ object DedupQueries {
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> minhashSql,
     "dedup_clusters" -> clustersSql,
+    "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embed_cosine" ->
