@@ -343,9 +343,13 @@ object Dedup {
       case _ => ()
     }
     try {
+      // lazy checkpoints: the checksum action materializes each round's
+      // labels, so a round costs ONE job, not a checkpoint job plus a
+      // checksum job — and the previous round's blocks are freed only
+      // AFTER the new round is materialized (its computation reads them)
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("rep"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       var prevSum = checksum(labels)
       var round = 0
       var converged = false
@@ -355,9 +359,9 @@ object Dedup {
           .select(col("src").as("id"), col("rep"))
         val next = labels.unionByName(viaNeighbor)
           .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-          .localCheckpoint() // eager: materialized here
+          .localCheckpoint(false)
+        val s = checksum(next) // materializes `next`
         free(labels)
-        val s = checksum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
         labels = next
