@@ -76,6 +76,43 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Benchmark DECONTAMINATION: flag training documents whose shingle
+    // overlap with an evaluation set crosses a threshold (the n-gram
+    // decontamination every serious pretraining pipeline runs). Eval =
+    // every 50th doc; train = the rest plus planted perturbed copies of
+    // eval docs. Scale shape: the eval shingle set is small and
+    // BROADCAST; the train side (the 100 TB side) streams once through
+    // a semi-join + one partial-agg count — no shuffle of shingles.
+    // Threshold compare is exact integer arithmetic (2*overlap >= n).
+    "dedup_decontaminate" -> { (s, dir) =>
+      graft.functions.Native.register(s)
+      import graft.functions.Native
+      import graft.ops.Ops.materializedColumn
+      val d = table(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text"),
+          (col("doc_id") % 50 === 0).as("is_eval"))
+        .unionByName(d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" xtra token pad")).as("text"),
+            lit(false).as("is_eval")))
+      val withSh = materializedColumn(corpus, "sh0",
+        Native.shingleHashes(Native.tokenHashes(TextOps.tokens(col("text"))), 3))
+        .select(col("doc_id"), col("is_eval"),
+          array_distinct(col("sh0")).as("sh"))
+      val evalSh = withSh.filter(col("is_eval"))
+        .select(explode(col("sh")).as("h")).distinct()
+      val train = withSh.filter(!col("is_eval") && size(col("sh")) > 0)
+      val overlap = train
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(broadcast(evalSh), Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_overlap"))
+      train.select(col("doc_id"), size(col("sh")).as("n_shingles"))
+        .join(overlap, Seq("doc_id"))
+        .filter(col("n_overlap") * 2 >= col("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
     // SUB-document dedup over content-defined chunks: the rsync/CDC
     // trick as a corpus operator. Rolling-hash boundaries move with
     // CONTENT, so a boilerplate passage shared across documents yields
@@ -380,6 +417,36 @@ object DedupQueries {
     "dedup_minhash" -> minhashSql,
     "dedup_clusters" -> clustersSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
+    "dedup_decontaminate" ->
+      raw"""WITH corpus AS (
+           |  SELECT doc_id, text, (doc_id % 50 = 0) AS is_eval FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text || ' xtra token pad', false
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |sh AS (SELECT doc_id, is_eval,
+           |  list_distinct(CASE WHEN len(th) >= 3
+           |    THEN list_transform(range(1, len(th)-1),
+           |      i -> (th[i]*961 + th[i+1]*31 + th[i+2]) % 1000000007)
+           |    ELSE [] END) AS sh
+           |  FROM (SELECT doc_id, is_eval,
+           |    list_transform(string_split_regex(trim(text), '\s+'),
+           |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+           |        % 1000000007) AS th
+           |    FROM corpus)),
+           |eval_sh AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE is_eval),
+           |train AS (SELECT doc_id, sh FROM sh
+           |          WHERE NOT is_eval AND len(sh) > 0),
+           |overlap AS (
+           |  SELECT t.doc_id, CAST(len(t.sh) AS INT) AS n_shingles,
+           |    CAST(COUNT(e.h) AS INT) AS n_overlap
+           |  FROM train t
+           |  LEFT JOIN (SELECT doc_id, unnest(sh) AS h FROM train) x
+           |    ON x.doc_id = t.doc_id
+           |  LEFT JOIN eval_sh e ON e.h = x.h
+           |  GROUP BY t.doc_id, len(t.sh))
+           |SELECT doc_id, n_shingles, n_overlap FROM overlap
+           |WHERE n_overlap * 2 >= n_shingles
+           |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embed_cosine" ->
