@@ -1,0 +1,189 @@
+package graft.kv
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained materialized aggregate view over a KvTable —
+  * the coprocessor-maintained summary-table pattern HBase deployments
+  * build by hand (and Phoenix ships as transactional secondary
+  * aggregates), re-expressed on the engine's CDC feed: the view is
+  * itself a KvTable keyed by the GROUP value, holding distributive
+  * aggregates (`cnt` plus one `sum_<c>` per configured column), and
+  * `refresh` advances it by DELTA MAINTENANCE instead of recomputation:
+  *
+  *   new_agg(g) = old_agg(g) + Σ current(changed keys in g)
+  *                           − Σ pre-image(changed keys in g)
+  *
+  * Only keys mutated since the recorded checkpoint are read (the
+  * version predicate prunes unchanged append batches at the parquet
+  * scan via file min/max stats), so a refresh costs O(changed keys +
+  * affected groups), not O(table) — the property that makes a summary
+  * view maintainable under a 100 TB base table with a trickle of
+  * upserts. Updates that MOVE a key between groups retract from the old
+  * group and assert into the new one (the pre-image read is what pays
+  * for that, exactly as in [[KvIndex.refresh]]); deletes retract only;
+  * groups whose count reaches zero are tombstoned out of the view.
+  *
+  * Aggregate types are pinned at build time: integral sums accumulate
+  * in LongType, decimal sums in DecimalType(28, s) (exact cross-engine
+  * arithmetic — float sums are order-dependent and are rejected).
+  * Distributive-only on purpose: avg is `sum/cnt` at read time; holistic
+  * aggregates (median, distinct counts) are not delta-maintainable
+  * without sketches and do not belong in this view.
+  *
+  * Checkpoint caveat shared with every CDC consumer ([[KvTable.readAsOf]]):
+  * refresh before major-compacting across the checkpoint, and rebuild
+  * after a backdated write (a version at or below the checkpoint is
+  * invisible to the feed).
+  */
+object KvMatView {
+
+  private def metaFile(viewPath: String) = s"$viewPath/_kvmatviewmeta.json"
+
+  /** View table schema: rowkey = group value, one `a:` family cell per
+    * aggregate (mirrors the reference's fieldMap declaration shape,
+    * `HBaseScheme.java:55`). */
+  def viewSchema(groupCol: String, sumCols: Seq[String]): KvSchema =
+    KvSchema.of(groupCol,
+      (("cnt" -> ("a", "cnt")) +:
+        sumCols.map(c => s"sum_$c" -> ("a", c))): _*)
+
+  /** Exact accumulator type for a sum over `dt` (order-independent
+    * arithmetic only — see class doc). */
+  private def sumType(c: String, dt: DataType): DataType = dt match {
+    case d: DecimalType => DecimalType(28, d.scale)
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case other => throw new IllegalArgumentException(
+      s"KvMatView: sum column $c has non-exact type $other " +
+        "(float sums are order-dependent; cast to DECIMAL first)")
+  }
+
+  private def writeViewMeta(spark: SparkSession, viewPath: String,
+                            groupCol: String, sumCols: Seq[String],
+                            checkpoint: Long): Unit = {
+    val fs = new HPath(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new HPath(metaFile(viewPath)), true)
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val cols = sumCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    try out.write(
+      s"""{"group":"${esc(groupCol)}","sums":$cols,"checkpoint":$checkpoint}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (group column, sum columns, checkpoint version). */
+  def readViewMeta(spark: SparkSession,
+                   viewPath: String): (String, Seq[String], Long) = {
+    val fs = new HPath(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new HPath(metaFile(viewPath)))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val it = node.get("sums").elements()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next().asText
+    (node.get("group").asText, b.result(), node.get("checkpoint").asLong)
+  }
+
+  /** Per-group aggregate rows of `live` (a base LWW view), with the
+    * pinned accumulator types. NULL group values are excluded — a
+    * rowkey cannot be null, the same rule the base table enforces. */
+  private def aggRows(live: DataFrame, groupCol: String,
+                      sums: Seq[(String, DataType)]): DataFrame =
+    live.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"),
+        sums.map { case (c, t) =>
+          coalesce(sum(col(c).cast(t)), lit(0).cast(t)).cast(t)
+            .as(s"sum_$c")
+        }: _*)
+
+  /** Full build: one scan of the base's live view, grouped; records the
+    * base's current max version as the checkpoint `refresh` resumes
+    * from. */
+  def build(spark: SparkSession, basePath: String, viewPath: String,
+            groupCol: String, sumCols: Seq[String]): Unit = {
+    val baseSchema = KvTable.readSchema(spark, basePath)
+    (groupCol +: sumCols).foreach(c =>
+      require(baseSchema.valueFields.exists(_.name == c),
+        s"$c is not a value column of $basePath"))
+    val live = KvTable.read(spark, basePath)
+    val sums = sumCols.map(c => c -> sumType(c, live.schema(c).dataType))
+    val checkpoint = KvTable.maxVersion(spark, basePath)
+    KvTable.write(aggRows(live, groupCol, sums), viewPath,
+      viewSchema(groupCol, sumCols), SinkMode.Replace)
+    writeViewMeta(spark, viewPath, groupCol, sumCols, checkpoint)
+  }
+
+  /** Delta maintenance from the base's change feed (see class doc).
+    * Reads only the changed keys' pre-image and current rows; upserts
+    * affected groups, tombstones emptied ones, advances the checkpoint.
+    */
+  def refresh(spark: SparkSession, basePath: String,
+              viewPath: String): Unit = {
+    val (groupCol, sumCols, checkpoint) = readViewMeta(spark, viewPath)
+    val baseSchema = KvTable.readSchema(spark, basePath)
+    val key = baseSchema.keyField
+    val newCheckpoint = KvTable.maxVersion(spark, basePath)
+    if (newCheckpoint == checkpoint) return
+    val changedKeys = KvTable
+      .readChanges(spark, basePath, checkpoint, newCheckpoint)
+      .select(col(key)).distinct()
+
+    val pre = KvTable.readAsOf(spark, basePath, checkpoint)
+      .join(changedKeys, Seq(key), "left_semi")
+    // snapshot at newCheckpoint (not read()): keeps the delta consistent
+    // with the change window even if the base takes concurrent appends
+    val cur = KvTable.readAsOf(spark, basePath, newCheckpoint)
+      .join(changedKeys, Seq(key), "left_semi")
+    val sums = sumCols.map(c => c -> sumType(c, pre.schema(c).dataType))
+
+    // signed union: pre-image contributions retract, current ones assert
+    def signed(df: DataFrame, sign: Int): DataFrame =
+      df.filter(col(groupCol).isNotNull).select(
+        col(groupCol) +:
+        lit(sign.toLong).as("__s") +:
+        sums.map { case (c, t) => (col(c).cast(t) * sign).cast(t).as(c) }: _*)
+    val delta = signed(pre, -1).unionByName(signed(cur, 1))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__s")).as("dcnt"),
+        sums.map { case (c, t) =>
+          coalesce(sum(col(c)), lit(0).cast(t)).cast(t).as(s"dsum_$c")
+        }: _*)
+
+    // merge with the view's current rows for the affected groups only
+    // (the probe side is small; Catalyst broadcasts it)
+    val existing = KvTable.read(spark, viewPath)
+      .join(delta.select(col(groupCol)), Seq(groupCol), "left_semi")
+    val merged = delta.join(existing, Seq(groupCol), "left_outer")
+      .select(
+        col(groupCol) +:
+        (coalesce(col("cnt"), lit(0L)) + col("dcnt")).as("cnt") +:
+        sums.map { case (c, t) =>
+          (coalesce(col(s"sum_$c"), lit(0).cast(t)) + col(s"dsum_$c"))
+            .cast(t).as(s"sum_$c")
+        }: _*)
+      .localCheckpoint() // merged set is O(affected groups); cut lineage
+                         // so the write and the emptied-group probe
+                         // don't re-run the two base scans
+    val schema = viewSchema(groupCol, sumCols)
+    KvTable.write(merged.filter(col("cnt") > 0), viewPath, schema,
+      SinkMode.Append)
+    val dead = merged.filter(col("cnt") === 0).select(col(groupCol))
+    if (!dead.isEmpty)
+      KvTable.delete(dead, viewPath, schema)
+    writeViewMeta(spark, viewPath, groupCol, sumCols, newCheckpoint)
+  }
+
+  /** The view's live contents (LWW read of the view table). */
+  def read(spark: SparkSession, viewPath: String): DataFrame =
+    KvTable.read(spark, viewPath)
+
+  /** Derived average column (`sum/cnt` at read time — see class doc). */
+  def avgCol(sumCol: String): Column =
+    (col(s"sum_$sumCol") / col("cnt")).as(s"avg_$sumCol")
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.kv.{KvDynamic, KvIndex, KvSchema, KvTable, SinkMode}
+import graft.kv.{KvDynamic, KvIndex, KvMatView, KvSchema, KvTable, SinkMode}
 
 /** Queries exercising the KV-table surface — the reference's REF
   * operators (SURVEY.md §2a/§2d): upsert-by-rowkey LWW reads, rowkey
@@ -317,6 +317,41 @@ object KvQueries {
     path
   }
 
+  private val mvSchema = KvSchema.of("o_custkey",
+    "o_orderkey" -> ("o", "orderkey"),
+    "o_orderstatus" -> ("o", "status"),
+    "o_totalprice" -> ("o", "totalprice"))
+
+  private def setupMatView(s: SparkSession, dir: String): (String, String) = {
+    val base = scratchDir("kv_mv_base", dir)
+    val view = scratchDir("kv_mv_view", dir)
+    ensureSetup(view) {
+      // totalprice goes through DECIMAL so the view's sums are exact and
+      // order-independent (testdata stores it as DOUBLE; the 2-decimal
+      // values cast losslessly, mirrored in the oracle)
+      val o = table(s, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+      val old = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val recent = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      // view built over the pre-1996 live view, then maintained
+      // INCREMENTALLY across an upsert append AND a delete batch — the
+      // refresh only reads the changed keys, not the table
+      KvTable.write(old, base, mvSchema, SinkMode.Replace,
+        versionFrom = Some(orderVersion))
+      KvMatView.build(s, base, view, "o_orderstatus", Seq("o_totalprice"))
+      KvTable.write(recent, base, mvSchema, SinkMode.Append,
+        versionFrom = Some(orderVersion))
+      // event-time-versioned base: the delete batch must dominate the
+      // event-time domain, not the batch counter
+      KvTable.delete(
+        o.filter(col("o_custkey") % 10 === 0).select(col("o_custkey"))
+          .distinct(),
+        base, mvSchema, version = Some(KvTable.maxVersion(s, base) + 1))
+      KvMatView.refresh(s, base, view)
+    }
+    (base, view)
+  }
+
   private def setupDynamic(s: SparkSession, dir: String): String = {
     val path = scratchDir("kv_dynamic_wide", dir)
     ensureSetup(path) {
@@ -376,7 +411,8 @@ object KvQueries {
     "kv_scan_range" -> ((s, d) => { setupScanRange(s, d); () }),
     "kv_tombstone_delete" -> ((s, d) => { setupTombstone(s, d); () }),
     "kv_v2_bucketed_delete" -> ((s, d) => { setupV2Bucketed(s, d); () }),
-    "kv_dynamic_wide" -> ((s, d) => { setupDynamic(s, d); () })
+    "kv_dynamic_wide" -> ((s, d) => { setupDynamic(s, d); () }),
+    "kv_matview" -> ((s, d) => { setupMatView(s, d); () })
   )
 
   val defs: Map[String, Q] = Map(
@@ -600,6 +636,19 @@ object KvQueries {
           element_at(col("acct"), "nation").as("nation"),
           size(col("prof")).as("n_prof"))
         .orderBy(col("rowkey"))
+    },
+
+    // Incrementally-maintained materialized aggregate view: built over
+    // the pre-1996 base, then DELTA-maintained (O(changed keys)) across
+    // an upsert append and a delete batch — the summary-table pattern
+    // HBase deployments hand-roll with coprocessors. The oracle
+    // recomputes the aggregate from scratch over the final live view.
+    "kv_matview" -> { (s, dir) =>
+      val (_, view) = setupMatView(s, dir)
+      KvMatView.read(s, view)
+        .select(col("o_orderstatus"), col("cnt"),
+          col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -612,6 +661,15 @@ object KvQueries {
 
   val oracles: Map[String, String] = Map(
     "kv_lww_latest_order" -> latestOrderSql,
+    "kv_matview" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 AND o_custkey % 10 <> 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "kv_roundtrip" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
