@@ -61,15 +61,21 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
-      Identifier.of(Array("system"), "compact_minor"))
+      Identifier.of(Array("system"), "compact_minor"),
+      Identifier.of(Array("system"), "zorder"),
+      Identifier.of(Array("system"), "create_matview"),
+      Identifier.of(Array("system"), "refresh_matview"))
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     ident.name().toLowerCase match {
       case "compact" => new KvCompactProcedure(this)
       case "compact_minor" => new KvCompactMinorProcedure(this)
+      case "zorder" => new KvZOrderProcedure(this)
+      case "create_matview" => new KvCreateMatViewProcedure(this)
+      case "refresh_matview" => new KvRefreshMatViewProcedure(this)
       case other => throw new UnsupportedOperationException(
-        s"kvtable catalog has no procedure '$other' " +
-          "(available: compact, compact_minor)")
+        s"kvtable catalog has no procedure '$other' (available: compact, " +
+          "compact_minor, zorder, create_matview, refresh_matview)")
     }
 
   /** Resolve a `ns.table` string (catalog-relative, like ALTER TABLE
@@ -79,6 +85,13 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     val ident = Identifier.of(parts.init, parts.last)
     require(tableExists(ident), s"kvtable: no such table $tableRef")
     tablePath(ident)
+  }
+
+  /** Warehouse path for a table that need not exist yet (procedure
+    * targets that CREATE their table, e.g. create_matview). */
+  private[connector] def resolveNewPath(tableRef: String): String = {
+    val parts = tableRef.split('.')
+    tablePath(Identifier.of(parts.init, parts.last))
   }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -406,6 +419,126 @@ class KvCompactMinorProcedure(cat: KvCatalog)
       if (input.isNullAt(1)) 32L * 1024 * 1024 else input.getLong(1)
     val spark = org.apache.spark.sql.SparkSession.active
     graft.kv.KvTable.compactMinor(spark, cat.resolvePath(tableRef), small)
+    java.util.Collections.emptyIterator()
+  }
+}
+
+/** `CALL <catalog>.system.zorder(table => 'ns.t', columns => 'a,b'
+  * [, cells => N])` — Z-order clustering through SQL
+  * ([[graft.kv.KvTable.compactZOrder]]): major-compacts the table along
+  * a Morton curve over the named columns so stats pruning serves
+  * selective predicates on any of them (the Delta/Iceberg
+  * `OPTIMIZE ... ZORDER BY` admin verb). Side-effect procedure. */
+class KvZOrderProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+
+  override def name(): String = "zorder"
+  override def description(): String =
+    "rewrite a kvtable clustered along a Z-curve over the given columns"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[procedures.ProcedureParameter] = Array(
+    procedures.ProcedureParameter
+      .in("table", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("catalog-relative table reference, e.g. ns.t").build(),
+    procedures.ProcedureParameter
+      .in("columns", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("comma-separated cluster columns (numeric/date/timestamp)")
+      .build(),
+    procedures.ProcedureParameter
+      .in("cells", org.apache.spark.sql.types.DataTypes.IntegerType)
+      .defaultValue("256")
+      .comment("quantile cells per column (rank resolution)").build())
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val tableRef = input.getUTF8String(0).toString
+    val cols = input.getUTF8String(1).toString.split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val cells = if (input.isNullAt(2)) 256 else input.getInt(2)
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.kv.KvTable.compactZOrder(spark, cat.resolvePath(tableRef),
+      cols, cells)
+    java.util.Collections.emptyIterator()
+  }
+}
+
+/** `CALL <catalog>.system.create_matview(base => 'ns.b', view => 'ns.v',
+  * group_col => 'g', sum_cols => 'a,b')` — materialize a per-group
+  * cnt/sum aggregate view of a base table
+  * ([[graft.kv.KvMatView.build]]); thereafter `refresh_matview` advances
+  * it incrementally from the base's CDC feed. */
+class KvCreateMatViewProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+
+  override def name(): String = "create_matview"
+  override def description(): String =
+    "materialize a per-group cnt/sum aggregate view of a kvtable"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[procedures.ProcedureParameter] = Array(
+    procedures.ProcedureParameter
+      .in("base", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("catalog-relative base table reference").build(),
+    procedures.ProcedureParameter
+      .in("view", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("catalog-relative view table reference (created)").build(),
+    procedures.ProcedureParameter
+      .in("group_col", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("base value column to group by (becomes the view rowkey)")
+      .build(),
+    procedures.ProcedureParameter
+      .in("sum_cols", org.apache.spark.sql.types.DataTypes.StringType)
+      .defaultValue("''")
+      .comment("comma-separated base columns to sum (exact types only)")
+      .build())
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val base = input.getUTF8String(0).toString
+    val view = input.getUTF8String(1).toString
+    val groupCol = input.getUTF8String(2).toString
+    val sumCols =
+      if (input.isNullAt(3)) Seq.empty
+      else input.getUTF8String(3).toString.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.kv.KvMatView.build(spark, cat.resolvePath(base),
+      cat.resolveNewPath(view), groupCol, sumCols)
+    java.util.Collections.emptyIterator()
+  }
+}
+
+/** `CALL <catalog>.system.refresh_matview(base => 'ns.b',
+  * view => 'ns.v')` — delta-maintain a materialized aggregate view from
+  * its base table's CDC feed ([[graft.kv.KvMatView.refresh]]): cost is
+  * O(keys changed since the view's checkpoint), not O(base). */
+class KvRefreshMatViewProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+
+  override def name(): String = "refresh_matview"
+  override def description(): String =
+    "incrementally refresh a materialized aggregate view from its base"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[procedures.ProcedureParameter] = Array(
+    procedures.ProcedureParameter
+      .in("base", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("catalog-relative base table reference").build(),
+    procedures.ProcedureParameter
+      .in("view", org.apache.spark.sql.types.DataTypes.StringType)
+      .comment("catalog-relative view table reference").build())
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val base = input.getUTF8String(0).toString
+    val view = input.getUTF8String(1).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.kv.KvMatView.refresh(spark, cat.resolvePath(base),
+      cat.resolvePath(view))
     java.util.Collections.emptyIterator()
   }
 }

@@ -38,7 +38,8 @@ object Native {
         if (es.length > 2) es(2)
         else org.apache.spark.sql.catalyst.expressions.Literal(0))),
     "graft_cosine_q" -> (es => CosineQExpr(es(0), es(1))),
-    "graft_word_shingles" -> (es => WordShinglesExpr(es(0), es(1))))
+    "graft_word_shingles" -> (es => WordShinglesExpr(es(0), es(1))),
+    "graft_zvalue" -> (es => ZValueExpr(es(0), es(1))))
 
   /** Idempotent per-session registration; call before analysis of any
     * plan using these columns. */
@@ -66,6 +67,8 @@ object Native {
     call_function("graft_cosine_q", a, b)
   def wordShingles(toks: Column, n: Int): Column =
     call_function("graft_word_shingles", toks, org.apache.spark.sql.functions.lit(n))
+  def zValue(values: Column, boundaries: Column): Column =
+    call_function("graft_zvalue", values, boundaries)
 
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -123,6 +126,44 @@ object Native {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Static eval for [[ZValueExpr]]'s codegen path: per-column quantile
+    * rank (count of boundaries <= value, by binary search) bit-interleaved
+    * MSB-first round-robin into one long — the Morton/Z-curve cell id.
+    * Columns may carry different boundary counts; a column contributes
+    * only at bit positions below its own width. */
+  def zValueEval(values: ArrayData, bounds: ArrayData): Long = {
+    val n = values.numElements()
+    val ranks = new Array[Int](n)
+    val widths = new Array[Int](n)
+    var maxBits = 0
+    var c = 0
+    while (c < n) {
+      val bs = bounds.getArray(c)
+      val v = values.getDouble(c)
+      var lo = 0
+      var hi = bs.numElements()
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (bs.getDouble(m) <= v) lo = m + 1 else hi = m
+      }
+      ranks(c) = lo
+      widths(c) = 32 - Integer.numberOfLeadingZeros(bs.numElements())
+      if (widths(c) > maxBits) maxBits = widths(c)
+      c += 1
+    }
+    var z = 0L
+    var b = maxBits - 1
+    while (b >= 0) {
+      c = 0
+      while (c < n) {
+        if (b < widths(c)) z = (z << 1) | ((ranks(c) >>> b) & 1L)
+        c += 1
+      }
+      b -= 1
+    }
+    z
   }
 
   /** Raw first-60-bits of md5 (NO mod P) — identical to
@@ -461,6 +502,29 @@ case class CosineQExpr(left: Expression, right: Expression)
     }
     dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** (array<double> values, array<array<double>> quantile boundaries) ->
+  * long: Morton/Z-curve cell id — each column's quantile rank (binary
+  * search over its boundary list), bit-interleaved round-robin. Drives
+  * [[graft.kv.KvTable.compactZOrder]]: rows sorted by this value give
+  * every file/row group a tight min/max range on EVERY clustered column
+  * simultaneously, so stats pruning works for predicates on any of them
+  * (single-column sort only serves its leading column). The boundary
+  * argument is a broadcast-sized literal (cells-1 doubles per column);
+  * the per-row work is one binary search per column under whole-stage
+  * codegen. */
+case class ZValueExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b) =>
+      s"${ev.value} = graft.functions.Native.zValueEval($v, $b);")
+  override def nullSafeEval(v: Any, b: Any): Any =
+    Native.zValueEval(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -769,6 +769,85 @@ object KvTable {
     swapData(spark, path, current, buckets, lastVersion = lastVer)
     }
 
+  /** Major compaction CLUSTERED along a Z-curve over `clusterCols` —
+    * multi-dimensional data clustering (the technique behind Delta/
+    * Iceberg `OPTIMIZE ZORDER BY`): each clustered column is quantized
+    * to its quantile rank (boundaries from one distributed
+    * `approxQuantile` sketch — no global sort, no driver data), the
+    * ranks are bit-interleaved into a Morton cell id
+    * ([[graft.functions.ZValueExpr]], codegen'd), and the rewritten log
+    * is range-partitioned + sorted by that id. Rows near each other on
+    * the Z-curve are near each other in EVERY clustered dimension, so
+    * file/row-group min/max stats become tight for all of them at once
+    * and the existing stats pruning ([[graft.connector.KvStats]]) serves
+    * selective predicates on ANY clustered column — where a key-sorted
+    * layout only prunes on the rowkey. The layout choice is the scan
+    * dual of [[compactBucketed]] (which optimizes point gets and
+    * co-located joins); pick per table by read pattern.
+    *
+    * `clusterCols` must be numeric/date/timestamp (quantile-rankable);
+    * quantile quantization makes the cells skew-proof — each cell holds
+    * ~1/`cells` of the rows regardless of value distribution. NULLs
+    * rank below every boundary (cell 0). `cells` bounds the per-column
+    * boundary list (driver-held, `cells-1` doubles per column) and the
+    * rank resolution; 256 gives 8 bits/column — ample, since pruning
+    * granularity is the row group, not the cell.
+    */
+  def compactZOrder(spark: SparkSession, path: String,
+                    clusterCols: Seq[String], cells: Int = 256,
+                    files: Int = 0,
+                    expireBelow: Option[Long] = None): Unit =
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
+    require(clusterCols.nonEmpty && clusterCols.size <= 8,
+      "clusterCols must name 1-8 columns")
+    require(cells >= 2, "cells must be >= 2")
+    recoverMinor(spark, path) // BEFORE the read plan lists files
+    val schema = readSchema(spark, path)
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"$c is not a column of $path"))
+    val lastVer = readMetaVersion(spark, path)
+    val current = collapseKeepVersion(expireRaw(spark, path, expireBelow), schema)
+      .withColumn(SeqCol, lit(0L))
+      .withColumn(TombstoneCol, lit(false))
+    clusterCols.foreach { c =>
+      val dt = current.schema(c).dataType
+      import org.apache.spark.sql.types._
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType,
+        s"compactZOrder: $c has non-rankable type $dt " +
+          "(numeric/date/timestamp only)")
+    }
+    val asDouble = clusterCols.map(c => col(c).cast("double"))
+    // an empty collapse has no quantiles; swap in the empty generation
+    // directly (same handling as compact() of an all-tombstoned table)
+    if (current.isEmpty)
+      swapData(spark, path, current, buckets = 0, lastVersion = lastVer)
+    else {
+      // one pass, distributed: quantile boundaries for every column
+      val probe = current.select(asDouble.zipWithIndex
+        .map { case (c, i) => c.as(s"__zq$i") }: _*)
+      val probs = (1 until cells).map(_.toDouble / cells).toArray
+      val bounds = probe.stat.approxQuantile(
+        clusterCols.indices.map(i => s"__zq$i").toArray, probs,
+        1.0 / (4 * cells))
+      val boundsLit = array(bounds.map(bs =>
+        array(bs.distinct.sorted.map(lit(_)): _*)): _*)
+      graft.functions.Native.register(spark)
+      val zv = graft.functions.Native.zValue(
+        array(asDouble.map(c =>
+          coalesce(c, lit(Double.NegativeInfinity))): _*), boundsLit)
+      val nOut = if (files > 0) files
+                 else spark.sessionState.conf.numShufflePartitions
+      val clustered = current.withColumn(ZvCol, zv)
+        .repartitionByRange(nOut, col(ZvCol))
+        .sortWithinPartitions(col(ZvCol))
+        .drop(ZvCol)
+      swapData(spark, path, clustered, buckets = 0, lastVersion = lastVer)
+    }
+    }
+
+  private val ZvCol = "__zv"
+
   /** Swap the rewritten log in with the old generation renamed ASIDE
     * (never deleted first): every rename/delete result is CHECKED — a
     * false return aborts (and the second rename rolls the old generation

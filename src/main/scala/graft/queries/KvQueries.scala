@@ -352,6 +352,20 @@ object KvQueries {
     (base, view)
   }
 
+  private def setupZOrder(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_zorder", dir)
+    ensureSetup(path) {
+      val schema = KvSchema.of("o_orderkey",
+        "o_custkey" -> ("o", "custkey"),
+        "o_totalprice" -> ("o", "totalprice"))
+      KvTable.write(table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        path, schema, SinkMode.Replace)
+      KvTable.compactZOrder(s, path, Seq("o_custkey", "o_totalprice"))
+    }
+    path
+  }
+
   private def setupDynamic(s: SparkSession, dir: String): String = {
     val path = scratchDir("kv_dynamic_wide", dir)
     ensureSetup(path) {
@@ -412,7 +426,8 @@ object KvQueries {
     "kv_tombstone_delete" -> ((s, d) => { setupTombstone(s, d); () }),
     "kv_v2_bucketed_delete" -> ((s, d) => { setupV2Bucketed(s, d); () }),
     "kv_dynamic_wide" -> ((s, d) => { setupDynamic(s, d); () }),
-    "kv_matview" -> ((s, d) => { setupMatView(s, d); () })
+    "kv_matview" -> ((s, d) => { setupMatView(s, d); () }),
+    "kv_zorder" -> ((s, d) => { setupZOrder(s, d); () })
   )
 
   val defs: Map[String, Q] = Map(
@@ -649,6 +664,20 @@ object KvQueries {
         .select(col("o_orderstatus"), col("cnt"),
           col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Z-order-clustered scan: the table is rewritten along a Morton
+    // curve over (custkey, totalprice), so this two-dimensional
+    // predicate prunes files/row groups on BOTH columns through the
+    // stats manifest (a key-sorted layout would scan everything —
+    // neither predicate touches the rowkey). KvZOrderSpec asserts the
+    // partition-count shrinkage; here the pruned scan is value-checked.
+    "kv_zorder" -> { (s, dir) =>
+      val path = setupZOrder(s, dir)
+      KvTable.lwwView(s.read.format("kvtable").load(path),
+          KvTable.readSchema(s, path))
+        .filter(col("o_custkey") <= 100 && col("o_totalprice") >= 100000.0)
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -670,6 +699,10 @@ object KvQueries {
         |WHERE rn = 1 AND o_custkey % 10 <> 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "kv_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey <= 100 AND o_totalprice >= 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "kv_roundtrip" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
