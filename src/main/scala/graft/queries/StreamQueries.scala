@@ -266,6 +266,45 @@ object StreamQueries {
         .orderBy(col("user_id"), col("sess_start"))
     },
 
+    // flatMapGroupsWithState with EVENT-TIME TIMEOUT: the session
+    // TRACKER shape (vs stream_sessionize's session_window AGGREGATE) —
+    // a session closes and emits either the moment a later event proves
+    // the 30-min gap elapsed, or when the watermark passes last+gap and
+    // the key's timeout fires (state freed per key, the boundedness
+    // mechanism a firehose needs). Deterministic because the final
+    // watermark is max(event time) - 1h: every session is provably
+    // closed-or-open at end of stream, and the oracle reproduces the
+    // exact fire condition (ceil-ms timeout < floor-ms watermark).
+    "stream_session_timeout" -> { (s, dir) =>
+      import s.implicits._
+      val path = scratchDir("stream_session_timeout", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("sk",
+        "user_id" -> ("w", "user_id"),
+        "sess_start" -> ("w", "sess_start"),
+        "sess_end" -> ("w", "sess_end"),
+        "n_events" -> ("w", "n_events"))
+      val ev = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .filter(col("user_id") < 200)
+        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("t", "1 hour")
+        .select(col("user_id"), col("t"))
+        .as[(Long, java.sql.Timestamp)]
+      val sessions = graft.streaming.KvStream
+        .expiringSessions(ev, gapUs = 1800L * 1000000L).toDF()
+        .withColumn("sk", concat_ws("|",
+          col("user_id"), unix_micros(col("sess_start"))))
+      runStream(sessions, outputMode = "append") { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path)
+        .select(col("user_id"), col("sess_start"), col("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
     // Stream-STREAM interval join: user events joined to that customer's
     // orders within ±3 days, both sides watermarked (inner joins emit
     // eagerly; the watermark bounds join state — without it, state grows
@@ -399,6 +438,34 @@ object StreamQueries {
     "stream_running_stats" ->
       """SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_session_timeout" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t
+        |            FROM events WHERE user_id < 200),
+        |mx AS (SELECT max(epoch_us(t)) AS max_us FROM ev),
+        |sids AS (
+        |  SELECT user_id, t,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM (
+        |    SELECT user_id, t,
+        |      CASE WHEN prev_t IS NULL
+        |             OR epoch_us(t) - epoch_us(prev_t) >= 1800000000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM (
+        |      SELECT user_id, t,
+        |        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t
+        |      FROM ev))),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(t) AS sess_start,
+        |    MAX(t) + INTERVAL 30 MINUTE AS sess_end,
+        |    MAX(epoch_us(t)) AS last_us, COUNT(*) AS n_events
+        |  FROM sids GROUP BY user_id, sid)
+        |SELECT user_id, sess_start, sess_end, n_events
+        |FROM sess, mx
+        |WHERE sid < (SELECT max(s2.sid) FROM sess s2
+        |             WHERE s2.user_id = sess.user_id)
+        |   OR (last_us + 1800000000 + 999) // 1000 < max_us // 1000 - 3600000
+        |ORDER BY user_id, sess_start""".stripMargin,
     "stream_sessionize" ->
       """SELECT user_id, MIN(t) AS sess_start,
         |  MAX(t) + INTERVAL 30 MINUTE AS sess_end,

@@ -57,4 +57,69 @@ object KvStream {
           (key, next.n, next.maxValue)
       }
   }
+
+  /** One closed session per (user, start): emitted either when a LATER
+    * event proves the gap elapsed, or by EVENT-TIME TIMEOUT when the
+    * watermark passes `last + gap` — the session-tracker shape
+    * `session_window` can't express (it emits aggregates on watermark
+    * only; this operator also closes sessions mid-stream the moment the
+    * data shows the gap, keeps exactly one open session per key in
+    * state, and frees the key's state the instant it times out). */
+  case class SessState(startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
+                        sess_end: java.sql.Timestamp, n_events: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+
+  private def microTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** `events` = (user_id, event time), already `withWatermark`-ed on the
+    * time column (EventTimeTimeout requires it). Within a batch events
+    * are sorted before the gap split; across batches arrival order is
+    * assumed watermark-monotone (the operator's standard contract —
+    * later-batch events older than the open session's last event merge
+    * into it rather than reopening history). */
+  def expiringSessions(events: Dataset[(Long, java.sql.Timestamp)],
+                       gapUs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, microTs(s.startUs),
+              microTs(s.lastUs + gapUs), s.n))
+          } else {
+            val sorted = rows.map(r => tsMicros(r._2)).toArray.sorted
+            var out = List.empty[SessionOut]
+            var (start, last, n) = state.getOption
+              .map(s => (s.startUs, s.lastUs, s.n)).getOrElse((0L, 0L, 0L))
+            sorted.foreach { u =>
+              if (n == 0L) { start = u; last = u; n = 1L }
+              else if (u - last >= gapUs) {
+                // the data itself proves the gap: close immediately
+                out ::= SessionOut(user, microTs(start),
+                  microTs(last + gapUs), n)
+                start = u; last = u; n = 1L
+              } else { last = math.max(last, u); n += 1L }
+            }
+            if (n > 0L) {
+              state.update(SessState(start, last, n))
+              // timeout in WATERMARK (ms) domain: ceil so it never
+              // fires before the true micro-second session end
+              state.setTimeoutTimestamp((last + gapUs + 999L) / 1000L)
+            }
+            out.reverseIterator
+          }
+      }
+  }
 }

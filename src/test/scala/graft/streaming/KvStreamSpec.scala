@@ -128,6 +128,44 @@ class KvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions close on observed gaps AND on " +
+    "event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = input.toDS().toDF("user_id", "t")
+      .withWatermark("t", "5 minutes")
+      .select(col("user_id"), col("t"))
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = KvStream.expiringSessions(ev, gapUs = 600L * 1000000L)
+    val q = sessions.writeStream.format("memory").queryName("exsess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1: two events 2min apart, then one 15min later (> 10min gap):
+      // the first session closes ON DATA in the same batch
+      input.addData((1L, ts(0)), (1L, ts(2)), (1L, ts(17)), (2L, ts(17)))
+      q.processAllAvailable()
+      val first = spark.table("exsess")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      assert(first.toSeq === Seq((1L, ts(0), ts(12), 2L)),
+        s"data-gap close mismatch: ${first.toSeq}")
+      // advance the watermark past last+gap for both open sessions:
+      // wm = 45 - 5 = 10:40 > 17 + 10 = 10:27 -> both TIME OUT and emit
+      input.addData((3L, ts(45)))
+      q.processAllAvailable()
+      val all = spark.table("exsess")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .sortBy(r => (r._1, r._2.getTime))
+      assert(all.toSeq === Seq(
+        (1L, ts(0), ts(12), 2L),
+        (1L, ts(17), ts(27), 1L),
+        (2L, ts(17), ts(27), 1L)))
+      // u3's session (last=10:45) stays open: watermark never passed it
+      assert(!all.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
