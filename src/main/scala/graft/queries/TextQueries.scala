@@ -19,6 +19,45 @@ object TextQueries {
     // tokenize runs ONCE per row — inlined, each of the four projections
     // would re-tokenize, and subexpression elimination does not reach
     // into the higher-order-function lambdas.
+    // Sequence PACKING for training: concatenate documents in doc_id
+    // order and cut every 2048 tokens — the index a data loader needs:
+    // each doc's global token offset, its sequence id, and its offset
+    // within that sequence (concat-and-chunk, the standard packing used
+    // when short documents would otherwise waste context window).
+    // The global prefix sum is TWO-PHASE so no stage sees more than a
+    // shard or the shard directory: per-shard window cumsum (contiguous
+    // 1000-doc shards) + a broadcast-joined cumulative shard offset —
+    // the scan-scale path a single global-order window (one reducer for
+    // the whole corpus) would destroy at 100 TB.
+    "text_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 2048L
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("shard", expr("doc_id DIV 1000"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // shard totals are O(corpus/1000) rows; the cumsum over them is a
+      // driver-scale window, then broadcast back
+      val offsets = docs.groupBy(col("shard"))
+        .agg(sum(col("n_tokens")).as("tot"))
+        .withColumn("shard_before",
+          coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("shard_before"))
+      docs
+        .withColumn("local_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .join(broadcast(offsets), Seq("shard"))
+        .withColumn("start_offset", col("shard_before") + col("local_before"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          expr(s"start_offset DIV $seqLen").as("seq_id"),
+          pmod(col("start_offset"), lit(seqLen)).as("offset_in_seq"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_tokens" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
       val withT = materializedColumn(
@@ -275,6 +314,18 @@ object TextQueries {
            |WHERE quality >= 0.2 AND greatest(s_en, s_de, s_es, s_fr) > 0
            |  AND s_en = greatest(s_en, s_de, s_es, s_fr)
            |ORDER BY doc_id""".stripMargin,
+    "text_pack" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_offset
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+         |  CAST(start_offset % 2048 AS BIGINT) AS offset_in_seq
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(t) AS INT) AS n_tokens,
