@@ -792,6 +792,11 @@ object KvTable {
     * boundary list (driver-held, `cells-1` doubles per column) and the
     * rank resolution; 256 gives 8 bits/column — ample, since pruning
     * granularity is the row group, not the cell.
+    *
+    * Layouts are exclusive: z-ordering a bucket-compacted table DROPS
+    * its bucket layout (meta buckets reset to 0) — point gets fall back
+    * to stats/bloom pruning and later appends land unrouted, exactly as
+    * on any flat table. Re-run [[compactBucketed]] to switch back.
     */
   def compactZOrder(spark: SparkSession, path: String,
                     clusterCols: Seq[String], cells: Int = 256,
