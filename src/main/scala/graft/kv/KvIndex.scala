@@ -50,33 +50,16 @@ object KvIndex {
 
   private def writeIndexMeta(spark: SparkSession, indexPath: String,
                              col: String, covered: Seq[String],
-                             checkpoint: Long): Unit = {
-    val f = new HPath(indexPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val out = f.create(new HPath(metaFile(indexPath)), true)
-    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
-    val cov = covered.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
-    try out.write(
-      s"""{"col":"${esc(col)}","covered":$cov,"checkpoint":$checkpoint}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+                             checkpoint: Long): Unit =
+    MetaSidecar.write(spark, metaFile(indexPath), "col", col,
+      "covered", covered, "checkpoint" -> checkpoint)
 
   /** (indexed column, covered columns, checkpoint version). */
   def readIndexMeta(spark: SparkSession,
                     indexPath: String): (String, Seq[String], Long) = {
-    val f = new HPath(indexPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val in = f.open(new HPath(metaFile(indexPath)))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    val cov = Option(node.get("covered")).map { arr =>
-      val it = arr.elements(); val b = Seq.newBuilder[String]
-      while (it.hasNext) b += it.next().asText
-      b.result()
-    }.getOrElse(Seq.empty)
-    (node.get("col").asText, cov, node.get("checkpoint").asLong)
+    val (c, cov, longs) = MetaSidecar.read(spark, metaFile(indexPath),
+      "col", "covered", "checkpoint")
+    (c, cov, longs.head)
   }
 
   private def entriesOf(view: DataFrame, keyField: String, col0: String,

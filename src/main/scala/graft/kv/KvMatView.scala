@@ -1,6 +1,5 @@
 package graft.kv
 
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,6 +25,15 @@ import org.apache.spark.sql.types._
   * for that, exactly as in [[KvIndex.refresh]]); deletes retract only;
   * groups whose count reaches zero are tombstoned out of the view.
   *
+  * Crash safety: aggregate increments are NOT naturally idempotent, so
+  * `refresh` journals its window and the view's pre-refresh version
+  * BEFORE applying, and a replay after a crash recomputes the SAME
+  * delta against the SAME view snapshot (`readAsOf` the journaled
+  * version — partially-applied rows carry newer versions and are
+  * invisible), making the re-apply value-identical; the journal is
+  * cleared only after the checkpoint advances. Same single-writer
+  * contract as every other mutation path (one refresher at a time).
+  *
   * Aggregate types are pinned at build time: integral sums accumulate
   * in LongType, decimal sums in DecimalType(28, s) (exact cross-engine
   * arithmetic — float sums are order-dependent and are rejected).
@@ -41,6 +49,7 @@ import org.apache.spark.sql.types._
 object KvMatView {
 
   private def metaFile(viewPath: String) = s"$viewPath/_kvmatviewmeta.json"
+  private def journalFile(viewPath: String) = s"$viewPath/_kvmvlog.json"
 
   /** View table schema: rowkey = group value, one `a:` family cell per
     * aggregate (mirrors the reference's fieldMap declaration shape,
@@ -48,7 +57,7 @@ object KvMatView {
   def viewSchema(groupCol: String, sumCols: Seq[String]): KvSchema =
     KvSchema.of(groupCol,
       (("cnt" -> ("a", "cnt")) +:
-        sumCols.map(c => s"sum_$c" -> ("a", c))): _*)
+        sumCols.map(c => s"sum_$c" -> ("a", s"sum_$c"))): _*)
 
   /** Exact accumulator type for a sum over `dt` (order-independent
     * arithmetic only — see class doc). */
@@ -62,31 +71,16 @@ object KvMatView {
 
   private def writeViewMeta(spark: SparkSession, viewPath: String,
                             groupCol: String, sumCols: Seq[String],
-                            checkpoint: Long): Unit = {
-    val fs = new HPath(viewPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new HPath(metaFile(viewPath)), true)
-    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
-    val cols = sumCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
-    try out.write(
-      s"""{"group":"${esc(groupCol)}","sums":$cols,"checkpoint":$checkpoint}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+                            checkpoint: Long): Unit =
+    MetaSidecar.write(spark, metaFile(viewPath), "group", groupCol,
+      "sums", sumCols, "checkpoint" -> checkpoint)
 
   /** (group column, sum columns, checkpoint version). */
   def readViewMeta(spark: SparkSession,
                    viewPath: String): (String, Seq[String], Long) = {
-    val fs = new HPath(viewPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new HPath(metaFile(viewPath)))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    val it = node.get("sums").elements()
-    val b = Seq.newBuilder[String]
-    while (it.hasNext) b += it.next().asText
-    (node.get("group").asText, b.result(), node.get("checkpoint").asLong)
+    val (g, sums, longs) = MetaSidecar.read(spark, metaFile(viewPath),
+      "group", "sums", "checkpoint")
+    (g, sums, longs.head)
   }
 
   /** Per-group aggregate rows of `live` (a base LWW view), with the
@@ -102,43 +96,72 @@ object KvMatView {
             .as(s"sum_$c")
         }: _*)
 
-  /** Full build: one scan of the base's live view, grouped; records the
-    * base's current max version as the checkpoint `refresh` resumes
-    * from. */
+  /** Full build: one scan of the base's snapshot AT the recorded
+    * checkpoint (`readAsOf` — not the live view, which a concurrent
+    * append could advance past the checkpoint and double-count on the
+    * first refresh). */
   def build(spark: SparkSession, basePath: String, viewPath: String,
             groupCol: String, sumCols: Seq[String]): Unit = {
     val baseSchema = KvTable.readSchema(spark, basePath)
     (groupCol +: sumCols).foreach(c =>
       require(baseSchema.valueFields.exists(_.name == c),
         s"$c is not a value column of $basePath"))
-    val live = KvTable.read(spark, basePath)
-    val sums = sumCols.map(c => c -> sumType(c, live.schema(c).dataType))
+    require(!sumCols.contains(groupCol),
+      s"KvMatView: group column $groupCol cannot also be summed")
+    require(sumCols.distinct.size == sumCols.size,
+      s"KvMatView: duplicate sum columns in $sumCols")
     val checkpoint = KvTable.maxVersion(spark, basePath)
-    KvTable.write(aggRows(live, groupCol, sums), viewPath,
+    val snapshot = KvTable.readAsOf(spark, basePath, checkpoint)
+    val sums = sumCols.map(c => c -> sumType(c, snapshot.schema(c).dataType))
+    KvTable.write(aggRows(snapshot, groupCol, sums), viewPath,
       viewSchema(groupCol, sumCols), SinkMode.Replace)
+    MetaSidecar.delete(spark, journalFile(viewPath)) // stale journal
     writeViewMeta(spark, viewPath, groupCol, sumCols, checkpoint)
   }
 
   /** Delta maintenance from the base's change feed (see class doc).
     * Reads only the changed keys' pre-image and current rows; upserts
     * affected groups, tombstones emptied ones, advances the checkpoint.
+    * Journaled: a crash mid-apply is healed by the next refresh, which
+    * replays the identical delta against the journaled view snapshot.
     */
   def refresh(spark: SparkSession, basePath: String,
               viewPath: String): Unit = {
     val (groupCol, sumCols, checkpoint) = readViewMeta(spark, viewPath)
     val baseSchema = KvTable.readSchema(spark, basePath)
     val key = baseSchema.keyField
-    val newCheckpoint = KvTable.maxVersion(spark, basePath)
-    if (newCheckpoint == checkpoint) return
-    val changedKeys = KvTable
-      .readChanges(spark, basePath, checkpoint, newCheckpoint)
-      .select(col(key)).distinct()
+    val journal = journalFile(viewPath)
 
-    val pre = KvTable.readAsOf(spark, basePath, checkpoint)
+    // window + view snapshot: resume a journaled (crashed) apply if one
+    // exists, else open a new window and journal it BEFORE applying
+    val (fromCp, toCp, viewVerBefore) =
+      if (MetaSidecar.exists(spark, journal)) {
+        val (_, _, longs) = MetaSidecar.read(spark, journal,
+          "group", "sums", "from", "to", "viewver")
+        (longs(0), longs(1), longs(2))
+      } else {
+        val newCheckpoint = KvTable.maxVersion(spark, basePath)
+        if (newCheckpoint == checkpoint) return
+        val vv = KvTable.maxVersion(spark, viewPath)
+        MetaSidecar.write(spark, journal, "group", groupCol,
+          "sums", sumCols, "from" -> checkpoint, "to" -> newCheckpoint,
+          "viewver" -> vv)
+        (checkpoint, newCheckpoint, vv)
+      }
+    if (checkpoint >= toCp) {
+      // crash landed after the meta advance but before the journal
+      // delete: the apply completed — just clear the journal
+      MetaSidecar.delete(spark, journal)
+      return
+    }
+
+    val changedKeys = KvTable.readChanges(spark, basePath, fromCp, toCp)
+      .select(col(key)).distinct()
+    val pre = KvTable.readAsOf(spark, basePath, fromCp)
       .join(changedKeys, Seq(key), "left_semi")
-    // snapshot at newCheckpoint (not read()): keeps the delta consistent
-    // with the change window even if the base takes concurrent appends
-    val cur = KvTable.readAsOf(spark, basePath, newCheckpoint)
+    // snapshot at toCp (not read()): keeps the delta consistent with
+    // the journaled window even if the base takes concurrent appends
+    val cur = KvTable.readAsOf(spark, basePath, toCp)
       .join(changedKeys, Seq(key), "left_semi")
     val sums = sumCols.map(c => c -> sumType(c, pre.schema(c).dataType))
 
@@ -155,9 +178,11 @@ object KvMatView {
           coalesce(sum(col(c)), lit(0).cast(t)).cast(t).as(s"dsum_$c")
         }: _*)
 
-    // merge with the view's current rows for the affected groups only
-    // (the probe side is small; Catalyst broadcasts it)
-    val existing = KvTable.read(spark, viewPath)
+    // merge with the journaled view SNAPSHOT's rows for the affected
+    // groups (replay-stable: partially-applied rows carry versions
+    // above viewVerBefore and are invisible); the probe side is small
+    // and Catalyst broadcasts it
+    val existing = KvTable.readAsOf(spark, viewPath, viewVerBefore)
       .join(delta.select(col(groupCol)), Seq(groupCol), "left_semi")
     val merged = delta.join(existing, Seq(groupCol), "left_outer")
       .select(
@@ -176,7 +201,8 @@ object KvMatView {
     val dead = merged.filter(col("cnt") === 0).select(col(groupCol))
     if (!dead.isEmpty)
       KvTable.delete(dead, viewPath, schema)
-    writeViewMeta(spark, viewPath, groupCol, sumCols, newCheckpoint)
+    writeViewMeta(spark, viewPath, groupCol, sumCols, toCp)
+    MetaSidecar.delete(spark, journal)
   }
 
   /** The view's live contents (LWW read of the view table). */

@@ -805,7 +805,14 @@ object KvTable {
     TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
     require(clusterCols.nonEmpty && clusterCols.size <= 8,
       "clusterCols must name 1-8 columns")
-    require(cells >= 2, "cells must be >= 2")
+    require(cells >= 2 && cells <= 65536, "cells must be in [2, 65536]")
+    // every interleaved bit must fit the 64-bit z-value — widths beyond
+    // it would silently shift the COARSEST (most significant) rank bits
+    // off the top and destroy the clustering
+    val widthPerCol = 32 - Integer.numberOfLeadingZeros(cells - 1)
+    require(clusterCols.size * widthPerCol <= 63,
+      s"${clusterCols.size} columns x $widthPerCol rank bits " +
+        s"(cells=$cells) exceed the 64-bit z-value; lower cells or columns")
     recoverMinor(spark, path) // BEFORE the read plan lists files
     val schema = readSchema(spark, path)
     clusterCols.foreach(c => require(schema.fieldNames.contains(c),
@@ -814,41 +821,41 @@ object KvTable {
     val current = collapseKeepVersion(expireRaw(spark, path, expireBelow), schema)
       .withColumn(SeqCol, lit(0L))
       .withColumn(TombstoneCol, lit(false))
-    clusterCols.foreach { c =>
+    val asDouble = clusterCols.map { c =>
       val dt = current.schema(c).dataType
       import org.apache.spark.sql.types._
-      require(dt.isInstanceOf[NumericType] || dt == DateType ||
-        dt == TimestampType,
-        s"compactZOrder: $c has non-rankable type $dt " +
-          "(numeric/date/timestamp only)")
+      dt match {
+        // DATE has no direct double cast: rank on days-since-epoch
+        case DateType => unix_date(col(c)).cast("double")
+        case _: NumericType | TimestampType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"compactZOrder: $c has non-rankable type $other " +
+            "(numeric/date/timestamp only)")
+      }
     }
-    val asDouble = clusterCols.map(c => col(c).cast("double"))
-    // an empty collapse has no quantiles; swap in the empty generation
-    // directly (same handling as compact() of an all-tombstoned table)
-    if (current.isEmpty)
-      swapData(spark, path, current, buckets = 0, lastVersion = lastVer)
-    else {
-      // one pass, distributed: quantile boundaries for every column
-      val probe = current.select(asDouble.zipWithIndex
-        .map { case (c, i) => c.as(s"__zq$i") }: _*)
-      val probs = (1 until cells).map(_.toDouble / cells).toArray
-      val bounds = probe.stat.approxQuantile(
-        clusterCols.indices.map(i => s"__zq$i").toArray, probs,
-        1.0 / (4 * cells))
-      val boundsLit = array(bounds.map(bs =>
-        array(bs.distinct.sorted.map(lit(_)): _*)): _*)
-      graft.functions.Native.register(spark)
-      val zv = graft.functions.Native.zValue(
-        array(asDouble.map(c =>
-          coalesce(c, lit(Double.NegativeInfinity))): _*), boundsLit)
-      val nOut = if (files > 0) files
-                 else spark.sessionState.conf.numShufflePartitions
-      val clustered = current.withColumn(ZvCol, zv)
-        .repartitionByRange(nOut, col(ZvCol))
-        .sortWithinPartitions(col(ZvCol))
-        .drop(ZvCol)
-      swapData(spark, path, clustered, buckets = 0, lastVersion = lastVer)
-    }
+    // one distributed pass: quantile boundaries for every column. An
+    // empty table (or all-null cluster columns) yields empty boundary
+    // lists -> constant z-value -> a correct single-cell rewrite; no
+    // extra emptiness scan needed.
+    val probe = current.select(asDouble.zipWithIndex
+      .map { case (c, i) => c.as(s"__zq$i") }: _*)
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    val bounds = probe.stat.approxQuantile(
+      clusterCols.indices.map(i => s"__zq$i").toArray, probs,
+      1.0 / (4 * cells))
+    val boundsLit = array(bounds.map(bs =>
+      array(bs.distinct.sorted.map(lit(_)): _*)): _*)
+    graft.functions.Native.register(spark)
+    val zv = graft.functions.Native.zValue(
+      array(asDouble.map(c =>
+        coalesce(c, lit(Double.NegativeInfinity))): _*), boundsLit)
+    val nOut = if (files > 0) files
+               else spark.sessionState.conf.numShufflePartitions
+    val clustered = current.withColumn(ZvCol, zv)
+      .repartitionByRange(nOut, col(ZvCol))
+      .sortWithinPartitions(col(ZvCol))
+      .drop(ZvCol)
+    swapData(spark, path, clustered, buckets = 0, lastVersion = lastVer)
     }
 
   private val ZvCol = "__zv"

@@ -110,7 +110,14 @@ object KvStream {
                 out ::= SessionOut(user, microTs(start),
                   microTs(last + gapUs), n)
                 start = u; last = u; n = 1L
-              } else { last = math.max(last, u); n += 1L }
+              } else {
+                // best-effort cross-batch merge: an admitted event may
+                // predate the open session's recorded bounds (arrival
+                // order is only watermark-monotone) — widen both ends
+                start = math.min(start, u)
+                last = math.max(last, u)
+                n += 1L
+              }
             }
             if (n > 0L) {
               state.update(SessState(start, last, n))

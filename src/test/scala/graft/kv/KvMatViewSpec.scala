@@ -93,6 +93,39 @@ class KvMatViewSpec extends SparkSpec {
     }
   }
 
+  test("a crashed refresh (journal present, partial apply) replays to " +
+    "the exact result, exactly once") {
+    val base = TestSpark.scratch("mv-crash-base")
+    val view = TestSpark.scratch("mv-crash-view")
+    KvTable.write(Seq(("k1", "A", 1L), ("k2", "A", 2L), ("k3", "B", 3L))
+      .toDF("k", "grp", "amt"), base, schema, SinkMode.Replace)
+    KvMatView.build(spark, base, view, "grp", Seq("amt"))
+    KvTable.write(Seq(("k4", "A", 10L)).toDF("k", "grp", "amt"),
+      base, schema, SinkMode.Append)
+    KvTable.delete(Seq("k3").toDF("k"), base, schema)
+
+    // emulate the crash window: journal written, apply started (a
+    // partial — and here deliberately WRONG — row landed for an
+    // affected group), then death before the checkpoint advanced
+    val (_, _, metaCp) = KvMatView.readViewMeta(spark, view)
+    MetaSidecar.write(spark, s"$view/_kvmvlog.json", "group", "grp",
+      "sums", Seq("amt"), "from" -> metaCp,
+      "to" -> KvTable.maxVersion(spark, base),
+      "viewver" -> KvTable.maxVersion(spark, view))
+    KvTable.write(Seq(("A", 999L, 999L)).toDF("grp", "cnt", "sum_amt"),
+      view, KvMatView.viewSchema("grp", Seq("amt")), SinkMode.Append)
+
+    // the next refresh detects the journal and replays the identical
+    // delta against the journaled snapshot — the bogus partial row is
+    // overwritten, nothing double-applies
+    KvMatView.refresh(spark, base, view)
+    assert(viewRows(view) === recomputed(base))
+    assert(viewRows(view) === Array(("A", 3L, 13L)))
+    // journal cleared: a further refresh is a clean no-op
+    KvMatView.refresh(spark, base, view)
+    assert(viewRows(view) === recomputed(base))
+  }
+
   test("refresh on an event-time-versioned base uses the row-version " +
     "domain checkpoint") {
     val base = TestSpark.scratch("mv-base5")

@@ -71,6 +71,23 @@ class KvZOrderSpec extends SparkSpec {
     assert(raw.filter($"y" >= 45).count() === 100)
   }
 
+  test("date and timestamp columns are rankable (days / seconds since " +
+    "epoch)") {
+    val path = TestSpark.scratch("zorder-date")
+    val s2 = KvSchema.of("k", "d" -> ("f", "d"), "x" -> ("f", "x"))
+    val rows = (0 until 100)
+      .map(i => (i.toLong, java.sql.Date.valueOf(f"2024-${i % 12 + 1}%02d-15"),
+        (i % 10).toLong))
+      .toDF("k", "d", "x")
+    KvTable.write(rows, path, s2, SinkMode.Replace)
+    val before = KvTable.read(spark, path)
+      .as[(Long, java.sql.Date, Long)].collect().sortBy(_._1)
+    KvTable.compactZOrder(spark, path, Seq("d", "x"), cells = 8)
+    val after = KvTable.read(spark, path)
+      .as[(Long, java.sql.Date, Long)].collect().sortBy(_._1)
+    assert(after === before)
+  }
+
   test("z-order survives tombstones, keeps versions, and rejects " +
     "non-rankable columns") {
     val path = TestSpark.scratch("zorder-lifecycle")
