@@ -32,11 +32,15 @@ object TextQueries {
     "text_pack" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val seqLen = 2048L
+      // pinned: the shard-offsets branch would otherwise re-scan and
+      // re-tokenize the whole corpus (self-join subplan re-execution);
+      // the checkpointed projection is 3 longs per doc
       val docs = table(s, dir, "documents")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
         .withColumn("shard", expr("doc_id DIV 1000"))
+        .localCheckpoint()
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       // shard totals are O(corpus/1000) rows; the cumsum over them is a
