@@ -13,7 +13,7 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{MessageType, PrimitiveType}
-import org.apache.parquet.schema.LogicalTypeAnnotation.{StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -635,20 +635,28 @@ object KvV2Util {
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
 
-  def sparkType(p: PrimitiveType): DataType = p.getPrimitiveTypeName match {
-    case BINARY if p.getLogicalTypeAnnotation.isInstanceOf[StringLogicalTypeAnnotation] =>
-      StringType
-    case BINARY => BinaryType
-    case BOOLEAN => BooleanType
-    case INT32 => IntegerType
-    case INT64 if p.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation] =>
-      TimestampType
-    case INT64 => LongType
-    case INT96 => TimestampType // Spark's default parquet timestamp encoding
-    case DOUBLE => DoubleType
-    case FLOAT => FloatType
-    case other =>
-      throw new IllegalArgumentException(s"kvtable: unsupported parquet type $other")
+  def sparkType(p: PrimitiveType): DataType = p.getLogicalTypeAnnotation match {
+    // DECIMAL first, whatever its physical encoding (INT32/INT64 for
+    // precision <= 9/18 — Spark's writer default — or FIXED/BINARY
+    // beyond): mapping the physical type alone would silently surface
+    // the UNSCALED value (a 100x error at scale 2)
+    case d: DecimalLogicalTypeAnnotation =>
+      DecimalType(d.getPrecision, d.getScale)
+    case _ => p.getPrimitiveTypeName match {
+      case BINARY if p.getLogicalTypeAnnotation.isInstanceOf[StringLogicalTypeAnnotation] =>
+        StringType
+      case BINARY => BinaryType
+      case BOOLEAN => BooleanType
+      case INT32 => IntegerType
+      case INT64 if p.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation] =>
+        TimestampType
+      case INT64 => LongType
+      case INT96 => TimestampType // Spark's default parquet timestamp encoding
+      case DOUBLE => DoubleType
+      case FLOAT => FloatType
+      case other =>
+        throw new IllegalArgumentException(s"kvtable: unsupported parquet type $other")
+    }
   }
 
   /** Decode a parquet INT96 timestamp (12 bytes little-endian: 8-byte
@@ -677,6 +685,14 @@ object KvV2Util {
       else g.getLong(idx, 0) // parquet micros == catalyst micros
     case DoubleType => g.getDouble(idx, 0)
     case FloatType => g.getFloat(idx, 0)
+    case dt: DecimalType =>
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 => Decimal(g.getInteger(idx, 0).toLong, dt.precision, dt.scale)
+        case INT64 => Decimal(g.getLong(idx, 0), dt.precision, dt.scale)
+        case _ => // FIXED_LEN_BYTE_ARRAY / BINARY: big-endian unscaled
+          Decimal(BigDecimal(BigInt(g.getBinary(idx, 0).getBytes), dt.scale),
+            dt.precision, dt.scale)
+      }
     case other =>
       throw new IllegalArgumentException(s"kvtable: unsupported read type $other")
   }

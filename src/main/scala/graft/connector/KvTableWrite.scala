@@ -407,6 +407,13 @@ class KvDataWriter(path: String, schema: StructType,
             case LongType | TimestampType => g.add(name, row.getLong(i))
             case DoubleType => g.add(name, row.getDouble(i))
             case FloatType => g.add(name, row.getFloat(i))
+            case d: DecimalType =>
+              val dec = row.getDecimal(i, d.precision, d.scale)
+              if (d.precision <= 9) g.add(name, dec.toUnscaledLong.toInt)
+              else if (d.precision <= 18) g.add(name, dec.toUnscaledLong)
+              else g.add(name, Binary.fromConstantByteArray(
+                KvWriteUtil.decimalFixedBytes(dec,
+                  KvWriteUtil.minBytesForPrecision(d.precision))))
             case other =>
               throw new IllegalArgumentException(s"kvtable write: unsupported $other")
           }
@@ -503,12 +510,45 @@ object KvWriteUtil {
               LogicalTypeAnnotation.TimeUnit.MICROS))
         case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
         case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+        case d: DecimalType =>
+          // Spark's own physical mapping: unscaled INT32/INT64 up to
+          // precision 9/18, fixed-length big-endian bytes beyond
+          val ann = LogicalTypeAnnotation.decimalType(d.scale, d.precision)
+          if (d.precision <= 9)
+            Types.optional(PrimitiveTypeName.INT32).as(ann)
+          else if (d.precision <= 18)
+            Types.optional(PrimitiveTypeName.INT64).as(ann)
+          else
+            Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+              .length(minBytesForPrecision(d.precision)).as(ann)
         case other =>
           throw new IllegalArgumentException(s"kvtable write: unsupported $other")
       }
       b.addField(prim.named(f.name))
     }
     b.named("spark_schema")
+  }
+
+  /** Smallest byte count whose signed range covers 10^precision — the
+    * parquet fixed-length decimal sizing rule. */
+  def minBytesForPrecision(precision: Int): Int = {
+    var n = 1
+    while (BigInt(2).pow(8 * n - 1) - 1 < BigInt(10).pow(precision)) n += 1
+    n
+  }
+
+  /** Fixed-length big-endian two's-complement rendering of a decimal's
+    * unscaled value (sign-extended padding). */
+  def decimalFixedBytes(d: org.apache.spark.sql.types.Decimal,
+                        len: Int): Array[Byte] = {
+    val unscaled = d.toJavaBigDecimal.unscaledValue()
+    val raw = unscaled.toByteArray
+    require(raw.length <= len,
+      s"decimal unscaled value needs ${raw.length} bytes > field length $len")
+    val out = new Array[Byte](len)
+    if (unscaled.signum() < 0) java.util.Arrays.fill(out, -1.toByte)
+    System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+    out
   }
 }
 

@@ -76,8 +76,32 @@ object StreamQueries {
     path
   }
 
+  /** Source table for [[stream_matview]]: orders keyed by orderkey with
+    * the group/sum columns, written in three appends so the log holds
+    * several files (several candidate micro-batches). */
+  private def setupMatViewSource(s: SparkSession, dir: String): String = {
+    val path = scratchDir("stream_mv_src", dir)
+    ensureSetup(path) {
+      val schema = KvSchema.of("o_orderkey",
+        "o_orderstatus" -> ("o", "status"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val o = table(s, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (unix_timestamp(col("o_orderdate")) % 3).as("third"))
+      KvTable.write(o.filter(col("third") === 0), path, schema,
+        SinkMode.Replace)
+      KvTable.write(o.filter(col("third") === 1), path, schema,
+        SinkMode.Append)
+      KvTable.write(o.filter(col("third") === 2), path, schema,
+        SinkMode.Append)
+    }
+    path
+  }
+
   val prepares: Map[String, (SparkSession, String) => Unit] = Map(
-    "stream_kv_source" -> ((s, d) => { setupKvSourceTable(s, d); () })
+    "stream_kv_source" -> ((s, d) => { setupKvSourceTable(s, d); () }),
+    "stream_matview" -> ((s, d) => { setupMatViewSource(s, d); () })
   )
 
   val defs: Map[String, Q] = Map(
@@ -266,6 +290,41 @@ object StreamQueries {
         .orderBy(col("user_id"), col("sess_start"))
     },
 
+    // CONTINUOUSLY-maintained summary view: the KV log streams through
+    // foreachBatch; every micro-batch upserts the base table AND
+    // delta-refreshes the materialized per-status aggregate (built on
+    // the first batch) — the serving-layer pattern where a dashboard
+    // table stays fresh under a firehose without ever rescanning the
+    // base. Deterministic under ANY micro-batch split because refresh
+    // convergence is batching-insensitive (KvMatViewProps fuzzes
+    // exactly that); the oracle recomputes the aggregate from scratch.
+    "stream_matview" -> { (s, dir) =>
+      import graft.kv.KvMatView
+      val src = setupMatViewSource(s, dir)
+      val base = scratchDir("stream_mv_base", dir)
+      val view = scratchDir("stream_mv_view", dir)
+      KvTable.drop(s, base)
+      KvTable.drop(s, view)
+      val schema = KvSchema.of("o_orderkey",
+        "o_orderstatus" -> ("o", "status"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val stream = s.readStream.format("kvtable").load(src)
+        .filter(!col(KvTable.TombstoneCol))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      runStream(stream, outputMode = "append") { (batch, _) =>
+        KvTable.write(batch, base, schema, SinkMode.Append)
+        if (!KvTable.exists(s, view))
+          KvMatView.build(s, base, view, "o_orderstatus",
+            Seq("o_totalprice"))
+        else KvMatView.refresh(s, base, view)
+      }
+      KvMatView.refresh(s, base, view) // cover a post-stream tail batch
+      KvMatView.read(s, view)
+        .select(col("o_orderstatus"), col("cnt"),
+          col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // flatMapGroupsWithState with EVENT-TIME TIMEOUT: the session
     // TRACKER shape (vs stream_sessionize's session_window AGGREGATE) —
     // a session closes and emits either the moment a later event proves
@@ -438,6 +497,13 @@ object StreamQueries {
     "stream_running_stats" ->
       """SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_matview" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_o_totalprice
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "stream_session_timeout" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t
         |            FROM events WHERE user_id < 200),

@@ -492,4 +492,47 @@ class KvTableSourceSpec extends SparkSpec {
     assert(!qf.queryExecution.executedPlan.treeString.contains("kvtable-count"))
     assert(qf.as[Long].head() === 10L)
   }
+
+  test("DECIMAL columns round-trip SCALED through both write paths and " +
+    "both read paths") {
+    // the V2 reader must decode the logical decimal, not the unscaled
+    // INT32/INT64/FIXED payload (an unscaled read is a silent 10^scale
+    // inflation — caught by stream_matview's oracle)
+    def dec(s: String, p: Int, sc: Int) =
+      new java.math.BigDecimal(s)
+    val rows = Seq(
+      ("k1", "12345.67", "1234567890123.45", "123456789012345678901234.567"),
+      ("k2", "-0.01", "-9999999999999.99", "-123456789012345678901234.567"))
+    val df = rows.toDF("k", "small", "mid", "big").select($"k",
+      $"small".cast("decimal(9,2)"), $"mid".cast("decimal(18,2)"),
+      $"big".cast("decimal(27,3)"))
+    val schema = KvSchema.of("k", "small" -> ("f", "s"),
+      "mid" -> ("f", "m"), "big" -> ("f", "b"))
+
+    for ((label, write) <- Seq[(String, (org.apache.spark.sql.DataFrame, String) => Unit)](
+      "v1" -> ((d, p) => KvTable.write(d, p, schema, SinkMode.Replace)),
+      "v2" -> ((d, p) => KvTable.writeV2(d, p, schema, SinkMode.Replace)))) {
+      val path = TestSpark.scratch(s"decimal-$label")
+      write(df, path)
+      val expect = rows.map { case (k, s, m, b) =>
+        (k, dec(s, 9, 2), dec(m, 18, 2), dec(b, 27, 3)) }.sortBy(_._1)
+      // V2 reader (format kvtable)
+      val gotV2 = graft.kv.KvTable.lwwView(
+          spark.read.format("kvtable").load(path),
+          KvTable.readSchema(spark, path))
+        .as[(String, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal)]
+        .collect().sortBy(_._1)
+      // v1 reader (Spark parquet)
+      val gotV1 = KvTable.read(spark, path)
+        .as[(String, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal)]
+        .collect().sortBy(_._1)
+      for ((got, reader) <- Seq(gotV2 -> "v2", gotV1 -> "v1");
+           ((gk, gs, gm, gb), (ek, es, em, eb)) <- got.zip(expect)) {
+        assert(gk == ek, s"$label/$reader key")
+        assert(gs.compareTo(es) == 0 && gm.compareTo(em) == 0 &&
+          gb.compareTo(eb) == 0,
+          s"$label write / $reader read: ($gs,$gm,$gb) != ($es,$em,$eb)")
+      }
+    }
+  }
 }
