@@ -13,7 +13,7 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{MessageType, PrimitiveType}
-import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -647,6 +647,10 @@ object KvV2Util {
         StringType
       case BINARY => BinaryType
       case BOOLEAN => BooleanType
+      case INT32 if p.getLogicalTypeAnnotation
+          .isInstanceOf[DateLogicalTypeAnnotation] =>
+        DateType // days-since-epoch payload; surfacing int would
+                 // silently change the column's semantics
       case INT32 => IntegerType
       case INT64 if p.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation] =>
         TimestampType
@@ -675,7 +679,7 @@ object KvV2Util {
     case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
     case BinaryType => g.getBinary(idx, 0).getBytes
     case BooleanType => g.getBoolean(idx, 0)
-    case IntegerType => g.getInteger(idx, 0)
+    case IntegerType | DateType => g.getInteger(idx, 0) // date = int days
     case LongType => g.getLong(idx, 0)
     case TimestampType =>
       // physical encoding varies by writer: v1/Spark files use INT96,

@@ -403,7 +403,7 @@ class KvDataWriter(path: String, schema: StructType,
             case StringType => g.add(name, row.getUTF8String(i).toString)
             case BinaryType => g.add(name, Binary.fromConstantByteArray(row.getBinary(i)))
             case BooleanType => g.add(name, row.getBoolean(i))
-            case IntegerType => g.add(name, row.getInt(i))
+            case IntegerType | DateType => g.add(name, row.getInt(i))
             case LongType | TimestampType => g.add(name, row.getLong(i))
             case DoubleType => g.add(name, row.getDouble(i))
             case FloatType => g.add(name, row.getFloat(i))
@@ -510,6 +510,9 @@ object KvWriteUtil {
               LogicalTypeAnnotation.TimeUnit.MICROS))
         case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
         case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+        case DateType =>
+          Types.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType())
         case d: DecimalType =>
           // Spark's own physical mapping: unscaled INT32/INT64 up to
           // precision 9/18, fixed-length big-endian bytes beyond

@@ -493,6 +493,24 @@ class KvTableSourceSpec extends SparkSpec {
     assert(qf.as[Long].head() === 10L)
   }
 
+  test("DATE columns surface as dates through the V2 reader, not raw " +
+    "day counts") {
+    val path = TestSpark.scratch("v2-date")
+    val schema = KvSchema.of("k", "d" -> ("f", "d"))
+    val rows = Seq(("k1", java.sql.Date.valueOf("2024-02-29")),
+      ("k2", java.sql.Date.valueOf("1969-12-31")))
+    for (write <- Seq[(org.apache.spark.sql.DataFrame, String) => Unit](
+      (df, p) => KvTable.write(df, p, schema, SinkMode.Replace),
+      (df, p) => KvTable.writeV2(df, p, schema, SinkMode.Replace))) {
+      write(rows.toDF("k", "d"), path)
+      val got = graft.kv.KvTable.lwwView(
+          spark.read.format("kvtable").load(path),
+          KvTable.readSchema(spark, path))
+        .as[(String, java.sql.Date)].collect().sortBy(_._1)
+      assert(got === rows.sortBy(_._1).toArray)
+    }
+  }
+
   test("DECIMAL columns round-trip SCALED through both write paths and " +
     "both read paths") {
     // the V2 reader must decode the logical decimal, not the unscaled
