@@ -76,6 +76,31 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-aware cluster resolution: within each near-dup cluster
+    // keep the most COMPLETE copy (max token count, doc_id tiebreak) —
+    // the "keep best, not first" policy real pipelines want when dups
+    // are truncations/paddings of each other (here the planted copies
+    // carry extra tokens, so the keeper is NOT the min-id original —
+    // exercising genuinely quality-driven selection). Integer token
+    // counts keep keeper choice exact across engines. One extra
+    // partial-agg shuffle over dedup_clusters.
+    "dedup_cluster_best" -> { (s, dir) =>
+      val corpus = corpusNear(s, dir)
+      val pairs = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+        shingleLen = 3, k = 12, bands = 6, minJaccard = 0.5)
+      val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      val toks = corpus.select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n"))
+      comp.join(toks, comp("id") === toks("doc_id"))
+        .groupBy(col("rep"))
+        .agg(
+          max_by(col("doc_id"), struct(col("n"), -col("doc_id")))
+            .as("keeper"),
+          max(col("n")).as("keeper_tokens"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy(col("rep"))
+    },
+
     // Benchmark DECONTAMINATION: flag training documents whose shingle
     // overlap with an evaluation set crosses a threshold (the n-gram
     // decontamination every serious pretraining pipeline runs). Eval =
@@ -342,6 +367,33 @@ object DedupQueries {
        |FROM comp
        |ORDER BY doc_id""".stripMargin
 
+  private val clusterBestSql =
+    raw"""WITH RECURSIVE pairs AS (
+       |${minhashSql.stripSuffix("\nORDER BY id1, id2")}
+       |),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION
+       |  SELECT id2, id1 FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, MIN(lab) AS rep FROM reach GROUP BY id),
+       |corpus2 AS ($corpusNearSql),
+       |tk AS (SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+       |  FROM corpus2),
+       |ranked AS (
+       |  SELECT c.rep, c.id, t.n,
+       |    row_number() OVER (PARTITION BY c.rep
+       |      ORDER BY t.n DESC, c.id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.rep) AS cs
+       |  FROM comp c JOIN tk t ON c.id = t.doc_id)
+       |SELECT rep, id AS keeper, n AS keeper_tokens, cs AS cluster_size
+       |FROM ranked WHERE rn = 1
+       |ORDER BY rep""".stripMargin
+
   private val jaccardSql = {
     s"""WITH corpus AS (
        |  SELECT doc_id, text, source FROM documents
@@ -416,6 +468,7 @@ object DedupQueries {
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dedup_minhash" -> minhashSql,
     "dedup_clusters" -> clustersSql,
+    "dedup_cluster_best" -> clusterBestSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_decontaminate" ->
       raw"""WITH corpus AS (
