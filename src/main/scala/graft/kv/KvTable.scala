@@ -522,6 +522,30 @@ object KvTable {
         col(TombstoneCol).as("is_delete"): _*)
   }
 
+  /** WAL-apply: append pre-versioned raw mutations — the receiving half
+    * of [[graft.kv.KvReplica]] replication. `raw` must carry the
+    * schema's key/value columns plus `__version`/`__seq`/`__tombstone`
+    * exactly as [[readRaw]] yields them; the triples are preserved so
+    * the replica's LWW collapse ties-and-deletes resolve identically to
+    * the source's. `counterTo` advances the replica's version counter
+    * to the source's (never regressing it), keeping any later DIRECT
+    * auto-versioned write to the replica newer than replicated cells.
+    */
+  private[kv] def applyMutations(raw: DataFrame, path: String,
+                                 schema: KvSchema, counterTo: Long): Unit = {
+    val spark = raw.sparkSession
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
+      if (exists(spark, path)) {
+        val existing = readSchema(spark, path)
+        require(existing == schema,
+          s"KvTable $path schema mismatch: $existing vs $schema")
+      }
+      val cols = schema.fieldNames.map(col) :+
+        col(VersionCol) :+ col(SeqCol) :+ col(TombstoneCol)
+      appendRaw(raw.select(cols: _*), path, schema, counterTo)
+    }
+  }
+
   /** TTL read: the LWW view with every cell whose `__version` is below
     * `minVersion` expired — HBase's column-family TTL semantics, where
     * a cell past its TTL is invisible to scans even if it is the key's

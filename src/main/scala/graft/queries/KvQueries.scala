@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.kv.{KvDynamic, KvIndex, KvMatView, KvSchema, KvTable, SinkMode}
+import graft.kv.{KvDynamic, KvIndex, KvMatView, KvReplica, KvSchema, KvTable, SinkMode}
 
 /** Queries exercising the KV-table surface — the reference's REF
   * operators (SURVEY.md §2a/§2d): upsert-by-rowkey LWW reads, rowkey
@@ -42,6 +42,37 @@ object KvQueries {
         versionFrom = Some(orderVersion))
     }
     path
+  }
+
+  /** Source + replica pair exercising [[graft.kv.KvReplica]]: an initial
+    * sync copies the pre-1996 orders, then an append batch AND tombstone
+    * deletes land on the source, and a second (incremental) sync ships
+    * only those — the replica's LWW view must equal the source's final
+    * state, updates and deletes included.
+    */
+  private def setupReplica(s: SparkSession, dir: String): String = {
+    val src = scratchDir("kv_replica_src", dir)
+    val dst = scratchDir("kv_replica_dst", dir)
+    ensureSetup(dst) {
+      KvTable.drop(s, src)
+      KvTable.drop(s, dst)
+      val o = table(s, dir, "orders")
+      val old = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val recent = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      KvTable.write(old, src, ordersSchema, SinkMode.Replace,
+        versionFrom = Some(orderVersion))
+      KvReplica.sync(s, src, dst) // initial copy
+      KvTable.write(recent, src, ordersSchema, SinkMode.Append,
+        versionFrom = Some(orderVersion))
+      // deletes carry a version ABOVE every event-time version (HBase
+      // timestamp-domain discipline, see KvTable.delete's scaladoc)
+      KvTable.delete(
+        o.select(col("o_custkey")).distinct()
+          .filter(pmod(col("o_custkey"), lit(10)) === 0),
+        src, ordersSchema, version = Some(4000000000000000000L))
+      KvReplica.sync(s, src, dst) // incremental: append batch + tombstones
+    }
+    dst
   }
 
   private def setupIndex(s: SparkSession, dir: String): (String, String) = {
@@ -410,6 +441,7 @@ object KvQueries {
     "kv_time_travel" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_ttl" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_changes" -> ((s, d) => { setupAppendUpsert(s, d); () }),
+    "kv_replica_sync" -> ((s, d) => { setupReplica(s, d); () }),
     "kv_index_lookup" -> ((s, d) => { setupIndex(s, d); () }),
     "kv_index_covered" -> ((s, d) => { setupIndex(s, d); () }),
     "kv_colocated_join" -> ((s, d) => { setupColocated(s, d); () }),
@@ -593,6 +625,15 @@ object KvQueries {
       KvTable.readChanges(s, path, afterVersion = 820454400L * 1000000000L - 1)
     },
 
+    // CDC replication (HBase WAL-replication analog): two syncs — an
+    // initial copy, then an incremental poll shipping an append batch
+    // plus tombstones — leave the replica's LWW view value-identical to
+    // the source's final state. The oracle recomputes that state from
+    // the raw orders table.
+    "kv_replica_sync" -> { (s, dir) =>
+      KvTable.read(s, setupReplica(s, dir)).orderBy(col("o_custkey"))
+    },
+
     // Lossless minor compaction under the ORACLE gate: three appends
     // merged to one file per group, read back — value-identical to the
     // uncompacted LWW view (the maintenance op the driver now runs on
@@ -751,6 +792,12 @@ object KvQueries {
         |  FALSE AS is_delete
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |ORDER BY version""".stripMargin,
+    "kv_replica_sync" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 AND o_custkey % 10 <> 0
+        |ORDER BY o_custkey""".stripMargin,
     "kv_minor_compacted" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
