@@ -93,6 +93,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1): top/
+    // duplicate n-gram fractions and a keep flag at corpus-calibrated
+    // thresholds. All metrics are per-row higher-order-function compute
+    // over pinned token/shingle arrays — ZERO shuffle, no explode: the
+    // 100 TB shape is a pure map over the corpus scan. (The documents
+    // corpus has no newlines, so Gopher's line-level metrics are
+    // vacuous here; the n-gram family is the discriminating one.)
+    "text_gopher_quality" -> { (s, dir) =>
+      import graft.ops.Ops.materializedColumn
+      val withT = materializedColumn(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "t", TextOps.tokens(col("text")))
+      val withBg = materializedColumn(withT, "bg",
+        TextOps.wordShingles(col("t"), 2))
+      val withTg = materializedColumn(withBg, "tg",
+        TextOps.wordShingles(col("t"), 3))
+      withTg.select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          TextOps.dupGramFrac(col("t")).as("dup_token_frac"),
+          TextOps.topGramFrac(col("bg")).as("top_bigram_frac"),
+          TextOps.dupGramFrac(col("bg")).as("dup_bigram_frac"),
+          TextOps.topGramFrac(col("tg")).as("top_trigram_frac"))
+        .withColumn("keep",
+          col("top_bigram_frac") <= 0.05 && col("dup_bigram_frac") <= 0.05 &&
+            col("top_trigram_frac") <= 0.04)
+        .orderBy(col("doc_id"))
+    },
+
     // Stopword-profile language ID (deterministic heuristic).
     "text_langid" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
@@ -350,6 +378,40 @@ object TextQueries {
          |    * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
          |    AS quality
          |FROM (SELECT doc_id, text, $toks AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_gopher_quality" ->
+      s"""WITH s AS (SELECT doc_id, $toks AS t FROM documents),
+         |g AS (SELECT doc_id, t,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(
+         |      generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+         |    ELSE CAST([] AS VARCHAR[]) END AS bg,
+         |  CASE WHEN len(t) >= 3 THEN list_transform(
+         |      generate_series(1, len(t)-2),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS tg
+         |  FROM s),
+         |m AS (SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CASE WHEN len(t) > 0 THEN
+         |    CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+         |    ELSE 0.0 END AS dup_token_frac,
+         |  CASE WHEN len(bg) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(bg),
+         |      d -> len(list_filter(bg, y -> y = d)))) AS DOUBLE) / len(bg)
+         |    ELSE 0.0 END AS top_bigram_frac,
+         |  CASE WHEN len(bg) > 0 THEN
+         |    CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         |    ELSE 0.0 END AS dup_bigram_frac,
+         |  CASE WHEN len(tg) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(tg),
+         |      d -> len(list_filter(tg, y -> y = d)))) AS DOUBLE) / len(tg)
+         |    ELSE 0.0 END AS top_trigram_frac
+         |  FROM g)
+         |SELECT *,
+         |  top_bigram_frac <= CAST(0.05 AS DOUBLE)
+         |    AND dup_bigram_frac <= CAST(0.05 AS DOUBLE)
+         |    AND top_trigram_frac <= CAST(0.04 AS DOUBLE) AS keep
+         |FROM m
          |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,

@@ -25,6 +25,28 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Fraction of gram occurrences taken by the single most frequent
+    * gram — the Gopher-style "top n-gram fraction" repetition signal
+    * (Rae et al. 2021 §A1.1 use the analogous character fraction). Pin
+    * `grams` with [[graft.ops.Ops.materializedColumn]] before calling:
+    * the expression references it several times. Per-row HOF compute —
+    * no explode, no shuffle; cost is O(distinct × n) per document,
+    * bounded by document length, embarrassingly parallel at 100 TB.
+    */
+  def topGramFrac(grams: Column): Column =
+    when(size(grams) > 0,
+      array_max(transform(array_distinct(grams),
+        d => size(filter(grams, x => x === d)))).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+
+  /** Fraction of gram occurrences beyond each distinct gram's first —
+    * Gopher's "duplicate n-gram fraction". Same per-row/no-shuffle
+    * shape as [[topGramFrac]]. */
+  def dupGramFrac(grams: Column): Column =
+    when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+
   /** Total characters across tokens (excludes whitespace). */
   def tokenChars(toks: Column): Column =
     aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
