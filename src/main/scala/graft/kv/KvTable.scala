@@ -86,7 +86,7 @@ object KvTable {
     graft.connector.KvV2Util.readMeta(path,
       spark.sparkContext.hadoopConfiguration)
 
-  private def readMetaVersion(spark: SparkSession, path: String): Long =
+  private[kv] def readMetaVersion(spark: SparkSession, path: String): Long =
     readMeta(spark, path)._1
 
   /** Bucket count of a bucket-compacted table (0 = unbucketed). */
@@ -116,6 +116,16 @@ object KvTable {
     // two concurrent appends can no longer both compute prevVer + 1
     // (which would collapse their LWW ordering to arbitrary seq ties).
     TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
+      writeLocked(df, path, schema, mode, versionFrom)
+    }
+  }
+
+  /** [[write]]'s body without the lock, for compound mutations that hold
+    * the lock across a read-check-write span ([[checkAndPut]]). */
+  private def writeLocked(df: DataFrame, path: String, schema: KvSchema,
+                          mode: SinkMode,
+                          versionFrom: Option[Column]): Unit = {
+    val spark = df.sparkSession
     mode match {
       case SinkMode.Keep if exists(spark, path) =>
         throw new IllegalStateException(s"KvTable $path exists and mode is Keep")
@@ -142,7 +152,85 @@ object KvTable {
       .withColumn(SeqCol, monotonically_increasing_id())
       .withColumn(TombstoneCol, lit(false))
     appendRaw(out, path, schema, batch)
+  }
+
+  /** Conditional mutation — HBase `checkAndPut` as a batch CAS. Each
+    * update row (key + all value fields) is applied iff the table's
+    * CURRENT live value of `checkField` for that key is null-safe-equal
+    * to the row's `expected` expression: `lit(null)` expected means
+    * "apply only while the key is absent (or its check cell is null)" —
+    * HBase's if-absent form; otherwise the put lands only when the
+    * stored cell still holds the expected value (optimistic concurrency
+    * on a version/balance column).
+    *
+    * Atomic as a BATCH, stronger than HBase's per-row CAS: the check
+    * snapshot is planned and the survivors are materialized inside the
+    * table's single-writer lock, so no other writer can interleave
+    * between check and put. Scale shape: one shuffle joining the
+    * updates against the LWW view (AQE broadcasts small update
+    * batches); survivors are localCheckpoint-materialized so the check
+    * evaluates exactly once, before any append becomes visible.
+    *
+    * @return number of updates applied (rows failing their check are
+    *         dropped silently, like the boolean-false HBase return)
+    */
+  def checkAndPut(updates: DataFrame, path: String, schema: KvSchema,
+                  checkField: String, expected: Column,
+                  versionFrom: Option[Column] = None): Long = {
+    val spark = updates.sparkSession
+    require(schema.fieldNames.contains(checkField),
+      s"checkField $checkField is not a field of $schema")
+    TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
+      require(exists(spark, path), s"KvTable $path does not exist")
+      val k = schema.keyField
+      val cur = read(spark, path)
+        .select(col(k), col(checkField).as("__kv_cur"))
+      val survivors = updates
+        .withColumn("__kv_expected", expected)
+        .join(cur, Seq(k), "left")
+        .filter(col("__kv_cur") <=> col("__kv_expected"))
+        .drop("__kv_cur", "__kv_expected")
+        .localCheckpoint() // evaluate the check BEFORE the append lands
+      val applied = survivors.count()
+      if (applied > 0) writeLocked(survivors, path, schema,
+        SinkMode.Append, versionFrom)
+      applied
     }
+  }
+
+  /** HBase bulk load (`completebulkload`): create a bucket-compacted
+    * table DIRECTLY from a DataFrame in ONE job — no log replay, no
+    * after-the-fact compaction. The bucketed layout is declared in the
+    * table meta first, so the V2 writer's
+    * `RequiresDistributionAndOrdering` plans the single clustered
+    * shuffle into `buckets` key-ranges (regions), key-sorts each, and
+    * writes one sorted file per bucket with task-side stats and rowkey
+    * blooms shipped into the manifest. This is how 100 TB lands in a
+    * KV store: sort once into region-aligned store files and adopt
+    * them, never pushing the firehose through the write path.
+    *
+    * The input should be key-unique (or carry a `versionFrom` domain to
+    * disambiguate) — bulk-loaded cells share one version, so duplicate
+    * keys fall to intra-batch seq ties, exactly like duplicate rowkeys
+    * inside one HBase bulk-load HFile set. Not crash-atomic: a failure
+    * can leave a partial table — re-run with `SinkMode.Replace`
+    * (HBase's bulk load shares the retry-the-load recovery model).
+    */
+  def bulkLoad(df: DataFrame, path: String, schema: KvSchema, buckets: Int,
+               mode: SinkMode = SinkMode.Keep,
+               versionFrom: Option[Column] = None): Unit = {
+    require(buckets > 0, s"bulkLoad needs a positive bucket count, got $buckets")
+    val spark = df.sparkSession
+    mode match {
+      case SinkMode.Replace => drop(spark, path)
+      case _ => require(!exists(spark, path),
+        s"KvTable $path exists: bulkLoad creates tables (use SinkMode.Replace)")
+    }
+    // Declare the layout BEFORE the write: the V2 writer reads the
+    // bucket count from meta to plan its clustered+sorted distribution.
+    writeString(spark, schemaFile(path), schema.toJson)
+    writeMeta(spark, path, 0L, buckets)
+    writeV2(df, path, schema, SinkMode.Append, versionFrom)
   }
 
   /** Delete by key: append tombstone markers (`Delete` mutations,
@@ -740,7 +828,7 @@ object KvTable {
     * was published, finish the originals' deletes; if not, discard the
     * temp output. Either way the table returns to a clean state and the
     * journal is removed. */
-  private def recoverMinor(spark: SparkSession, path: String): Unit = {
+  private[kv] def recoverMinor(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
     val log = new HPath(minorLog(path))
     if (!f.exists(log)) return
@@ -893,7 +981,7 @@ object KvTable {
     * (restored by the next compaction attempt's entry check); at no
     * point is the only copy of the data deleted.
     */
-  private def swapData(spark: SparkSession, path: String, current: DataFrame,
+  private[kv] def swapData(spark: SparkSession, path: String, current: DataFrame,
                        buckets: Int, lastVersion: Long): Unit = {
     val tmp = s"$path/.compact-tmp"
     val old = s"$path/.data-old"

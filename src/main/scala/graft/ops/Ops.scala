@@ -85,6 +85,32 @@ object Ops {
       .agg(sum(col("__partial")).as(out))
       .withColumnRenamed("__key", key.toString)
 
+  /** Skew-resistant equi join — the join dual of [[saltedSum]]. The big
+    * (probe) side gets a ROW-LOCAL salt (same rationale as saltedSum:
+    * never derive it from the data); the small (build) side is
+    * replicated once per salt value through a generator; the join
+    * matches on (key, salt), so one hot key's rows spread across
+    * `salts` reducers instead of stalling the one task that owns the
+    * key. The result is exactly the unsalted join: every big row meets
+    * each of its small-side matches exactly once (at its own salt).
+    * Use when the small side is too big to broadcast and the skew is
+    * known up front; AQE's skew-join split handles the discovered-at-
+    * runtime case, but salting also covers pre-shuffled/bucketed inputs
+    * AQE cannot re-split. Cost: `salts`× the small side's shuffle
+    * volume — cheap by construction, that side is small.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          salted("__salt") === replicated("__salt"))
+      .drop("__salt") // drops the salt from BOTH sides
+  }
+
   /** Materialization barrier: force an expensive expression to evaluate
     * exactly ONCE per row. Catalyst's CollapseProject inlines projection
     * expressions into every downstream reference (an expression used k

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.kv.{KvDynamic, KvIndex, KvMatView, KvReplica, KvSchema, KvTable, SinkMode}
+import graft.kv.{KvAppend, KvCounter, KvDynamic, KvIndex, KvMatView, KvReplica, KvSchema, KvTable, SinkMode}
 
 /** Queries exercising the KV-table surface — the reference's REF
   * operators (SURVEY.md §2a/§2d): upsert-by-rowkey LWW reads, rowkey
@@ -433,8 +433,99 @@ object KvQueries {
     path
   }
 
+  /** HBase-Increment-style counter lifecycle: accumulate pre-1995 order
+    * totals (in cents) as delta cells, tombstone every 7th customer,
+    * MAJOR-COMPACT mid-sequence (totals materialize, masked history and
+    * tombstones drop), then keep incrementing — the read view must be
+    * insensitive to where the compaction happened. */
+  private def setupCounter(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_counter", dir)
+    ensureSetup(path) {
+      val o = table(s, dir, "orders")
+      // floor(double*100) is bit-deterministic IEEE arithmetic, so the
+      // DuckDB oracle reproduces the cents exactly (no decimal detour)
+      def cents(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as(KvCounter.DeltaCol))
+      val split = lit("1995-01-01").cast("timestamp")
+      KvCounter.increment(cents(o.filter(col("o_orderdate") < split)),
+        path, "o_custkey", SinkMode.Replace)
+      KvCounter.delete(
+        o.select(col("o_custkey")).distinct()
+          .filter(pmod(col("o_custkey"), lit(7)) === 0), path)
+      KvCounter.compact(s, path)
+      KvCounter.increment(cents(o.filter(col("o_orderdate") >= split)),
+        path, "o_custkey")
+    }
+    path
+  }
+
+  /** HBase-Append-style cell concatenation: three fragment batches
+    * build `mktsegment|name` per customer, every 5th key is
+    * tombstone-reset before the final batch (value restarts), and a
+    * MAJOR compaction lands mid-sequence — the read must be
+    * insensitive to it, like the counter lifecycle. */
+  private def setupAppendCells(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_cell_append", dir)
+    ensureSetup(path) {
+      val c = table(s, dir, "customer")
+      def frag(piece: org.apache.spark.sql.Column) =
+        c.select(col("c_custkey"), piece.as(KvAppend.PieceCol))
+      KvAppend.appendTo(frag(col("c_mktsegment")), path, "c_custkey",
+        SinkMode.Replace)
+      KvAppend.appendTo(frag(lit("|")), path, "c_custkey")
+      KvAppend.delete(
+        c.select(col("c_custkey")).filter(pmod(col("c_custkey"), lit(5)) === 0),
+        path)
+      KvAppend.compact(s, path)
+      KvAppend.appendTo(frag(col("c_name")), path, "c_custkey")
+    }
+    path
+  }
+
+  /** One-job bucketed ingest (HBase completebulkload): customers land
+    * directly in their compacted 8-bucket layout — sorted files, blooms,
+    * manifest — with no log replay or compaction afterwards. */
+  private def setupBulkLoad(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_bulk_load", dir)
+    ensureSetup(path) {
+      val schema = KvSchema.of("c_custkey",
+        "c_name" -> ("c", "name"), "c_acctbal" -> ("c", "acctbal"))
+      KvTable.bulkLoad(
+        table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        path, schema, buckets = 8, SinkMode.Replace)
+    }
+    path
+  }
+
+  /** Conditional-mutation lifecycle (HBase checkAndPut): credit +100 to
+    * every customer, but expect the CURRENT balance only on even keys —
+    * odd rows carry a stale expectation and must be rejected. */
+  private def setupCheckAndPut(s: SparkSession, dir: String): String = {
+    val path = scratchDir("kv_check_and_put", dir)
+    ensureSetup(path) {
+      val schema = KvSchema.of("c_custkey",
+        "c_mktsegment" -> ("c", "mktsegment"), "c_acctbal" -> ("c", "acctbal"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      KvTable.write(c, path, schema, SinkMode.Replace)
+      val updates = c
+        .withColumn("__expect",
+          when(pmod(col("c_custkey"), lit(2)) === 0, col("c_acctbal"))
+            .otherwise(col("c_acctbal") + 1))
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      KvTable.checkAndPut(updates, path, schema, "c_acctbal", col("__expect"))
+    }
+    path
+  }
+
   /** Bench runs these untimed before timing the query bodies. */
   val prepares: Map[String, (SparkSession, String) => Unit] = Map(
+    "kv_counter" -> ((s, d) => { setupCounter(s, d); () }),
+    "kv_cell_append" -> ((s, d) => { setupAppendCells(s, d); () }),
+    "kv_bulk_load" -> ((s, d) => { setupBulkLoad(s, d); () }),
+    "kv_check_and_put" -> ((s, d) => { setupCheckAndPut(s, d); () }),
     "kv_roundtrip" -> ((s, d) => { setupRoundtrip(s, d); () }),
     "kv_append_upsert" -> ((s, d) => { setupAppendUpsert(s, d); () }),
     "kv_versions" -> ((s, d) => { setupAppendUpsert(s, d); () }),
@@ -484,6 +575,36 @@ object KvQueries {
     // by custkey (version = order event time), then LWW-read it back.
     "kv_roundtrip" -> { (s, dir) =>
       KvTable.read(s, setupRoundtrip(s, dir)).orderBy(col("o_custkey"))
+    },
+
+    // HBase Increment analog: per-customer spend counters accumulated as
+    // commutative delta cells across batches, tombstone-reset, and
+    // major-compacted mid-sequence (see setupCounter). The value is the
+    // sum of deltas surviving the latest tombstone.
+    "kv_counter" -> { (s, dir) =>
+      KvCounter.read(s, setupCounter(s, dir)).orderBy(col("o_custkey"))
+    },
+
+    // HBase Append analog: fragments concatenate in (version, seq)
+    // order; every 5th key was reset before the last fragment so its
+    // value restarts at c_name (see setupAppendCells).
+    "kv_cell_append" -> { (s, dir) =>
+      KvAppend.read(s, setupAppendCells(s, dir)).orderBy(col("c_custkey"))
+    },
+
+    // Bulk load (completebulkload): the table was born bucket-compacted
+    // in one job; the V2 read runs over its sorted bucket files with the
+    // key-range predicate pruning row groups via the manifest.
+    "kv_bulk_load" -> { (s, dir) =>
+      KvTable.readV2(s, setupBulkLoad(s, dir))
+        .filter(col("c_custkey") >= 100 && col("c_custkey") < 400)
+        .orderBy(col("c_custkey"))
+    },
+
+    // checkAndPut: only the even-keyed updates (correct expectation)
+    // landed; odd keys kept their original balance.
+    "kv_check_and_put" -> { (s, dir) =>
+      KvTable.read(s, setupCheckAndPut(s, dir)).orderBy(col("c_custkey"))
     },
 
     // APPEND lifecycle: two flow runs accumulate in the log
@@ -749,6 +870,30 @@ object KvQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "kv_cell_append" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 5 = 0 THEN c_name
+        |            ELSE c_mktsegment || '|' || c_name END AS value
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "kv_bulk_load" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey >= 100 AND c_custkey < 400
+        |ORDER BY c_custkey""".stripMargin,
+    "kv_check_and_put" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "kv_counter" ->
+      """SELECT o_custkey,
+        |       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS value
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' OR o_custkey % 7 <> 0
+        |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
     "kv_append_upsert" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

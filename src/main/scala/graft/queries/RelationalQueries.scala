@@ -409,10 +409,53 @@ object RelationalQueries {
     }
   )
 
+  /** Hive-partitioned fact + tiny dim scratch for [[q_dpp]]: lineitem
+    * laid out by `l_returnflag` (the date-partitioned 100 TB fact
+    * pattern in miniature) and a parquet flag-decode dimension. */
+  private def setupDpp(s: org.apache.spark.sql.SparkSession,
+                       dir: String): (String, String) = {
+    val fact = scratchDir("q_dpp_fact", dir)
+    ensureSetup(fact) {
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(fact)
+    }
+    val dim = scratchDir("q_dpp_dim", dir)
+    ensureSetup(dim) {
+      import s.implicits._
+      Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+        .toDF("flag", "label")
+        .coalesce(1).write.mode("overwrite").parquet(dim)
+    }
+    (fact, dim)
+  }
+
+  val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
+    Map("q_dpp" -> ((s, d) => { setupDpp(s, d); () }))
+
   /** Second batch: join shapes + grouping analytics completing the §2
     * inventory (full outer, range/theta, cube, rank battery, multiset
     * set-ops, approx distinct, typed Dataset). */
   val defs2: Map[String, Q] = Map(
+    // Dynamic partition pruning: the fact is partitioned on the join
+    // column, the dim carries the selective filter, and Catalyst
+    // injects a DynamicPruningSubquery into the fact scan's partition
+    // filters (reusing the join's broadcast) — at 100 TB this is what
+    // turns "join against this month's dim rows" into reading one
+    // partition instead of the whole fact. Plan shape spec-asserted in
+    // DppSpec; here the result must equal the plain join.
+    "q_dpp" -> { (s, dir) =>
+      val (factPath, dimPath) = setupDpp(s, dir)
+      val fact = s.read.parquet(factPath)
+      val dim = s.read.parquet(dimPath).filter(col("label") === "returned")
+      fact.join(dim, col("l_returnflag") === col("flag"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).as("qty"))
+        .withColumn("qty", col("qty").cast("double"))
+        .orderBy(col("label"))
+    },
+
     // FULL OUTER join of two yearly activity aggregates.
     "q_join_full" -> { (s, dir) =>
       val o = table(s, dir, "orders")
@@ -678,6 +721,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Skew-resistant JOIN (Ops.saltedJoin): lineitem salted row-locally,
+    // supplier replicated per salt, matched on (suppkey, salt) — a hot
+    // supplier's rows spread over 8 reducers. Result must equal the
+    // plain join (the salts cancel by construction).
+    "q_skew_join" -> { (s, dir) =>
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.ops.Ops.saltedJoin(table(s, dir, "lineitem"), sup,
+          "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).as("qty"))
+        .withColumn("qty", col("qty").cast("double"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // GROUPING SETS through the SQL surface.
     "q_grouping_sets" -> { (s, dir) =>
       table(s, dir, "customer").createOrReplaceTempView("customer_gs")
@@ -833,6 +892,19 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dpp" ->
+      """SELECT label, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |JOIN (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'none'))
+        |  AS d(flag, label) ON l_returnflag = flag
+        |WHERE label = 'returned'
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_skew_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
         |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid

@@ -105,6 +105,35 @@ object StreamQueries {
   )
 
   val defs: Map[String, Q] = Map(
+    // Stream-STATIC enrichment join, the canonical streaming-pipeline
+    // shape Spark executes statelessly: each micro-batch of the orders
+    // stream hash-joins against the static customer dimension
+    // (broadcast — no shuffle of the stream side, no state store, no
+    // watermark). At 100 TB/day this is THE dimension-enrichment plan;
+    // only stream-stream joins need interval state (`stream_join`).
+    "stream_static_join" -> { (s, dir) =>
+      val path = scratchDir("stream_static_join", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("o_orderkey",
+        "o_custkey" -> ("o", "custkey"),
+        "c_name" -> ("c", "name"),
+        "c_mktsegment" -> ("c", "mktsegment"),
+        "o_totalprice" -> ("o", "totalprice"))
+      val dim = broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      val stream = s.readStream
+        .schema(schemaOf(s, dir, "orders"))
+        .parquet(streamDir(dir, "orders"))
+        .filter(col("o_totalprice") > 150000.0)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+      runStream(stream, outputMode = "append") { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path).orderBy(col("o_orderkey"))
+    },
+
     // Stream FROM a KV table (the connector's MicroBatchStream: new log
     // files = micro-batches — "HBase as a change feed") into a second
     // KV table; the destination's LWW view must equal plain batch SQL
@@ -469,6 +498,11 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "stream_kv_source" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

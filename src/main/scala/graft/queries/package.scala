@@ -42,5 +42,6 @@ package object queries {
     * pass (with reuse enabled) so measurements cover the read/query path,
     * not scratch-table construction. */
   lazy val prepares: Map[String, (SparkSession, String) => Unit] =
-    KvQueries.prepares ++ StreamQueries.prepares ++ SimQueries.prepares
+    KvQueries.prepares ++ StreamQueries.prepares ++ SimQueries.prepares ++
+      RelationalQueries.prepares
 }
