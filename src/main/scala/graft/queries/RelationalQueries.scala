@@ -721,6 +721,30 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Single-pass column profiling (the ANALYZE TABLE / data-quality
+    // shape): ALL columns' stats in one scan — one aggregate row fanned
+    // out to a row per column by the stack() generator. Exact
+    // COUNT(DISTINCT) keeps the oracle value-level (at 100 TB swap in
+    // approx_count_distinct; the one-scan shape is the point).
+    "q_profile" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      def stats(cl: String, p: String) = Seq(
+        count(col(cl)).as(s"${p}_nn"),
+        countDistinct(col(cl)).as(s"${p}_nd"),
+        min(col(cl)).cast("string").as(s"${p}_min"),
+        max(col(cl)).cast("string").as(s"${p}_max"))
+      val all = stats("c_custkey", "k") ++ stats("c_name", "n") ++
+        stats("c_mktsegment", "m")
+      c.agg(all.head, all.tail: _*)
+        .selectExpr(
+          """stack(3,
+            |  'c_custkey',    k_nn, k_nd, k_min, k_max,
+            |  'c_name',       n_nn, n_nd, n_min, n_max,
+            |  'c_mktsegment', m_nn, m_nd, m_min, m_max)
+            |AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin)
+        .orderBy(col("col_name"))
+    },
+
     // Skew-resistant JOIN (Ops.saltedJoin): lineitem salted row-locally,
     // supplier replicated per salt, matched on (suppkey, salt) — a hot
     // supplier's rows spread over 8 reducers. Result must equal the
@@ -892,6 +916,21 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_profile" ->
+      """SELECT col_name, n_nonnull, n_distinct, min_s, max_s FROM (
+        |  SELECT 'c_custkey' AS col_name, COUNT(c_custkey) AS n_nonnull,
+        |         COUNT(DISTINCT c_custkey) AS n_distinct,
+        |         CAST(MIN(c_custkey) AS VARCHAR) AS min_s,
+        |         CAST(MAX(c_custkey) AS VARCHAR) AS max_s
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(c_name), COUNT(DISTINCT c_name),
+        |         MIN(c_name), MAX(c_name) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(c_mktsegment),
+        |         COUNT(DISTINCT c_mktsegment),
+        |         MIN(c_mktsegment), MAX(c_mktsegment) FROM customer)
+        |ORDER BY col_name""".stripMargin,
     "q_dpp" ->
       """SELECT label, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

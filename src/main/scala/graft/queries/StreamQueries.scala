@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, StructType}
-import graft.kv.{KvSchema, KvTable, SinkMode}
+import graft.kv.{KvCounter, KvSchema, KvTable, SinkMode}
 
 /** Structured-Streaming queries made oracle-checkable: each runs a REAL
   * streaming query (file source, Trigger.AvailableNow, foreachBatch
@@ -132,6 +132,26 @@ object StreamQueries {
         KvTable.write(batch, path, schema, SinkMode.Append)
       }
       KvTable.read(s, path).orderBy(col("o_orderkey"))
+    },
+
+    // Streaming COUNTERS: every micro-batch appends commutative delta
+    // cells (KvCounter.increment — HBase Increment as a firehose
+    // sink). No read-modify-write per event, no state store: the
+    // micro-batch write is a pure log append and the final read is one
+    // map-side-combined sum — correct under ANY batch split because
+    // addition commutes. THE shape for billion-event metric counters.
+    "stream_counter" -> { (s, dir) =>
+      val path = scratchDir("stream_counter", dir)
+      KvTable.drop(s, path)
+      val stream = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as(KvCounter.DeltaCol))
+      runStream(stream, outputMode = "append") { (batch, _) =>
+        KvCounter.increment(batch, path, "user_id")
+      }
+      KvCounter.read(s, path).orderBy(col("user_id"))
     },
 
     // Stream FROM a KV table (the connector's MicroBatchStream: new log
@@ -498,6 +518,10 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_counter" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_static_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
