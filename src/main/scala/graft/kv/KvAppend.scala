@@ -63,13 +63,10 @@ object KvAppend {
   }
 
   /** Concat-collapse of a raw append log: one row per surviving key
-    * with the joined value and its newest surviving version. */
-  private def collapseConcat(raw: DataFrame, keyField: String): DataFrame = {
-    val tomb = raw.filter(col(TombstoneCol))
-      .groupBy(col(keyField)).agg(max(col(VersionCol)).as("__tmax"))
-    raw.filter(!col(TombstoneCol))
-      .join(tomb, Seq(keyField), "left")
-      .filter(col("__tmax").isNull || col(VersionCol) > col("__tmax"))
+    * with the joined value and its newest surviving version. Tombstone
+    * masking shared with [[KvCounter]] via [[KvTable.survivingCells]]. */
+  private def collapseConcat(raw: DataFrame, keyField: String): DataFrame =
+    KvTable.survivingCells(raw, keyField)
       .groupBy(col(keyField))
       .agg(
         // struct sorts field-by-field: (version, seq) order, then the
@@ -79,12 +76,21 @@ object KvAppend {
             struct(col(VersionCol), col(SeqCol), col(PieceCol)))),
           x => x(PieceCol)), "").as(PieceCol),
         max(col(VersionCol)).as(VersionCol))
-  }
 
   /** Major compaction: one joined cell per key at its newest surviving
     * version (the state HBase's in-place Append keeps eagerly);
     * tombstones and masked fragments are discarded. Meta version
-    * counter preserved. Atomic via [[KvTable.swapData]]. */
+    * counter preserved. Atomic via [[KvTable.swapData]].
+    *
+    * NOT read-transparent for BETWEEN-version event-time fragments
+    * (same caveat as [[KvCounter.compact]]): the merged cell takes the
+    * key's newest surviving version, so a fragment arriving LATER with
+    * a version between two already-compacted ones sorts before the
+    * whole merged cell instead of interleaving ("A"@1,"C"@3 → compact →
+    * "B"@2 reads "BAC", not "ABC"). In-place HBase Append behaves the
+    * same way — its single cell also sits at the newest timestamp. Under
+    * the default batch-counter domain every new fragment is newer than
+    * the merged cell, so compaction is always read-transparent there. */
   def compact(spark: SparkSession, path: String): Unit =
     TableLock.withLock(path, spark.sparkContext.hadoopConfiguration) {
       KvTable.recoverMinor(spark, path)

@@ -83,17 +83,14 @@ object KvCounter {
   }
 
   /** Sum-collapse of a raw counter log: one row per surviving key with
-    * the delta sum and (for [[compact]]) the newest surviving version. */
-  private def collapseSum(raw: DataFrame, keyField: String): DataFrame = {
-    val tomb = raw.filter(col(TombstoneCol))
-      .groupBy(col(keyField)).agg(max(col(VersionCol)).as("__tmax"))
-    raw.filter(!col(TombstoneCol))
-      .join(tomb, Seq(keyField), "left")
-      .filter(col("__tmax").isNull || col(VersionCol) > col("__tmax"))
+    * the delta sum and (for [[compact]]) the newest surviving version.
+    * Tombstone masking shared with [[KvAppend]] via
+    * [[KvTable.survivingCells]]. */
+  private def collapseSum(raw: DataFrame, keyField: String): DataFrame =
+    KvTable.survivingCells(raw, keyField)
       .groupBy(col(keyField))
       .agg(sum(col(DeltaCol)).as(DeltaCol),
         max(col(VersionCol)).as(VersionCol))
-  }
 
   /** Major compaction: rewrite the log to ONE cell per key holding its
     * current total at its newest surviving version; tombstones and

@@ -173,6 +173,12 @@ object KvTable {
     *
     * @return number of updates applied (rows failing their check are
     *         dropped silently, like the boolean-false HBase return)
+    *
+    * The update batch should be KEY-UNIQUE: duplicate keys that both
+    * pass their check land at one version and fall to intra-batch seq
+    * ties (cross-partition order undefined) — the same contract as
+    * [[bulkLoad]], and the batch analog of two HBase checkAndPuts
+    * racing on one row.
     */
   def checkAndPut(updates: DataFrame, path: String, schema: KvSchema,
                   checkField: String, expected: Column,
@@ -1027,6 +1033,24 @@ object KvTable {
       spark.sparkContext.hadoopConfiguration)
     graft.connector.KvStats.refresh(path,
       spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Cells surviving HBase-Delete masking: drop tombstones and every
+    * cell whose version is at-or-below its key's newest tombstone. The
+    * shared prelude of the accumulating mutation kinds
+    * ([[KvCounter]] sums it, [[KvAppend]] concatenates it) — one
+    * implementation so the masking rule cannot diverge between them.
+    * Plan shape: the tombstone side partial-aggregates to (distinct
+    * deleted keys, max version) — tiny — before a left join the cell
+    * side flows through once; a following per-key aggregate reuses the
+    * join's hash partitioning (one shuffle of the log total). */
+  private[kv] def survivingCells(raw: DataFrame, keyField: String): DataFrame = {
+    val tomb = raw.filter(col(TombstoneCol))
+      .groupBy(col(keyField)).agg(max(col(VersionCol)).as("__tmax"))
+    raw.filter(!col(TombstoneCol))
+      .join(tomb, Seq(keyField), "left")
+      .filter(col("__tmax").isNull || col(VersionCol) > col("__tmax"))
+      .drop("__tmax")
   }
 
   /** Point lookup (the HBase `Get`): the LWW row for one key, through

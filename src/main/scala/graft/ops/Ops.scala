@@ -101,6 +101,9 @@ object Ops {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salts: Int = 16): DataFrame = {
+    // salts <= 0 would silently produce an EMPTY join (null probe salts
+    // never match), not an error — reject it here
+    require(salts > 0, s"saltedJoin needs a positive salt count, got $salts")
     val salted = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",

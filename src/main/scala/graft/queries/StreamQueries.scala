@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, StructType}
-import graft.kv.{KvCounter, KvSchema, KvTable, SinkMode}
+import graft.kv.{KvSchema, KvTable, SinkMode}
 
 /** Structured-Streaming queries made oracle-checkable: each runs a REAL
   * streaming query (file source, Trigger.AvailableNow, foreachBatch
@@ -134,24 +134,40 @@ object StreamQueries {
       KvTable.read(s, path).orderBy(col("o_orderkey"))
     },
 
-    // Streaming COUNTERS: every micro-batch appends commutative delta
-    // cells (KvCounter.increment — HBase Increment as a firehose
-    // sink). No read-modify-write per event, no state store: the
-    // micro-batch write is a pure log append and the final read is one
-    // map-side-combined sum — correct under ANY batch split because
-    // addition commutes. THE shape for billion-event metric counters.
+    // Streaming COUNTERS, exactly-once: delta cells keyed by their
+    // EVENT id flow through the native kvtable sink (whose
+    // (queryId, epochId) commit ledger dedupes replayed micro-batches —
+    // KvEpochSpec), and the counter view is one map-side-combined sum
+    // over the live LWW table, grouped by user. Correct under ANY batch
+    // split because addition commutes, AND under at-least-once replay
+    // because redelivered events collapse on their key — the fix for
+    // HBase Increment's famous non-idempotence under client retry
+    // (a replayed KvCounter.increment in foreachBatch would
+    // double-count; event-keyed dedup-then-sum is THE firehose counter
+    // shape).
     "stream_counter" -> { (s, dir) =>
       val path = scratchDir("stream_counter", dir)
       KvTable.drop(s, path)
-      val stream = s.readStream
+      val schema = KvSchema.of("event_id",
+        "user_id" -> ("e", "user"),
+        "delta" -> ("e", "delta"))
+      val q = s.readStream
         .schema(schemaOf(s, dir, "events"))
         .parquet(streamDir(dir, "events"))
-        .select(col("user_id"),
-          floor(col("value") * 100).cast("long").as(KvCounter.DeltaCol))
-      runStream(stream, outputMode = "append") { (batch, _) =>
-        KvCounter.increment(batch, path, "user_id")
-      }
-      KvCounter.read(s, path).orderBy(col("user_id"))
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("delta"))
+        .writeStream
+        .format("kvtable")
+        .option("kvschema", schema.toJson)
+        .option("checkpointLocation", s"$path-ckpt-${System.nanoTime()}")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(path)
+      q.awaitTermination()
+      KvTable.read(s, path)
+        .groupBy(col("user_id"))
+        .agg(sum(col("delta")).as("value"))
+        .orderBy(col("user_id"))
     },
 
     // Stream FROM a KV table (the connector's MicroBatchStream: new log
