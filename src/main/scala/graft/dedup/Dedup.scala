@@ -267,7 +267,44 @@ object Dedup {
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockKey: Column, ngram: Int,
-                          maxBlock: Int = DefaultMaxBucket): DataFrame = {
+                          maxBlock: Int = DefaultMaxBucket): DataFrame =
+    blockedShinglePairs(docs, idCol, textCol, blockKey, ngram, maxBlock,
+        "graft_jaccard_blocks")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Containment similarity C(A→B) = |A∩B| / |A| over shingle-hash
+    * sets — the doc-inside-doc signal Jaccard misses: a short document
+    * fully quoted inside a long one has a tiny Jaccard (the union is
+    * dominated by the long side) but containment 1.0 from the short
+    * side. The asymmetric verify a dedup pipeline adds for quote /
+    * subset / boilerplate-wrapper detection. Set semantics,
+    * duplicate-safe, same hash-based O(n+m) ops as [[jaccard]]. */
+  def containment(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_distinct(a))
+
+  /** Blocked candidate pairs scored by MAX-DIRECTIONAL containment
+    * (`greatest(C(a→b), C(b→a))`). Same census-capped blocking as
+    * [[blockedJaccardPairs]]; pair a PREFIX-derived block key (e.g. the
+    * first tokens) to catch head-quotes, or feed LSH candidates for
+    * general containment. */
+  def blockedContainmentPairs(docs: DataFrame, idCol: String,
+                              textCol: String, blockKey: Column, ngram: Int,
+                              maxBlock: Int = DefaultMaxBucket): DataFrame =
+    blockedShinglePairs(docs, idCol, textCol, blockKey, ngram, maxBlock,
+        "graft_containment_blocks")
+      .withColumn("containment",
+        greatest(containment(col("sh1"), col("sh2")),
+          containment(col("sh2"), col("sh1"))))
+      .select(col("id1"), col("id2"), col("containment"))
+
+  /** Shared blocked-pair skeleton of the exact-verify dedups:
+    * tokens → hashed `ngram` shingles, census-capped blocks, in-block
+    * pair expansion → `(id1, id2, sh1, sh2)` with `id1 < id2`. */
+  private def blockedShinglePairs(docs: DataFrame, idCol: String,
+                                  textCol: String, blockKey: Column,
+                                  ngram: Int, maxBlock: Int,
+                                  metricName: String): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)
@@ -280,15 +317,13 @@ object Dedup {
     // block-size census is tiny (one row per block) -> broadcast it
     val okBlocks = broadcast(capBuckets(
       base.groupBy(col("blk")).agg(count(lit(1)).cast("int").as("__bn")),
-      col("__bn"), "graft_jaccard_blocks", maxBlock)
+      col("__bn"), metricName, maxBlock)
       .select(col("blk")))
     val capped = base.join(okBlocks, Seq("blk"))
     val a = capped.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
     val b = capped.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
     a.join(b, Seq("blk"))
       .filter(col("id1") < col("id2"))
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
-      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** Connected components over an undirected pair list: returns one row

@@ -204,6 +204,27 @@ object DedupQueries {
     },
 
     // Exact bigram Jaccard within (source, length-bucket) blocks.
+    // Doc-inside-doc detection by CONTAINMENT (|A∩B| / |A|): corpus =
+    // documents ∪ planted PREFIX-QUOTES (first 25 tokens of every 7th
+    // doc). Jaccard misses them (the union is the long doc); the
+    // max-directional containment from the short side is 1.0. Blocking
+    // is by the shared two-token PREFIX — the head-quote blocking key;
+    // general (anywhere-inside) containment runs the same verify over
+    // MinHash-LSH candidates instead.
+    "dedup_containment" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 25))
+              .as("text")))
+      Dedup.blockedContainmentPairs(corpus, "doc_id", "text",
+          concat_ws(" ", slice(toks, 1, 2)), ngram = 2)
+        .filter(col("containment") >= 0.9)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val d = table(s, dir, "documents")
       val corpus = d.select(col("doc_id"), col("text"), col("source"))
@@ -502,6 +523,43 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_slice(
+        |      string_split_regex(trim(text), '\s+'), 1, 25), ' ') AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |th AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(
+        |      string_split_regex(trim(text), '\s+'), 1, 2), ' ') AS blk,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS th
+        |  FROM corpus),
+        |base AS (
+        |  SELECT doc_id, blk,
+        |    CASE WHEN len(th) >= 2
+        |      THEN list_transform(range(1, len(th)),
+        |             i -> (th[i]*31 + th[i+1]) % 1000000007)
+        |      ELSE [] END AS sh
+        |  FROM th),
+        |okblk AS (
+        |  SELECT blk FROM base GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10000)
+        |SELECT id1, id2, containment FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    greatest(
+        |      CAST(len(list_filter(list_distinct(a.sh),
+        |             x -> list_contains(b.sh, x))) AS DOUBLE)
+        |        / len(list_distinct(a.sh)),
+        |      CAST(len(list_filter(list_distinct(b.sh),
+        |             x -> list_contains(a.sh, x))) AS DOUBLE)
+        |        / len(list_distinct(b.sh))) AS containment
+        |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  JOIN okblk o ON o.blk = a.blk)
+        |WHERE containment >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH corpus AS (
         |  SELECT vec_id,

@@ -745,6 +745,44 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     },
 
+    // Distribution window battery: percent_rank / cume_dist / nth_value
+    // over a per-segment total order (unique key tiebreak makes the
+    // rational rank arithmetic bit-identical across engines).
+    "q_window_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          coalesce(nth_value(col("c_custkey"), 2).over(w), lit(-1L))
+            .as("second_key"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Conversion funnel over the event stream: earliest view, earliest
+    // click AFTER it, earliest purchase AFTER that — three partial-agg
+    // passes each joined on user_id (never a per-user sort), the shape
+    // that holds when one user has a million events.
+    "q_funnel" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          (col("n_click").cast("double") / col("n_view")).as("r_click"),
+          (col("n_purchase").cast("double") / col("n_click")).as("r_purchase"))
+    },
+
     // Skew-resistant JOIN (Ops.saltedJoin): lineitem salted row-locally,
     // supplier replicated per salt, matched on (suppkey, salt) — a hot
     // supplier's rows spread over 8 reducers. Result must equal the
@@ -931,6 +969,32 @@ object RelationalQueries {
         |         COUNT(DISTINCT c_mktsegment),
         |         MIN(c_mktsegment), MAX(c_mktsegment) FROM customer)
         |ORDER BY col_name""".stripMargin,
+    "q_window_dist" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  COALESCE(nth_value(c_custkey, 2) OVER w, -1) AS second_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_click,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase,
+        |       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |         / (SELECT COUNT(*) FROM v) AS r_click,
+        |       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |         / (SELECT COUNT(*) FROM c) AS r_purchase""".stripMargin,
     "q_dpp" ->
       """SELECT label, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
