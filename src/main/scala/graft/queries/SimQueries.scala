@@ -44,7 +44,8 @@ object SimQueries {
     s.read.parquet(scratchDir("ann_pq_model", dir) + "/codes")
 
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
-    Map("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }))
+    Map("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
+      "ann_ivfpq_topk" -> ((s, d) => { trainPqModel(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // Exact brute-force top-5 cosine neighbors for the first 10 vectors:
@@ -94,6 +95,23 @@ object SimQueries {
       val cb = trainPqModel(s, dir) // persisted model; trains if absent
       Similarity.pqSearchEncoded(queries, pqCodes(s, dir), corpus, cb,
           rerank = 50, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // IVF-PQ — the production serving shape (FAISS IVFx,PQy): trained
+    // k-means routing prunes to nprobe lists, the in-list scan is PQ
+    // ADC lookups, the exact integer-cosine rerank restores precision.
+    // Engine-specific compression -> rows-only gate; recall vs the
+    // exact scan spec-asserted (ExtSpec).
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+      val cb = trainPqModel(s, dir)
+      Similarity.ivfPqTopK(queries, corpus, cents, cb,
+          nprobe = 4, rerank = 40, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 

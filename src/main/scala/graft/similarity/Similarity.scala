@@ -269,6 +269,51 @@ object Similarity {
     pqSearchEncoded(queries, pqEncode(corpus, codebooks), corpus,
       codebooks, rerank, k)
 
+  /** Query-side ADC lookup table: dtab(s)(c) = <q_s, cb(s)(c)> (exact
+    * longs) — scanning a coded vector then costs `m` lookups instead of
+    * `dims` multiplies. */
+  private def pqDtab(qv: Column, codebooks: Seq[Seq[Seq[Long]]]): Column = {
+    val m = codebooks.length
+    val nCent = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val cb = typedlit(codebooks)
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(nCent - 1)), c =>
+        dotQ(slice(qv, s * lit(sub) + lit(1), lit(sub)),
+          element_at(element_at(cb, s + lit(1)), c + lit(1)))))
+  }
+
+  /** Reconstructed self-dot |x̂|² of a coded vector from the
+    * query-independent per-centroid norm table. */
+  private def pqSelfQ(codes: Column, codebooks: Seq[Seq[Seq[Long]]]): Column = {
+    val ntab = typedlit(codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    aggregate(sequence(lit(0), lit(codebooks.length - 1)), lit(0L),
+      (acc, s) => acc +
+        element_at(element_at(ntab, s + lit(1)),
+          element_at(codes, s + lit(1)) + lit(1)))
+  }
+
+  /** ADC approximate dot: m lookups into the query's dtab. */
+  private def pqAdot(dtab: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, s) => acc +
+        element_at(element_at(dtab, s + lit(1)),
+          element_at(codes, s + lit(1)) + lit(1)))
+
+  /** Exact integer-cosine rerank of `(qid, id, qq)` candidates against
+    * their real vectors — the refinement tail shared by the PQ paths. */
+  private def exactRerank(cands: DataFrame, corpus: DataFrame,
+                          k: Int): DataFrame = {
+    val vecs = corpus.select(col("id"), quantize(col("vec")).as("cq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    cands.join(vecs, "id")
+      .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+  }
+
   /** PQ search over a PRE-BUILT code table — the serving path: at scale
     * the `(id, codes)` table is the persisted index (built once by
     * [[pqEncode]], like the IVF assignment table), and a search touches
@@ -277,29 +322,15 @@ object Similarity {
                       corpus: DataFrame, codebooks: Seq[Seq[Seq[Long]]],
                       rerank: Int, k: Int): DataFrame = {
     graft.functions.Native.register(queries.sparkSession)
-    val m = codebooks.length
-    val nCent = codebooks.head.length
-    val sub = codebooks.head.head.length
-    val cb = typedlit(codebooks)
-    // query-side ADC table: dtab(s)(c) = <q_s, cb(s)(c)>  (exact longs)
     val qv = quantize(col("qvec"))
-    val dtab = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(sequence(lit(0), lit(nCent - 1)), c =>
-        dotQ(slice(qv, s * lit(sub) + lit(1), lit(sub)),
-          element_at(element_at(cb, s + lit(1)), c + lit(1)))))
-    val q = broadcast(queries.select(col("qid"), qv.as("qq"), dtab.as("dtab")))
-    // corpus-side reconstructed self-dots: ntab(s)(c) = |cb(s)(c)|²
-    val ntab = typedlit(codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    val q = broadcast(queries.select(col("qid"), qv.as("qq"),
+      pqDtab(qv, codebooks).as("dtab")))
+    // selfq is query-independent: compute it on the code table BEFORE
+    // the query join, once per vector instead of once per (q, vector)
     val codeTab = codeTable
-      .withColumn("selfq", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-        (acc, s) => acc +
-          element_at(element_at(ntab, s + lit(1)),
-            element_at(col("codes"), s + lit(1)) + lit(1))))
+      .withColumn("selfq", pqSelfQ(col("codes"), codebooks))
     val approx = codeTab.join(q, col("qid") =!= col("id"))
-      .withColumn("adot", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-        (acc, s) => acc +
-          element_at(element_at(col("dtab"), s + lit(1)),
-            element_at(col("codes"), s + lit(1)) + lit(1))))
+      .withColumn("adot", pqAdot(col("dtab"), col("codes"), codebooks.length))
       .withColumn("ascore",
         col("adot").cast("double") / sqrt(col("selfq").cast("double")))
     val wA = Window.partitionBy(col("qid"))
@@ -307,14 +338,52 @@ object Similarity {
     val cands = approx.withColumn("r", row_number().over(wA))
       .filter(col("r") <= rerank)
       .select(col("qid"), col("id"), col("qq"))
-    val vecs = corpus.select(col("id"), quantize(col("vec")).as("cq"))
-    val wE = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id"))
-    cands.join(vecs, "id")
-      .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
-      .withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+    exactRerank(cands, corpus, k)
+  }
+
+  /** IVF-PQ — the production ANN serving shape (FAISS `IVFx,PQy`): IVF
+    * routing prunes the scan to each query's `nprobe` inverted lists,
+    * the in-list scan is PQ ADC (m table lookups per vector), and the
+    * exact integer-cosine rerank restores precision on the shortlist.
+    * Cost per query ≈ |probed lists| × m lookups + `rerank` real-vector
+    * cosines — against a persisted `(cid, id, codes)` index table
+    * partitioned by `cid`, searches are partition-pruned reads of the
+    * probed lists only (same layout contract as [[ivfSearchAssigned]]).
+    * Engine-specific compression → rows-only gate, recall spec-asserted
+    * like the flat-PQ path. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                codebooks: Seq[Seq[Seq[Long]]], nprobe: Int, rerank: Int,
+                k: Int): DataFrame = {
+    val listCodes = ivfAssign(corpus, centroids).select(col("cid"), col("id"))
+      .join(pqEncode(corpus, codebooks), "id")
+    ivfPqSearchEncoded(queries, listCodes, corpus, centroids, codebooks,
+      nprobe, rerank, k)
+  }
+
+  /** IVF-PQ search over a PRE-BUILT `(cid, id, codes)` list-code table
+    * (the persisted index). */
+  def ivfPqSearchEncoded(queries: DataFrame, listCodes: DataFrame,
+                         corpus: DataFrame, centroids: DataFrame,
+                         codebooks: Seq[Seq[Seq[Long]]], nprobe: Int,
+                         rerank: Int, k: Int): DataFrame = {
+    graft.functions.Native.register(queries.sparkSession)
+    val qBase = nearestLists(
+      queries.select(col("qid"), quantize(col("qvec")).as("qq")),
+      quantCentroids(centroids), "qq", "qid", nprobe)
+    val q = broadcast(qBase.withColumn("dtab", pqDtab(col("qq"), codebooks)))
+    val scored = listCodes
+      .withColumn("selfq", pqSelfQ(col("codes"), codebooks))
+      .join(q, Seq("cid")) // routing join: only probed lists are scanned
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adot", pqAdot(col("dtab"), col("codes"), codebooks.length))
+      .withColumn("ascore",
+        col("adot").cast("double") / sqrt(col("selfq").cast("double")))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("id"))
+    val cands = scored.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= rerank)
+      .select(col("qid"), col("id"), col("qq"))
+    exactRerank(cands, corpus, k)
   }
 
   /** Near-duplicate pairs by cosine ≥ `minCosine`, bucketed by the LSH

@@ -333,6 +333,13 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(queries, corpus, 3)
       .select($"id").as[Long].collect().toSet
     assert(pq === exact, s"pq $pq != exact $exact")
+    // IVF-PQ: k-means routing + ADC + rerank still reproduces the exact
+    // top-3 (the query's cluster is among its nprobe nearest lists)
+    val cents = Similarity.kmeansCentroids(corpus, k = 3, iters = 3)
+    val ivfpq = Similarity.ivfPqTopK(queries, corpus, cents, cb1,
+        nprobe = 2, rerank = 10, k = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(ivfpq === exact, s"ivfpq $ivfpq != exact $exact")
   }
 }
 

@@ -103,7 +103,7 @@ class QueryDeterminismSpec extends SparkSpec {
     // (kmeans correctness is asserted cluster-level in SimilaritySpec)
     val exempt = Set("dedup_simhash", "q_approx_distinct",
       "q_percentile_approx", "ann_kmeans_ivf", "q_sketch_freq",
-      "ann_pq_topk")
+      "ann_pq_topk", "ann_ivfpq_topk")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
