@@ -167,10 +167,26 @@ class KvScanBuilder(path: String, fullSchema: StructType,
                     asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown (HBase `PageFilter`): remember the limit so
+    * planning can stop adding row groups once the manifest row counts
+    * cover it — `LIMIT 10` against a 10^5-file table plans one
+    * partition, not one per row group. Returns false (PARTIAL push):
+    * the scan may emit up to a full row group, Spark's own Limit
+    * finishes the job. Spark only pushes a limit when every filter
+    * below it was fully pushed — this connector keeps all filters as
+    * residuals, so a filtered scan never truncates wrongly (the
+    * planning guard repeats the check defensively). */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -294,7 +310,7 @@ class KvScanBuilder(path: String, fullSchema: StructType,
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new KvAggScan(path, schema, values)
-    case None => new KvScan(path, fullSchema, required, pushed, asOf)
+    case None => new KvScan(path, fullSchema, required, pushed, asOf, limit)
   }
 }
 
@@ -345,7 +361,8 @@ case class KvAggPartition(values: Array[Any]) extends InputPartition
   *    `spark.sql.sources.v2.bucketing.enabled=true`.
   */
 class KvScan(path: String, fullSchema: StructType, required: StructType,
-             pushed: Array[Filter], asOf: Option[Long] = None)
+             pushed: Array[Filter], asOf: Option[Long] = None,
+             limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -353,7 +370,8 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
   override def description(): String =
     s"kvtable($path) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}" +
-      asOf.map(v => s", VersionAsOf: $v").getOrElse("")
+      asOf.map(v => s", VersionAsOf: $v").getOrElse("") +
+      limit.map(n => s", PushedLimit: $n").getOrElse("")
 
   // The snapshot bound participates in row-group pruning like any other
   // long comparison (the manifest tracks __version min/max): groups
@@ -362,9 +380,24 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
     pushed ++ asOf.map(v =>
       LessThanOrEqual(graft.kv.KvTable.VersionCol, v): Filter)
 
-  private lazy val planned: Array[KvInputPartition] =
-    KvV2Util.planPartitions(path, new Configuration(),
+  private lazy val planned: Array[KvInputPartition] = {
+    val all = KvV2Util.planPartitions(path, new Configuration(),
       KvV2Util.dataFiles(path, new Configuration()), planFilters, fullSchema)
+    limit match {
+      // truncate ONLY the unfiltered case (Spark already restricts
+      // limit pushdown to fully-pushed filters; this connector's
+      // filters are always residual, so any filter present means no
+      // pushLimit call — the guard is defense in depth)
+      case Some(n) if planFilters.isEmpty =>
+        var cum = 0L
+        all.takeWhile { p =>
+          val need = cum < n
+          cum += p.rows
+          need
+        }
+      case _ => all
+    }
+  }
 
   /** Streaming read over the same log: new data files become
     * micro-batches (see [[KvMicroBatchStream]]). */
@@ -424,9 +457,11 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
 }
 
 /** One parquet row group: `[start, start+length)` byte range. `bucket`
-  * is the `__bucket=N` partition-directory value (-1 when unbucketed). */
+  * is the `__bucket=N` partition-directory value (-1 when unbucketed);
+  * `rows` is the group's manifest row count (limit-pushdown planning). */
 case class KvInputPartition(file: String, start: Long, length: Long,
-                            hostnames: Array[String], bucket: Int)
+                            hostnames: Array[String], bucket: Int,
+                            rows: Long = 0L)
     extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = hostnames
   override def partitionKey(): InternalRow =
@@ -790,7 +825,8 @@ object KvV2Util {
         }
         groups.collect {
           case g if KvStats.groupPasses(g.stats, pushed) =>
-            KvInputPartition(f.getPath.toString, g.start, g.len, hosts, bucket)
+            KvInputPartition(f.getPath.toString, g.start, g.len, hosts,
+              bucket, g.rows)
         }
       }
     }.toArray

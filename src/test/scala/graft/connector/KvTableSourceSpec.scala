@@ -18,6 +18,29 @@ class KvTableSourceSpec extends SparkSpec {
     path
   }
 
+  test("limit pushdown truncates planning to the covering row groups; " +
+    "filtered scans never truncate") {
+    val path = writeTwoBatches()
+    val df = spark.read.format("kvtable").load(path)
+    val all = df.rdd.getNumPartitions
+    assert(all >= 2)
+    // builder-level: a pushed limit of 1 plans exactly the first group
+    val b = new KvScanBuilder(path, df.schema)
+    assert(!b.pushLimit(1)) // PARTIAL push: Spark keeps its own Limit
+    val planned = b.build().asInstanceOf[KvScan].planInputPartitions()
+    assert(planned.length === 1)
+    // a filter disables truncation even if a limit were pushed
+    val bf = new KvScanBuilder(path, df.schema)
+    bf.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("k", "z")))
+    bf.pushLimit(1)
+    val plannedF = bf.build().asInstanceOf[KvScan].planInputPartitions()
+    assert(plannedF.nonEmpty) // the z-file group, NOT truncated-to-wrong
+    // end-to-end: LIMIT answers correctly through the V2 path
+    assert(df.limit(3).count() === 3)
+    assert(df.orderBy("k").limit(2).select("k").as[String].collect()
+      === Array("a1", "a2"))
+  }
+
   test("format(kvtable) reads the raw log with engine columns") {
     val path = writeTwoBatches()
     val df = spark.read.format("kvtable").load(path)
