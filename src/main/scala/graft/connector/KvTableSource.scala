@@ -168,7 +168,8 @@ class KvScanBuilder(path: String, fullSchema: StructType,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -187,6 +188,35 @@ class KvScanBuilder(path: String, fullSchema: StructType,
     limit = Some(n)
     false
   }
+
+  private var topN: Option[(Boolean, Int)] = None
+
+  /** ORDER BY rowkey LIMIT n (the HBase ordered scan + PageFilter):
+    * accepted for a single sort on the table's key; planning then takes
+    * row groups in key-range order until the manifest counts cover `n`
+    * — sound ONLY when the groups' key ranges are pairwise disjoint
+    * (bucket-unpartitioned compacted/bulk-loaded layouts), which the
+    * scan verifies from the manifest and otherwise declines to
+    * truncate. Always PARTIAL: Spark re-sorts and limits whatever the
+    * scan emits, so a declined truncation is merely unoptimized, never
+    * wrong. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val keyName = KvV2Util.readKeyField(path, new Configuration())
+    val ok = orders.length == 1 && keyName.nonEmpty &&
+      (orders(0).expression() match {
+        case nr: NamedReference =>
+          nr.fieldNames().length == 1 && nr.fieldNames()(0) == keyName.get
+        case _ => false
+      })
+    if (ok)
+      topN = Some((orders(0).direction() == SortDirection.ASCENDING, n))
+    ok
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -310,7 +340,8 @@ class KvScanBuilder(path: String, fullSchema: StructType,
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new KvAggScan(path, schema, values)
-    case None => new KvScan(path, fullSchema, required, pushed, asOf, limit)
+    case None =>
+      new KvScan(path, fullSchema, required, pushed, asOf, limit, topN)
   }
 }
 
@@ -362,7 +393,8 @@ case class KvAggPartition(values: Array[Any]) extends InputPartition
   */
 class KvScan(path: String, fullSchema: StructType, required: StructType,
              pushed: Array[Filter], asOf: Option[Long] = None,
-             limit: Option[Int] = None)
+             limit: Option[Int] = None,
+             topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -371,7 +403,10 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
     s"kvtable($path) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}" +
       asOf.map(v => s", VersionAsOf: $v").getOrElse("") +
-      limit.map(n => s", PushedLimit: $n").getOrElse("")
+      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      topN.map { case (asc, n) =>
+        s", PushedTopN: key ${if (asc) "ASC" else "DESC"} LIMIT $n"
+      }.getOrElse("")
 
   // The snapshot bound participates in row-group pruning like any other
   // long comparison (the manifest tracks __version min/max): groups
@@ -383,20 +418,68 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
   private lazy val planned: Array[KvInputPartition] = {
     val all = KvV2Util.planPartitions(path, new Configuration(),
       KvV2Util.dataFiles(path, new Configuration()), planFilters, fullSchema)
-    limit match {
+    (topN, limit) match {
       // truncate ONLY the unfiltered case (Spark already restricts
-      // limit pushdown to fully-pushed filters; this connector's
+      // limit/top-N pushdown to fully-pushed filters; this connector's
       // filters are always residual, so any filter present means no
-      // pushLimit call — the guard is defense in depth)
-      case Some(n) if planFilters.isEmpty =>
-        var cum = 0L
-        all.takeWhile { p =>
-          val need = cum < n
-          cum += p.rows
-          need
-        }
+      // push call — the guard is defense in depth)
+      case (Some((asc, n)), _) if planFilters.isEmpty =>
+        orderedTruncate(all, asc, n)
+      case (_, Some(n)) if planFilters.isEmpty =>
+        cumTruncate(all, n)
       case _ => all
     }
+  }
+
+  private def cumTruncate(all: Array[KvInputPartition],
+                          n: Int): Array[KvInputPartition] = {
+    var cum = 0L
+    all.takeWhile { p =>
+      val need = cum < n
+      cum += p.rows
+      need
+    }
+  }
+
+  /** Top-N planning: take row groups in key-range order until the
+    * manifest row counts cover `n`. Sound only when every planned
+    * group has typed key stats of one type and the ranges are pairwise
+    * STRICTLY disjoint (compacted / bulk-loaded unbucketed layouts —
+    * boundary-key ties decline too); anything else returns the full
+    * plan, which the partial push makes merely unoptimized. */
+  private def orderedTruncate(all: Array[KvInputPartition], asc: Boolean,
+                              n: Int): Array[KvInputPartition] = {
+    val conf = new Configuration()
+    val keyName = KvV2Util.readKeyField(path, conf).getOrElse(return all)
+    val man = KvStats.read(path, conf).getOrElse(return all)
+    val keyStats: Map[(String, Long), KvStats.ColStat] =
+      man.files.flatMap(f => f.groups.flatMap(g =>
+        g.stats.get(keyName).map(cs => (f.path, g.start) -> cs))).toMap
+    val entries = all.map { p =>
+      val rel = KvStats.relativize(path,
+        new org.apache.hadoop.fs.Path(p.file), conf)
+      keyStats.get((rel, p.start)) match {
+        case Some(cs) if cs.t == "s" || cs.t == "l" || cs.t == "d" => (p, cs)
+        case _ => return all // missing/all-null key stats: no truncation
+      }
+    }
+    val types = entries.map(_._2.t).distinct
+    if (types.length != 1) return all
+    val t = types(0)
+    def cmp(a: String, b: String): Int = t match {
+      case "s" =>
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        java.util.Arrays.compareUnsigned(x, y)
+      case "l" => java.lang.Long.compare(a.toLong, b.toLong)
+      case _ => java.lang.Double.compare(a.toDouble, b.toDouble)
+    }
+    val byMin = entries.sortWith((x, y) => cmp(x._2.mn, y._2.mn) < 0)
+    val disjoint = byMin.iterator.zip(byMin.iterator.drop(1)).forall {
+      case ((_, a), (_, b)) => cmp(a.mx, b.mn) < 0
+    }
+    if (!disjoint) return all
+    val ordered = if (asc) byMin else byMin.reverse
+    cumTruncate(ordered.map(_._1), n)
   }
 
   /** Streaming read over the same log: new data files become

@@ -41,6 +41,47 @@ class KvTableSourceSpec extends SparkSpec {
       === Array("a1", "a2"))
   }
 
+  test("top-N pushdown plans only the covering key-ordered groups on " +
+    "disjoint layouts; overlap or non-key sorts decline") {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val path = writeTwoBatches() // disjoint ranges: a-file, z-file
+    val df = spark.read.format("kvtable").load(path)
+    def builder() = new KvScanBuilder(path, df.schema)
+    val asc = Expressions.sort(Expressions.column("k"), SortDirection.ASCENDING)
+    val desc = Expressions.sort(Expressions.column("k"), SortDirection.DESCENDING)
+
+    val b = builder()
+    assert(b.pushTopN(Array(asc), 2))
+    val pAsc = b.build().asInstanceOf[KvScan].planInputPartitions()
+    assert(pAsc.length === 1) // the low-key group alone covers n=2
+
+    val b2 = builder()
+    assert(b2.pushTopN(Array(desc), 2))
+    val pDesc = b2.build().asInstanceOf[KvScan].planInputPartitions()
+    assert(pDesc.length === 1)
+    assert(pDesc(0).asInstanceOf[KvInputPartition].file
+      !== pAsc(0).asInstanceOf[KvInputPartition].file) // other end
+
+    // a batch spanning the whole key range makes groups overlap ->
+    // truncation declines (full plan), the query stays correct
+    val schema = KvSchema.of("k", "v" -> ("f", "v"), "n" -> ("f", "n"))
+    KvTable.write(Seq(("a0", "w", 0L), ("z7", "r", 7L))
+      .toDF("k", "v", "n").coalesce(1), path, schema)
+    val b3 = builder()
+    assert(b3.pushTopN(Array(asc), 1))
+    val p3 = b3.build().asInstanceOf[KvScan].planInputPartitions()
+    assert(p3.length === 3) // every group: overlap detected
+
+    // e2e ordered limit through the V2 path
+    assert(spark.read.format("kvtable").load(path).orderBy("k").limit(2)
+      .select("k").as[String].collect() === Array("a0", "a1"))
+
+    // a sort on a non-key column is not accepted at all
+    assert(!builder().pushTopN(
+      Array(Expressions.sort(Expressions.column("v"),
+        SortDirection.ASCENDING)), 1))
+  }
+
   test("format(kvtable) reads the raw log with engine columns") {
     val path = writeTwoBatches()
     val df = spark.read.format("kvtable").load(path)
