@@ -443,24 +443,22 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
 
   /** Top-N planning: take row groups in key-range order until the
     * manifest row counts cover `n`. Sound only when every planned
-    * group has typed key stats of one type and the ranges are pairwise
-    * STRICTLY disjoint (compacted / bulk-loaded unbucketed layouts —
-    * boundary-key ties decline too); anything else returns the full
-    * plan, which the partial push makes merely unoptimized. */
+    * group has typed key stats of one type with a RECORDED ZERO null
+    * count (a null key would sort before/after every real key, so a
+    * group that might hold one can never be safely skipped; unknown
+    * null counts — pre-existing manifests — decline) and the ranges
+    * are pairwise STRICTLY disjoint (compacted / bulk-loaded
+    * unbucketed layouts — boundary-key ties decline too); anything
+    * else returns the full plan, which the partial push makes merely
+    * unoptimized. Key stats ride the partitions themselves (see
+    * [[KvInputPartition.keyStat]]), so no re-read and no staleness. */
   private def orderedTruncate(all: Array[KvInputPartition], asc: Boolean,
                               n: Int): Array[KvInputPartition] = {
-    val conf = new Configuration()
-    val keyName = KvV2Util.readKeyField(path, conf).getOrElse(return all)
-    val man = KvStats.read(path, conf).getOrElse(return all)
-    val keyStats: Map[(String, Long), KvStats.ColStat] =
-      man.files.flatMap(f => f.groups.flatMap(g =>
-        g.stats.get(keyName).map(cs => (f.path, g.start) -> cs))).toMap
     val entries = all.map { p =>
-      val rel = KvStats.relativize(path,
-        new org.apache.hadoop.fs.Path(p.file), conf)
-      keyStats.get((rel, p.start)) match {
-        case Some(cs) if cs.t == "s" || cs.t == "l" || cs.t == "d" => (p, cs)
-        case _ => return all // missing/all-null key stats: no truncation
+      p.keyStat match {
+        case Some(cs) if (cs.t == "s" || cs.t == "l" || cs.t == "d") &&
+          cs.nulls == 0L => (p, cs)
+        case _ => return all // missing/all-null/possibly-null key stats
       }
     }
     val types = entries.map(_._2.t).distinct
@@ -541,10 +539,14 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
 
 /** One parquet row group: `[start, start+length)` byte range. `bucket`
   * is the `__bucket=N` partition-directory value (-1 when unbucketed);
-  * `rows` is the group's manifest row count (limit-pushdown planning). */
+  * `rows` is the group's manifest row count and `keyStat` its rowkey
+  * column stats (limit / top-N planning — carried from the SAME
+  * manifest-or-footer source planning trusted, so truncation can never
+  * consult staler stats than the plan itself). */
 case class KvInputPartition(file: String, start: Long, length: Long,
                             hostnames: Array[String], bucket: Int,
-                            rows: Long = 0L)
+                            rows: Long = 0L,
+                            keyStat: Option[KvStats.ColStat] = None)
     extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = hostnames
   override def partitionKey(): InternalRow =
@@ -909,7 +911,7 @@ object KvV2Util {
         groups.collect {
           case g if KvStats.groupPasses(g.stats, pushed) =>
             KvInputPartition(f.getPath.toString, g.start, g.len, hosts,
-              bucket, g.rows)
+              bucket, g.rows, keyName.flatMap(k => g.stats.get(k)))
         }
       }
     }.toArray

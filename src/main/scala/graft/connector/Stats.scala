@@ -35,7 +35,11 @@ object KvStats {
     * `s` string, `l` long/int, `d` double/float; `n` marks a column
     * that is entirely NULL in the row group (no min/max — lets
     * IsNotNull and every comparison prune the group). */
-  final case class ColStat(t: String, mn: String, mx: String)
+  /** `nulls` is the group's null count for the column: -1 = unknown
+    * (pre-existing manifests) — consumers needing null-safety (TopN
+    * truncation) must treat unknown as "may contain nulls". */
+  final case class ColStat(t: String, mn: String, mx: String,
+                           nulls: Long = -1L)
 
   /** One parquet row group: `[start, start+len)` is the byte range whose
     * midpoint selects exactly this group via `ParquetReader.withFileRange`
@@ -76,28 +80,32 @@ object KvStats {
         val cols = b.getColumns.asScala.flatMap { cc =>
           val s = cc.getStatistics
           if (s == null) None
-          else if (!s.hasNonNullValue) {
-            // all-null row group for this column (numNulls covers every
-            // row): record the marker so IsNotNull / comparisons prune
-            if (s.isNumNullsSet && s.getNumNulls == b.getRowCount)
-              Some(cc.getPath.toDotString -> ColStat("n", "", ""))
-            else None
-          } else {
-            val name = cc.getPath.toDotString
-            (s.genericGetMin, s.genericGetMax) match {
-              case (mn: Binary, mx: Binary)
-                if cc.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
-                  org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-                Some(name -> ColStat("s", mn.toStringUsingUTF8, mx.toStringUsingUTF8))
-              case (mn: java.lang.Long, mx: java.lang.Long) =>
-                Some(name -> ColStat("l", mn.toString, mx.toString))
-              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                Some(name -> ColStat("l", mn.toString, mx.toString))
-              case (mn: java.lang.Double, mx: java.lang.Double) =>
-                Some(name -> ColStat("d", mn.toString, mx.toString))
-              case (mn: java.lang.Float, mx: java.lang.Float) =>
-                Some(name -> ColStat("d", mn.toString, mx.toString))
-              case _ => None // binary/boolean: not used for pruning
+          else {
+            val nulls = if (s.isNumNullsSet) s.getNumNulls else -1L
+            if (!s.hasNonNullValue) {
+              // all-null row group for this column (numNulls covers every
+              // row): record the marker so IsNotNull / comparisons prune
+              if (nulls == b.getRowCount)
+                Some(cc.getPath.toDotString -> ColStat("n", "", "", nulls))
+              else None
+            } else {
+              val name = cc.getPath.toDotString
+              (s.genericGetMin, s.genericGetMax) match {
+                case (mn: Binary, mx: Binary)
+                  if cc.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+                    org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  Some(name -> ColStat("s", mn.toStringUsingUTF8,
+                    mx.toStringUsingUTF8, nulls))
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some(name -> ColStat("l", mn.toString, mx.toString, nulls))
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some(name -> ColStat("l", mn.toString, mx.toString, nulls))
+                case (mn: java.lang.Double, mx: java.lang.Double) =>
+                  Some(name -> ColStat("d", mn.toString, mx.toString, nulls))
+                case (mn: java.lang.Float, mx: java.lang.Float) =>
+                  Some(name -> ColStat("d", mn.toString, mx.toString, nulls))
+                case _ => None // binary/boolean: not used for pruning
+              }
             }
           }
         }.toMap
@@ -267,7 +275,8 @@ object KvStats {
           sn.properties().asScala.map { e =>
             val v = e.getValue
             e.getKey -> ColStat(v.get("t").asText(),
-              v.get("mn").asText(), v.get("mx").asText())
+              v.get("mn").asText(), v.get("mx").asText(),
+              Option(v.get("nulls")).map(_.asLong).getOrElse(-1L))
           }.toMap
         }.getOrElse(Map.empty[String, ColStat])
         GroupStat(gn.get("start").asLong(), gn.get("len").asLong(),
@@ -308,6 +317,7 @@ object KvStats {
         g.stats.foreach { case (name, cs) =>
           val cn = sn.putObject(name)
           cn.put("t", cs.t); cn.put("mn", cs.mn); cn.put("mx", cs.mx)
+          if (cs.nulls >= 0) cn.put("nulls", cs.nulls)
         }
       }
     }

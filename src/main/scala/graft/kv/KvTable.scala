@@ -271,8 +271,20 @@ object KvTable {
     }
   }
 
-  private def appendRaw(df: DataFrame, path: String, schema: KvSchema,
+  /** Reject null rowkeys ROW-LOCALLY at write time — HBase throws
+    * `IllegalArgumentException` on null/empty row keys at `Put`
+    * construction, and a null key here would poison the table instead
+    * (the V2 read schema's non-nullable key makes every later scan
+    * fail). The `assert_true` rides the write's filter so Catalyst
+    * cannot prune it. */
+  private def requireKeys(df: DataFrame, keyField: String): DataFrame =
+    df.filter(assert_true(col(keyField).isNotNull,
+      lit(s"kvtable: null rowkey in '$keyField' — HBase rejects " +
+        "null/empty row keys; filter them out before writing")).isNull)
+
+  private def appendRaw(df0: DataFrame, path: String, schema: KvSchema,
                         batch: Long): Unit = {
+    val df = requireKeys(df0, schema.keyField)
     val spark = df.sparkSession
     val (prevVer, buckets) = readMeta(spark, path)
     if (buckets > 0)
@@ -400,8 +412,9 @@ object KvTable {
     * holding one open ParquetWriter — a full row-group buffer each —
     * per bucket it happens to see, which for a large bucket count would
     * multiply task memory by the bucket fan-out. */
-  private def rawV2Write(out0: DataFrame, path: String, schema: KvSchema,
+  private def rawV2Write(out1: DataFrame, path: String, schema: KvSchema,
                          mode: SinkMode): Unit = {
+    val out0 = requireKeys(out1, schema.keyField)
     // Bucket alignment needs no explicit repartition here: the V2 Write
     // declares its distribution (RequiresDistributionAndOrdering —
     // clustered by rowkey into exactly `buckets` partitions, key-sorted),

@@ -34,6 +34,14 @@ object SimQueries {
       // from it (the PQ analog of the persisted IVF assignment table)
       Similarity.pqEncode(corpus, cb).write.mode("overwrite")
         .parquet(s"$path/codes")
+      // the IVF-PQ index: trained routing centroids + per-list codes,
+      // both persisted so ann_ivfpq_topk times SERVING, not training
+      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      Similarity.ivfAssign(corpus, cents).select(col("cid"), col("id"))
+        .join(s.read.parquet(s"$path/codes"), "id")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/listcodes")
     }
     java.nio.file.Files.readString(file).split('\n').toSeq
       .map(_.split(';').toSeq.map(_.split(',').toSeq.map(_.toLong)))
@@ -101,6 +109,9 @@ object SimQueries {
     // IVF-PQ — the production serving shape (FAISS IVFx,PQy): trained
     // k-means routing prunes to nprobe lists, the in-list scan is PQ
     // ADC lookups, the exact integer-cosine rerank restores precision.
+    // Serves from the PERSISTED index (centroids + per-list codes,
+    // partitioned by cid so probed lists partition-prune) — training
+    // and encoding happen in the prepare, like every other index.
     // Engine-specific compression -> rows-only gate; recall vs the
     // exact scan spec-asserted (ExtSpec).
     "ann_ivfpq_topk" -> { (s, dir) =>
@@ -108,9 +119,11 @@ object SimQueries {
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
       val cb = trainPqModel(s, dir)
-      Similarity.ivfPqTopK(queries, corpus, cents, cb,
+      val model = scratchDir("ann_pq_model", dir)
+      Similarity.ivfPqSearchEncoded(queries,
+          s.read.parquet(s"$model/listcodes"), corpus,
+          s.read.parquet(s"$model/cents"), cb,
           nprobe = 4, rerank = 40, k = 5)
         .orderBy(col("qid"), col("rank"))
     },

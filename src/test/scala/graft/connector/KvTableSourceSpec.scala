@@ -80,6 +80,26 @@ class KvTableSourceSpec extends SparkSpec {
     assert(!builder().pushTopN(
       Array(Expressions.sort(Expressions.column("v"),
         SortDirection.ASCENDING)), 1))
+
+    // NULL rowkeys are rejected at WRITE time (HBase throws on null
+    // row keys; a null key would also break the non-nullable V2 read
+    // schema) — the write fails, the table keeps its prior state, and
+    // top-N truncation additionally requires a recorded ZERO key null
+    // count per group (defense in depth for pre-guard data)
+    val path2 = TestSpark.scratch("v2-topn-null")
+    KvTable.write(Seq(("a1", "x", 1L), ("a2", "y", 2L))
+      .toDF("k", "v", "n").coalesce(1), path2, schema, SinkMode.Replace)
+    val ex = intercept[Exception] { // SparkRuntimeException when the
+      // literal null constant-folds driver-side, SparkException when a
+      // task hits it — either way the write must fail with the message
+      KvTable.write(Seq(("z8", "p", 8L), (null.asInstanceOf[String], "q", 9L))
+        .toDF("k", "v", "n").coalesce(1), path2, schema)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null rowkey")))
+    assert(spark.read.format("kvtable").load(path2).count() === 2)
   }
 
   test("format(kvtable) reads the raw log with engine columns") {
