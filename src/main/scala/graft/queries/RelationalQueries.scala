@@ -745,6 +745,36 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     },
 
+    // Reproducible statistics: variance / stddev / correlation computed
+    // from EXACT decimal sufficient statistics (n, Σx, Σx², Σxy — one
+    // partial-agg pass, order-independent), with the closed-form float
+    // arithmetic done identically on both engines only at the END.
+    // Built-in var_samp/corr stream floating-point accumulators whose
+    // result depends on partitioning — unusable under a hash-compare
+    // oracle and irreproducible at 100 TB; exact-sums-then-formula is
+    // both reproducible and the cheaper plan (one combine per group).
+    "q_stats_agg" -> { (s, dir) =>
+      val x = col("l_quantity").cast(dec)
+      val y = col("l_extendedprice").cast(dec)
+      val g = table(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val varQty = (nD * d("sxx") - d("sx") * d("sx")) /
+        (nD * (nD - lit(1.0)))
+      g.select(col("l_returnflag"), col("n"),
+          (d("sx") / nD).as("mean_qty"),
+          varQty.as("var_qty"),
+          sqrt(varQty).as("sd_qty"),
+          ((nD * d("sxy") - d("sx") * d("sy")) /
+            sqrt((nD * d("sxx") - d("sx") * d("sx")) *
+              (nD * d("syy") - d("sy") * d("sy")))).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Distribution window battery: percent_rank / cume_dist / nth_value
     // over a per-segment total order (unique key tiebreak makes the
     // rational rank arithmetic bit-identical across engines).
@@ -969,6 +999,33 @@ object RelationalQueries {
         |         COUNT(DISTINCT c_mktsegment),
         |         MIN(c_mktsegment), MAX(c_mktsegment) FROM customer)
         |ORDER BY col_name""".stripMargin,
+    "q_stats_agg" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_qty,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q_window_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  percent_rank() OVER w AS pr,
