@@ -79,6 +79,37 @@ object TextQueries {
     // Quality scoring: stopword dominance + garbage ratio + length
     // credit. Tokens pinned once (generator barrier) — the four
     // projections would otherwise tokenize ~6x per row.
+    // CAPSTONE curation pipeline — the composition a real corpus run
+    // executes as ONE declarative plan: quality-score filter (length ×
+    // stopword × garbage credits) → exact dedup on the normalized-text
+    // fingerprint (min-id keeper beats the planted copies) → per-
+    // language stratified cap via census broadcast + exact integer
+    // hash threshold. Every stage is an already-oracle-proven
+    // component; composing them costs two partial-agg shuffles
+    // (fingerprint groups, language census) over one corpus scan.
+    "text_curation_pipeline" -> { (s, dir) =>
+      import graft.ops.Ops.materializedColumn
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      val withT = materializedColumn(corpus, "t", TextOps.tokens(col("text")))
+      val q = withT
+        .withColumn("quality",
+          TextOps.qualityScoreToks(col("t"), col("text"), stopwords))
+        .filter(col("quality") >= 0.5)
+      val deduped = graft.dedup.Dedup.exactKeepMin(
+        q.withColumn("fp", TextOps.fingerprint(col("text"))),
+        col("fp"), col("doc_id"))
+      val census = deduped.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val h = graft.dedup.Dedup.hash60(col("doc_id").cast("string"))
+      deduped.join(broadcast(census), Seq("lang"))
+        .filter(h * col("n_lang") <
+          lit(30L) * lit(graft.dedup.Dedup.MinHashP))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_quality" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
       val withT = materializedColumn(
@@ -365,6 +396,37 @@ object TextQueries {
          |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
          |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len
          |FROM (SELECT doc_id, $toks AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_curation_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, lang FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |scored AS (
+         |  SELECT doc_id, text, lang,
+         |    least(1.0, CAST(len(t) AS DOUBLE) / 100.0)
+         |      * (1.0 - CAST(len(list_filter(t,
+         |            x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+         |          / len(t))
+         |      * (1.0 - CAST(length(regexp_replace(lower(text),
+         |            '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+         |      AS quality
+         |  FROM (SELECT doc_id, text, lang, $toks AS t FROM corpus)),
+         |q AS (SELECT * FROM scored WHERE quality >= 0.5),
+         |deduped AS (
+         |  SELECT doc_id, lang, quality FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(lower(trim(
+         |        regexp_replace(text, '\\s+', ' ', 'g'))))
+         |      ORDER BY doc_id) AS rn
+         |    FROM q) WHERE rn = 1),
+         |census AS (SELECT lang, COUNT(*) AS n_lang FROM deduped GROUP BY 1)
+         |SELECT doc_id, lang, quality
+         |FROM deduped JOIN census USING (lang)
+         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |         AS BIGINT) % 1000000007) * n_lang
+         |      < CAST(30 AS BIGINT) * 1000000007
          |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
