@@ -525,6 +525,7 @@ object KvQueries {
     "kv_counter" -> ((s, d) => { setupCounter(s, d); () }),
     "kv_cell_append" -> ((s, d) => { setupAppendCells(s, d); () }),
     "kv_bulk_load" -> ((s, d) => { setupBulkLoad(s, d); () }),
+    "kv_scan_topn" -> ((s, d) => { setupBulkLoad(s, d); () }),
     "kv_check_and_put" -> ((s, d) => { setupCheckAndPut(s, d); () }),
     "kv_roundtrip" -> ((s, d) => { setupRoundtrip(s, d); () }),
     "kv_append_upsert" -> ((s, d) => { setupAppendUpsert(s, d); () }),
@@ -599,6 +600,21 @@ object KvQueries {
       KvTable.readV2(s, setupBulkLoad(s, dir))
         .filter(col("c_custkey") >= 100 && col("c_custkey") < 400)
         .orderBy(col("c_custkey"))
+    },
+
+    // Ordered-scan first page (HBase Scan + PageFilter): ORDER BY
+    // rowkey LIMIT over the bulk-loaded table's raw log — the V2
+    // SupportsPushDownTopN plans only the row groups whose key ranges
+    // cover the page when the layout is disjoint (spec-asserted in
+    // KvTableSourceSpec); the bucketed bulk-load layout here declines
+    // truncation (buckets interleave key ranges), proving the safe
+    // path stays correct too.
+    "kv_scan_topn" -> { (s, dir) =>
+      val path = setupBulkLoad(s, dir)
+      s.read.format("kvtable").load(path)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+        .limit(50)
     },
 
     // checkAndPut: only the even-keyed updates (correct expectation)
@@ -881,6 +897,9 @@ object KvQueries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey >= 100 AND c_custkey < 400
         |ORDER BY c_custkey""".stripMargin,
+    "kv_scan_topn" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey LIMIT 50""".stripMargin,
     "kv_check_and_put" ->
       """SELECT c_custkey, c_mktsegment,
         |       CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
