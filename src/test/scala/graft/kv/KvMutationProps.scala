@@ -88,6 +88,87 @@ object KvCounterProps extends Properties("KvCounter.lifecycle") {
     }
 }
 
+/** Batch-CAS semantics under random interleavings: unconditional puts,
+  * deletes, and checkAndPut batches whose per-row expectations are a
+  * random mix of correct (model-current), stale, and null (if-absent)
+  * — the engine's applied-count and final table must match a
+  * driver-side map model applying the same null-safe rule. */
+object KvCheckAndPutProps extends Properties("KvTable.checkAndPut") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = KvSchema.of("k", "v" -> ("f", "v"))
+
+  private sealed trait Op
+  private case class Put(rows: Map[String, String]) extends Op
+  private case class Del(keys: Set[String]) extends Op
+  /** keys to attempt; `mode` per key: 0 = expect current (from the
+    * model at apply time), 1 = expect a stale/wrong value, 2 = expect
+    * absent (null). */
+  private case class Cas(attempts: Map[String, Int]) extends Op
+
+  private val genKey: Gen[String] = Gen.choose(0, 4).map(i => s"k$i")
+  private val genOp: Gen[Op] = Gen.frequency(
+    3 -> (for {
+      n <- Gen.choose(1, 3)
+      ks <- Gen.listOfN(n, genKey)
+      vs <- Gen.listOfN(n, Gen.oneOf("p", "q", "r"))
+    } yield Put(ks.zip(vs).toMap)),
+    1 -> Gen.nonEmptyListOf(genKey).map(ks => Del(ks.toSet)),
+    4 -> (for {
+      n <- Gen.choose(1, 4)
+      ks <- Gen.listOfN(n, genKey)
+      ms <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield Cas(ks.zip(ms).toMap)))
+
+  property("CAS batches agree with the map model on applied count and " +
+    "final state") = Prop.forAll(Gen.listOfN(6, genOp)) { ops0 =>
+    val ops = Put(Map("k0" -> "init")) :: ops0
+    val path = TestSpark.scratch("prop-cas")
+    var model = Map.empty[String, String]
+    var ok = true
+    ops.foreach {
+      case Put(rows) =>
+        KvTable.write(rows.toSeq.toDF("k", "v"), path, schema)
+        model ++= rows
+      case Del(keys) =>
+        KvTable.delete(keys.toSeq.toDF("k"), path, schema)
+        model --= keys
+      case Cas(attempts) =>
+        // build the update batch: proposed value + expectation per mode
+        val rows = attempts.toSeq.map { case (k, mode) =>
+          val expected: String = mode match {
+            case 0 => model.getOrElse(k, null) // current (absent -> null)
+            case 1 => "stale!"                 // never a stored value
+            case _ => null                     // if-absent form
+          }
+          (k, s"cas-$k", expected)
+        }
+        val applied = KvTable.checkAndPut(
+          rows.toDF("k", "v", "exp"), path, schema, "v",
+          org.apache.spark.sql.functions.col("exp"))
+        val expectApplied = attempts.count { case (k, mode) =>
+          mode match {
+            case 0 => true // expectation matches current by construction
+            case 1 => false
+            case _ => !model.contains(k)
+          }
+        }
+        ok &&= applied == expectApplied
+        model ++= attempts.collect {
+          case (k, 0) => k -> s"cas-$k"
+          case (k, 2) if !model.contains(k) => k -> s"cas-$k"
+        }
+    }
+    val got = KvTable.read(spark, path).as[(String, String)].collect().toMap
+    (ok && got == model) :| s"engine=$got model=$model ops=$ops"
+  }
+}
+
 /** Same harness for [[KvAppend]]: at most ONE fragment per key per
   * batch (within-batch multi-fragment order is seq-tie-undefined, the
   * documented HBase-racing-appends contract — the fuzz pins the
