@@ -273,6 +273,22 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .select(col("id1"), col("id2"), col("jaccard"))
 
+  /** Per-group cap by census broadcast + EXACT integer hash threshold:
+    * keep rows where `hash60(id) · n_group < cap · MinHashP` — an
+    * engine- and partitioning-independent, subset-stable ~cap-per-group
+    * sample (the expected kept count per group is `cap`, independent of
+    * group size). THE stratified-sampling rule, shared by the sampler
+    * query and the curation pipeline so it can never diverge. */
+  def stratifiedCap(df: DataFrame, groupCol: Column, idCol: Column,
+                    cap: Int): DataFrame = {
+    val census = df.groupBy(groupCol.as("__grp"))
+      .agg(count(lit(1)).as("__n_grp"))
+    df.join(broadcast(census), groupCol === col("__grp"))
+      .filter(hash60(idCol.cast("string")) * col("__n_grp") <
+        lit(cap.toLong) * lit(MinHashP))
+      .drop("__grp", "__n_grp")
+  }
+
   /** Containment similarity C(A→B) = |A∩B| / |A| over shingle-hash
     * sets — the doc-inside-doc signal Jaccard misses: a short document
     * fully quoted inside a long one has a tiny Jaccard (the union is

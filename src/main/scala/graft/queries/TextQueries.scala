@@ -98,14 +98,14 @@ object TextQueries {
         .withColumn("quality",
           TextOps.qualityScoreToks(col("t"), col("text"), stopwords))
         .filter(col("quality") >= 0.5)
+      // project BEFORE the dedup group-by: the fingerprint shuffle
+      // then moves (id, lang, quality, fp), not the document payloads
       val deduped = graft.dedup.Dedup.exactKeepMin(
-        q.withColumn("fp", TextOps.fingerprint(col("text"))),
+        q.withColumn("fp", TextOps.fingerprint(col("text")))
+          .select(col("doc_id"), col("lang"), col("quality"), col("fp")),
         col("fp"), col("doc_id"))
-      val census = deduped.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-      val h = graft.dedup.Dedup.hash60(col("doc_id").cast("string"))
-      deduped.join(broadcast(census), Seq("lang"))
-        .filter(h * col("n_lang") <
-          lit(30L) * lit(graft.dedup.Dedup.MinHashP))
+      graft.dedup.Dedup.stratifiedCap(deduped, col("lang"),
+          col("doc_id"), cap = 30)
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("doc_id"))
     },
@@ -241,11 +241,8 @@ object TextQueries {
     // identical rows, and re-running after the corpus grows keeps a
     // subset-stable sample per group (thresholds nest).
     "text_stratified_sample" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-      val h = graft.dedup.Dedup.hash60(col("doc_id").cast("string"))
-      docs.join(broadcast(census), Seq("lang"))
-        .filter(h * col("n_lang") < lit(50L) * lit(graft.dedup.Dedup.MinHashP))
+      graft.dedup.Dedup.stratifiedCap(table(s, dir, "documents"),
+          col("lang"), col("doc_id"), cap = 50)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     },
