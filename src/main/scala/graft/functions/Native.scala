@@ -39,7 +39,8 @@ object Native {
         else org.apache.spark.sql.catalyst.expressions.Literal(0))),
     "graft_cosine_q" -> (es => CosineQExpr(es(0), es(1))),
     "graft_word_shingles" -> (es => WordShinglesExpr(es(0), es(1))),
-    "graft_zvalue" -> (es => ZValueExpr(es(0), es(1))))
+    "graft_zvalue" -> (es => ZValueExpr(es(0), es(1))),
+    "graft_top_freq" -> (es => TopFreqExpr(es.head)))
 
   /** Idempotent per-session registration; call before analysis of any
     * plan using these columns. */
@@ -69,6 +70,33 @@ object Native {
     call_function("graft_word_shingles", toks, org.apache.spark.sql.functions.lit(n))
   def zValue(values: Column, boundaries: Column): Column =
     call_function("graft_zvalue", values, boundaries)
+  def topFreq(arr: Column): Column =
+    call_function("graft_top_freq", arr)
+
+  /** Static eval for [[TopFreqExpr]]: count of the most frequent
+    * element in one O(n) hash pass (0 for empty; elements must be
+    * non-null — gram arrays are `containsNull = false`). The map keys
+    * are the array's own UTF8String views, valid for the duration of
+    * the call. */
+  def topFreqEval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var best = 0
+    if (n > 0) {
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, Integer](
+        Math.max(16, n * 2))
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val prev = m.get(s)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        m.put(s, c)
+        if (c > best) best = c
+        i += 1
+      }
+    }
+    best.toLong
+  }
 
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -527,4 +555,22 @@ case class ZValueExpr(left: Expression, right: Expression)
     Native.zValueEval(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** array<string> -> long: count of the single most frequent element —
+  * the native engine of the Gopher top-n-gram repetition signal
+  * ([[graft.text.TextOps.topGramFrac]]). ONE O(n) hash-count pass per
+  * row, replacing the O(n log n) sort-and-longest-run HOF chain (and
+  * the quadratic count-per-distinct shape before it); runs inside
+  * whole-stage codegen via the static eval. */
+case class TopFreqExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Native.topFreqEval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Native.topFreqEval($a);")
+  override protected def withNewChildInternal(c: Expression): TopFreqExpr =
+    copy(c)
 }

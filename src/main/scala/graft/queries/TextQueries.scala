@@ -133,6 +133,7 @@ object TextQueries {
     // vacuous here; the n-gram family is the discriminating one.)
     "text_gopher_quality" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
+      graft.functions.Native.register(s) // topGramFrac's topFreq expr
       val withT = materializedColumn(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
         "t", TextOps.tokens(col("text")))

@@ -29,29 +29,19 @@ object TextOps {
     * gram — the Gopher-style "top n-gram fraction" repetition signal
     * (Rae et al. 2021 §A1.1 use the analogous character fraction). Pin
     * `grams` with [[graft.ops.Ops.materializedColumn]] before calling:
-    * the expression references it several times. Per-row HOF compute —
-    * no explode, no shuffle. The max frequency is the longest equal run
-    * in the SORTED gram array: one O(n log n) sort + one linear
-    * aggregate pass, NOT the naive count-per-distinct-gram scan (which
-    * is O(distinct × n) — quadratic on mostly-distinct documents, where
-    * a 100k-gram web page would cost ~10^10 comparisons in one row).
+    * the expression references it several times. Per-row compute — no
+    * explode, no shuffle: the max frequency comes from the native
+    * [[graft.functions.Native.topFreq]] expression, ONE O(n) hash-count
+    * pass inside whole-stage codegen (successor to the O(n log n)
+    * sort-and-longest-run HOF chain, and to the naive
+    * count-per-distinct scan that was quadratic on mostly-distinct
+    * documents). Requires [[graft.functions.Native.register]] on the
+    * session, like every native-expression consumer.
     */
-  def topGramFrac(grams: Column): Column = {
-    val sorted = array_sort(grams)
-    // fold state: (previous gram, current run length, best run length);
-    // null prev makes the first element start a fresh run
-    val best = aggregate(sorted,
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (st, g) => {
-        val run = when(g === st("prev"), st("run") + lit(1L)).otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(st("best"), run).as("best"))
-      },
-      st => st("best"))
-    when(size(grams) > 0, best.cast("double") / size(grams))
+  def topGramFrac(grams: Column): Column =
+    when(size(grams) > 0,
+      graft.functions.Native.topFreq(grams).cast("double") / size(grams))
       .otherwise(lit(0.0))
-  }
 
   /** Fraction of gram occurrences beyond each distinct gram's first —
     * Gopher's "duplicate n-gram fraction". Same per-row/no-shuffle
