@@ -575,22 +575,48 @@ object RelationalQueries {
     // QueryDeterminismSpec.
     "q_sketch_freq" -> { (s, dir) =>
       import s.implicits._
-      val bytes = table(s, dir, "lineitem")
+      val li = table(s, dir, "lineitem")
+      val bytes = li
         .agg(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)"))
         .head.getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
-      (1L to 20L).map(k => (k, cms.estimateCount(java.lang.Long.valueOf(k))))
+      // Sketch-contract gate: the hashed output carries the EXACT counts
+      // (DuckDB-mirrorable) plus booleans asserting the CMS guarantee
+      // (never under-counts; over-counts by at most eps*N). The raw
+      // engine-specific estimates stay out of the hashed columns, so the
+      // hard gate certifies the sketch's contract value-level.
+      val slack = math.max(1L, (cms.totalCount() * 1e-4).toLong)
+      val est = (1L to 20L).map(k => (k, cms.estimateCount(java.lang.Long.valueOf(k))))
         .toDF("l_partkey", "est_count")
+      val exact = li.filter(col("l_partkey").between(1L, 20L))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("xc"))
+      est.join(exact, Seq("l_partkey"), "left")
+        .select(col("l_partkey"),
+          coalesce(col("xc"), lit(0L)).as("exact_count"),
+          (col("est_count") >= coalesce(col("xc"), lit(0L)))
+            .as("cms_no_undercount"),
+          (col("est_count") <= coalesce(col("xc"), lit(0L)) + lit(slack))
+            .as("cms_within_eps"))
         .orderBy(col("l_partkey"))
     },
 
-    // HLL sketch cardinality — engine-specific algorithm, rows-only check.
+    // HLL sketch cardinality. The 100 TB serving shape is the approx-only
+    // aggregate (no exact-distinct shuffle); for the hard gate the query
+    // ALSO computes the exact distinct count and emits it with a boolean
+    // asserting the HLL estimate sits inside its error band (default
+    // rsd 0.05 -> generous 5-sigma band, matching QueryDeterminismSpec),
+    // so the DuckDB oracle certifies the sketch contract value-level.
     "q_approx_distinct" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            greatest(lit(10L), (col("exact_parts") * 0.25).cast("long")))
+            .as("hll_in_band"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -605,15 +631,33 @@ object RelationalQueries {
     // median to the exact value and p99 well inside the spec's 2% band —
     // paying 2x runtime for rank precision below the data's own
     // granularity is waste at any scale.
+    // Gate shape (round 4): the r3 driver comparator crashed on the
+    // array-typed quartiles column; the output now carries the EXACT
+    // percentiles as scalars (DuckDB quantile_cont mirror) plus booleans
+    // asserting the sketch landed within its rank-error band — the same
+    // sketch-contract pattern as q_approx_distinct / q_sketch_freq.
     "q_percentile_approx" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_quantity, 0.5, 2500)").as("med_qty"),
-          expr("approx_percentile(l_quantity, array(0.25, 0.75), 2500)")
-            .as("quartiles"),
-          expr("approx_percentile(l_extendedprice, 0.99, 2500)")
-            .as("p99_price"))
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 2500)")
+            .as("aq"),
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("eq"),
+          expr("approx_percentile(l_extendedprice, 0.99, 2500)").as("ap99"),
+          expr("percentile(l_extendedprice, 0.99)").as("ep99"))
+        .select(col("l_returnflag"),
+          element_at(col("eq"), 1).as("p25_qty"),
+          element_at(col("eq"), 2).as("med_qty"),
+          element_at(col("eq"), 3).as("p75_qty"),
+          col("ep99").as("p99_price"),
+          (abs(element_at(col("aq"), 2).cast("double") -
+            element_at(col("eq"), 2)) <= lit(1.0)).as("med_in_band"),
+          (abs(element_at(col("aq"), 1).cast("double") -
+            element_at(col("eq"), 1)) <= lit(1.0) &&
+           abs(element_at(col("aq"), 3).cast("double") -
+            element_at(col("eq"), 3)) <= lit(1.0)).as("quartiles_in_band"),
+          (abs(col("ap99").cast("double") - col("ep99")) <=
+            greatest(lit(1.0), col("ep99") * 0.02)).as("p99_in_band"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -863,8 +907,17 @@ object RelationalQueries {
         |WHERE c_custkey IN
         |  (SELECT o_custkey FROM orders WHERE o_totalprice > 490000)
         |ORDER BY c_custkey""".stripMargin,
-    // q_sketch_freq intentionally omitted: rows-only check (CMS bound
-    // spec-asserted).
+    // Sketch-contract oracle: exact probe-key counts + literal TRUE for
+    // the CMS guarantee booleans the Spark side computes vs its sketch.
+    "q_sketch_freq" ->
+      """WITH ks AS (SELECT CAST(range AS BIGINT) AS l_partkey
+        |            FROM range(1, 21)),
+        |ex AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem
+        |       WHERE l_partkey BETWEEN 1 AND 20 GROUP BY l_partkey)
+        |SELECT ks.l_partkey, COALESCE(ex.c, 0) AS exact_count,
+        |  TRUE AS cms_no_undercount, TRUE AS cms_within_eps
+        |FROM ks LEFT JOIN ex USING (l_partkey)
+        |ORDER BY l_partkey""".stripMargin,
     "q_join_full" ->
       """SELECT o_custkey, n95, n96 FROM
         |  (SELECT o_custkey, COUNT(*) AS n95 FROM orders
@@ -1074,8 +1127,14 @@ object RelationalQueries {
     "q_typed_ds" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 0.9 AS discounted
         |FROM orders WHERE o_totalprice > 400000.0
-        |ORDER BY o_orderkey""".stripMargin
-    // q_approx_distinct intentionally omitted: rows-only check.
+        |ORDER BY o_orderkey""".stripMargin,
+    // Sketch-contract oracle: exact distinct counts + literal TRUE for
+    // the HLL error-band boolean the Spark side computes vs its sketch.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_rows, TRUE AS hll_in_band
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 
   val oracles: Map[String, String] = Map(
@@ -1245,6 +1304,18 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.5) AS med_qty,
         |  quantile_cont(l_quantity, 0.25) AS q1_qty,
         |  quantile_cont(l_quantity, 0.75) AS q3_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // Sketch-contract oracle: exact quantile_cont scalars + literal TRUE
+    // for the rank-error booleans the Spark side computes vs its sketch.
+    "q_percentile_approx" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99_price,
+        |  TRUE AS med_in_band, TRUE AS quartiles_in_band,
+        |  TRUE AS p99_in_band
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->

@@ -101,9 +101,7 @@ class QueryDeterminismSpec extends SparkSpec {
   test("every query has an oracle or a documented rows-only exemption") {
     // engine-specific sketches/training: rows-only + self-checks above
     // (kmeans correctness is asserted cluster-level in SimilaritySpec)
-    val exempt = Set("dedup_simhash", "q_approx_distinct",
-      "q_percentile_approx", "ann_kmeans_ivf", "q_sketch_freq",
-      "ann_pq_topk", "ann_ivfpq_topk")
+    val exempt = Set("ann_kmeans_ivf", "ann_pq_topk", "ann_ivfpq_topk")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
