@@ -12,6 +12,15 @@ object SimQueries {
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT))"
 
+  /** sf-dir of the most recent ANN query/prepare in this JVM. Verify
+    * runs every query BEFORE dumping `SparkEntry.oracleSql`, so by dump
+    * time the trained-model sidecars for this dir exist and the dynamic
+    * oracles below can embed the model as SQL literals (the mirrors are
+    * exact: training is deterministic and all scoring is quantized-
+    * integer arithmetic both sides). When no ANN query ran, the entries
+    * are simply omitted -> driver records a rows-only check. */
+  @volatile private var lastDir: Option[String] = None
+
   /** Train the PQ codebooks once and persist them — the model artifact
     * `ann_pq_topk` serves from. This is the production split PQ
     * assumes: codebooks train OFFLINE (on a sample at corpus scale);
@@ -19,10 +28,23 @@ object SimQueries {
     * scratch-table setup) and times the serving path; Verify rebuilds
     * every run (no reuse marker), so the gate still covers training.
     */
+  /** Quantized-centroid sidecar (one `cid:l1,l2,...` line per centroid)
+    * — the literal form the dynamic DuckDB oracles embed. */
+  private def writeCentsSidecar(file: java.nio.file.Path,
+                                cents: org.apache.spark.sql.DataFrame): Unit = {
+    java.nio.file.Files.createDirectories(file.getParent)
+    val lines = cents.orderBy(col("cid")).collect().map { r =>
+      s"${r.getInt(0)}:" +
+        r.getSeq[Double](1).map(v => math.round(v * Similarity.Scale)).mkString(",")
+    }
+    java.nio.file.Files.writeString(file, lines.mkString("\n"))
+  }
+
   private def trainPqModel(s: org.apache.spark.sql.SparkSession,
                            dir: String): Seq[Seq[Seq[Long]]] = {
     val path = scratchDir("ann_pq_model", dir)
     val file = java.nio.file.Paths.get(path, "codebooks.txt")
+    lastDir = Some(dir)
     ensureSetup(path) {
       val e = table(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -38,6 +60,7 @@ object SimQueries {
       // both persisted so ann_ivfpq_topk times SERVING, not training
       val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
       cents.write.mode("overwrite").parquet(s"$path/cents")
+      writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
       Similarity.ivfAssign(corpus, cents).select(col("cid"), col("id"))
         .join(s.read.parquet(s"$path/codes"), "id")
         .write.mode("overwrite").partitionBy("cid")
@@ -134,6 +157,13 @@ object SimQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+      // kmeansCentroids returns driver-local data, so the sidecar write
+      // is free; it lets the dynamic oracle mirror assignment + search
+      // over the TRAINED centroids as literals (training itself is the
+      // deterministic part the oracle takes as given).
+      writeCentsSidecar(java.nio.file.Paths.get(
+        scratchDir("ann_kmeans_model", dir), "cents.txt"), cents)
+      lastDir = Some(dir)
       Similarity.ivfTopK(queries, corpus, cents, nprobe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
@@ -206,12 +236,15 @@ object SimQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  private val annIvfSql = {
-    val cos = (a: String, b: String) =>
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, $quantSql AS cq
-       |  FROM embeddings WHERE vec_id % 40 = 0),
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** IVF-flat mirror with a pluggable centroid CTE — shared by
+    * `ann_ivf_topk` (centroids = every-40th-vector subset, plain SQL)
+    * and `ann_kmeans_ivf` (TRAINED centroids embedded as literals). */
+  private def ivfSqlWithCents(centsCte: String): String = {
+    val cos = cosSql _
+    s"""WITH cents AS ($centsCte),
        |corpus AS (SELECT vec_id AS id, $quantSql AS vq FROM embeddings),
        |assigned AS (
        |  SELECT id, cid, vq FROM (
@@ -239,9 +272,149 @@ object SimQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    "ann_topk" -> annTopkSql,
-    "ann_ivf_topk" -> annIvfSql,
-    "ann_lsh_neardup" -> annLshSql
-  )
+  private val annIvfSql = ivfSqlWithCents(
+    s"SELECT vec_id AS cid, $quantSql AS cq FROM embeddings WHERE vec_id % 40 = 0")
+
+  // --- dynamic trained-model mirrors -----------------------------------
+
+  private def readCentsSidecar(p: java.nio.file.Path): Option[Seq[(Int, Seq[Long])]] =
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(java.nio.file.Files.readString(p).split('\n').toSeq.map { l =>
+      val Array(cid, vs) = l.split(':')
+      cid.toInt -> vs.split(',').toSeq.map(_.toLong)
+    })
+
+  private def readCodebooks(dir: String): Option[Seq[Seq[Seq[Long]]]] = {
+    val f = java.nio.file.Paths.get(scratchDir("ann_pq_model", dir),
+      "codebooks.txt")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(java.nio.file.Files.readString(f).split('\n').toSeq
+      .map(_.split(';').toSeq.map(_.split(',').toSeq.map(_.toLong))))
+  }
+
+  private def centsValuesCte(cents: Seq[(Int, Seq[Long])]): String =
+    "SELECT * FROM (VALUES " + cents.map { case (cid, v) =>
+      s"($cid, CAST([${v.mkString(",")}] AS BIGINT[]))"
+    }.mkString(", ") + ") AS t(cid, cq)"
+
+  private def cbValuesCte(cb: Seq[Seq[Seq[Long]]]): String =
+    "SELECT * FROM (VALUES " + cb.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (v, c) =>
+        s"($s, $c, CAST([${v.mkString(",")}] AS BIGINT[]))" }
+    }.mkString(", ") + ") AS t(s, c, cvec)"
+
+  /** The CTEs every PQ mirror shares: nearest-sub-centroid codes per
+    * corpus vector (ties to the lowest code, like pqEncode) and the
+    * reconstructed self-norm per vector. All integer arithmetic. */
+  private def pqCodesCtes(cb: Seq[Seq[Seq[Long]]]): String = {
+    val sub = cb.head.head.length
+    s"""cb AS (${cbValuesCte(cb)}),
+       |corpus AS (SELECT vec_id AS id, $quantSql AS vq FROM embeddings),
+       |codes AS (
+       |  SELECT id, s, c, cvec FROM (
+       |    SELECT co.id, cb.s, cb.c, cb.cvec,
+       |      row_number() OVER (PARTITION BY co.id, cb.s ORDER BY
+       |        list_sum(list_transform(range(1, ${sub + 1}),
+       |          i -> (co.vq[cb.s*$sub + i] - cb.cvec[i])
+       |             * (co.vq[cb.s*$sub + i] - cb.cvec[i]))) ASC, cb.c ASC)
+       |        AS rn
+       |    FROM corpus co, cb)
+       |  WHERE rn = 1),
+       |selfq AS (
+       |  SELECT id, SUM(list_dot_product(cvec, cvec)) AS sq
+       |  FROM codes GROUP BY id),
+       |queries AS (
+       |  SELECT vec_id AS qid, $quantSql AS qq
+       |  FROM embeddings WHERE vec_id < 10)""".stripMargin
+  }
+
+  /** Shared tail: ADC-score the candidate (qid, id) pairs, keep the
+    * top-`rerank` per query by approx score, exact-rerank to top-5 —
+    * the mirror of pqSearchEncoded/ivfPqSearchEncoded's serving math. */
+  private def pqScoreTail(cb: Seq[Seq[Seq[Long]]], pairsCte: String,
+                          rerank: Int): String = {
+    val sub = cb.head.head.length
+    s"""pairs AS ($pairsCte),
+       |adot AS (
+       |  SELECT pr.qid, pr.id,
+       |    SUM(list_dot_product(
+       |      list_slice(q.qq, k.s*$sub + 1, k.s*$sub + $sub), k.cvec)) AS ad
+       |  FROM pairs pr JOIN queries q USING (qid)
+       |  JOIN codes k ON k.id = pr.id
+       |  GROUP BY pr.qid, pr.id),
+       |cands AS (
+       |  SELECT qid, id FROM (
+       |    SELECT a.qid, a.id,
+       |      row_number() OVER (PARTITION BY a.qid
+       |        ORDER BY CAST(a.ad AS DOUBLE) / sqrt(CAST(s.sq AS DOUBLE))
+       |          DESC, a.id) AS rn
+       |    FROM adot a JOIN selfq s USING (id))
+       |  WHERE rn <= $rerank),
+       |scored AS (
+       |  SELECT c.qid, c.id, ${cosSql("q.qq", "co.vq")} AS cosine
+       |  FROM cands c JOIN queries q USING (qid)
+       |  JOIN corpus co ON co.id = c.id)
+       |SELECT qid, id, cosine, rank FROM (
+       |  SELECT qid, id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Flat-PQ mirror: every corpus vector is an ADC candidate. */
+  private def pqSql(cb: Seq[Seq[Seq[Long]]], rerank: Int): String =
+    s"""WITH ${pqCodesCtes(cb)},
+       |${pqScoreTail(cb,
+      "SELECT q.qid, co.id FROM queries q, corpus co WHERE q.qid <> co.id",
+      rerank)}""".stripMargin
+
+  /** IVF-PQ mirror: candidates are corpus vectors whose assigned list
+    * (nearest trained centroid) is among the query's nprobe probed
+    * lists — then the same ADC + exact-rerank tail. */
+  private def ivfPqSql(cb: Seq[Seq[Seq[Long]]], cents: Seq[(Int, Seq[Long])],
+                       nprobe: Int, rerank: Int): String = {
+    val pairs =
+      s"""SELECT p.qid, a.id FROM
+         |    (SELECT qid, cid FROM (
+         |      SELECT q.qid, ct.cid,
+         |        row_number() OVER (PARTITION BY q.qid
+         |          ORDER BY ${cosSql("q.qq", "ct.cq")} DESC, ct.cid) AS rn
+         |      FROM queries q, cents ct) WHERE rn <= $nprobe) p
+         |  JOIN
+         |    (SELECT id, cid FROM (
+         |      SELECT c.id, ct.cid,
+         |        row_number() OVER (PARTITION BY c.id
+         |          ORDER BY ${cosSql("c.vq", "ct.cq")} DESC, ct.cid) AS rn
+         |      FROM corpus c, cents ct) WHERE rn = 1) a
+         |  ON p.cid = a.cid WHERE p.qid <> a.id""".stripMargin
+    s"""WITH cents AS (${centsValuesCte(cents)}),
+       |${pqCodesCtes(cb)},
+       |${pqScoreTail(cb, pairs, rerank)}""".stripMargin
+  }
+
+  /** Static mirrors + (when the trained-model sidecars for the current
+    * sf-dir exist) exact mirrors of the three trained-ANN paths with
+    * the model embedded as literals. */
+  def oracles: Map[String, String] = {
+    val dyn: Map[String, String] = lastDir match {
+      case None => Map.empty
+      case Some(dir) =>
+        val cb = readCodebooks(dir)
+        val pqCents = readCentsSidecar(java.nio.file.Paths.get(
+          scratchDir("ann_pq_model", dir), "cents.txt"))
+        val kmCents = readCentsSidecar(java.nio.file.Paths.get(
+          scratchDir("ann_kmeans_model", dir), "cents.txt"))
+        (cb.map(c => "ann_pq_topk" -> pqSql(c, rerank = 50)) ++
+          (for (c <- cb; ce <- pqCents)
+            yield "ann_ivfpq_topk" -> ivfPqSql(c, ce, nprobe = 4, rerank = 40)) ++
+          kmCents.map(ce =>
+            "ann_kmeans_ivf" -> ivfSqlWithCents(centsValuesCte(ce)))).toMap
+    }
+    Map(
+      "ann_topk" -> annTopkSql,
+      "ann_ivf_topk" -> annIvfSql,
+      "ann_lsh_neardup" -> annLshSql
+    ) ++ dyn
+  }
 }
