@@ -40,7 +40,8 @@ object Native {
     "graft_cosine_q" -> (es => CosineQExpr(es(0), es(1))),
     "graft_word_shingles" -> (es => WordShinglesExpr(es(0), es(1))),
     "graft_zvalue" -> (es => ZValueExpr(es(0), es(1))),
-    "graft_top_freq" -> (es => TopFreqExpr(es.head)))
+    "graft_top_freq" -> (es => TopFreqExpr(es.head)),
+    "graft_text_quality" -> (es => TextQualityExpr(es(0), es(1))))
 
   /** Idempotent per-session registration; call before analysis of any
     * plan using these columns. */
@@ -72,6 +73,85 @@ object Native {
     call_function("graft_zvalue", values, boundaries)
   def topFreq(arr: Column): Column =
     call_function("graft_top_freq", arr)
+  def textQuality(text: Column, stops: Column): Column =
+    call_function("graft_text_quality", text, stops)
+
+  /** Static eval for [[TextQualityExpr]]: token count, stopword ratio,
+    * non-alphanumeric ratio, and the composite quality score in ONE
+    * pass over the text bytes — bit-identical to the HOF formulation
+    * (`split(trim(text),"\\s+")` + filter/array_contains +
+    * `regexp_replace(lower(text),"[a-z0-9 ]","")`), which the DuckDB
+    * oracle mirrors. Token semantics replicated exactly: trim strips
+    * 0x20 only (Spark `trim`), separators are Java regex `\s`
+    * ([ \t\n\x0B\f\r]), Java split keeps leading/trailing empty fields
+    * the way limit=-1 does, and "" yields a single empty token.
+    * Char counts are codepoints (UTF8String.numChars); any non-ASCII
+    * codepoint lowercases outside [a-z0-9 ] so it counts non-alnum. */
+  def textQualityEval(text: UTF8String,
+                      stops: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var n = 0
+    var stopCnt = 0
+    if (lo >= hi) n = 1 // trimmed-empty: split yields [""]
+    else {
+      if (isWs(bytes(lo))) n += 1 // leading empty field (e.g. "\tab")
+      var i = lo
+      while (i < hi) {
+        if (isWs(bytes(i))) i += 1
+        else {
+          val start = i
+          while (i < hi && !isWs(bytes(i))) i += 1
+          n += 1
+          // frequency (not distinct) stopword hit, byte-compare
+          val len = i - start
+          var k = 0
+          val ns = stops.numElements()
+          var hit = false
+          while (k < ns && !hit) {
+            val st = stops.getUTF8String(k)
+            if (st.numBytes == len) {
+              val sb = st.getBytes
+              var m = 0
+              while (m < len && sb(m) == bytes(start + m)) m += 1
+              hit = m == len
+            }
+            k += 1
+          }
+          if (hit) stopCnt += 1
+        }
+      }
+      if (isWs(bytes(hi - 1))) n += 1 // trailing empty field
+    }
+    var chars = 0
+    var nonAl = 0
+    var j = 0
+    while (j < bytes.length) {
+      val b = bytes(j) & 0xff
+      if (b < 0x80) {
+        val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+        if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '))
+          nonAl += 1
+        chars += 1
+        j += 1
+      } else {
+        nonAl += 1
+        chars += 1
+        j += (if (b >= 0xf0) 4 else if (b >= 0xe0) 3 else 2)
+      }
+    }
+    val stopRatio = stopCnt.toDouble / n
+    val nonAlRatio = nonAl.toDouble / chars // 0-length text -> NaN, like x/0d
+    val quality = math.min(1.0, n.toDouble / 100.0) *
+      (1.0 - stopRatio) * (1.0 - nonAlRatio)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, stopRatio, nonAlRatio, quality))
+  }
 
   /** Static eval for [[TopFreqExpr]]: count of the most frequent
     * element in one O(n) hash pass (0 for empty; elements must be
@@ -573,4 +653,28 @@ case class TopFreqExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Native.topFreqEval($a);")
   override protected def withNewChildInternal(c: Expression): TopFreqExpr =
     copy(c)
+}
+
+/** (text string, stopwords array<string>) -> struct<n_tokens:int,
+  * stop_ratio:double, nonalnum_ratio:double, quality:double>: the whole
+  * text-quality metric family in ONE byte pass ([[Native.textQualityEval]])
+  * — replaces a tokenize + two interpreted HOF walks + two
+  * regexp_replace scans per row. Pin the struct behind a generator
+  * barrier and select its fields (field extraction re-evaluates the
+  * source expression otherwise). */
+case class TextQualityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("stop_ratio", DoubleType, nullable = false),
+    StructField("nonalnum_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+  override def nullSafeEval(t: Any, s: Any): Any =
+    Native.textQualityEval(t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.Native.textQualityEval($t, $s);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }

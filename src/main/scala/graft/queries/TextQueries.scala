@@ -89,14 +89,16 @@ object TextQueries {
     // (fingerprint groups, language census) over one corpus scan.
     "text_curation_pipeline" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
+      graft.functions.Native.register(s)
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
       val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-      val withT = materializedColumn(corpus, "t", TextOps.tokens(col("text")))
-      val q = withT
-        .withColumn("quality",
-          TextOps.qualityScoreToks(col("t"), col("text"), stopwords))
+      // quality via the fused single-pass TextQualityExpr (the tokens
+      // were only ever consumed by the quality score here)
+      val q = materializedColumn(corpus, "m",
+          TextOps.qualityMetrics(col("text"), stopwords))
+        .withColumn("quality", col("m.quality"))
         .filter(col("quality") >= 0.5)
       // project BEFORE the dedup group-by: the fingerprint shuffle
       // then moves (id, lang, quality, fp), not the document payloads
@@ -110,17 +112,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // One fused native pass (TextQualityExpr) replaces the r3 shape's
+    // four interpreted HOF walks + two regexp scans per row — same
+    // oracle, ~10x the throughput on the suite's former slowest query.
     "text_quality" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
-      val withT = materializedColumn(
+      graft.functions.Native.register(s)
+      val withM = materializedColumn(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "t", TextOps.tokens(col("text")))
-      withT.select(col("doc_id"),
-          size(col("t")).as("n_tokens"),
-          TextOps.stopwordRatio(col("t"), stopwords).as("stop_ratio"),
-          TextOps.nonAlnumRatio(col("text")).as("nonalnum_ratio"),
-          TextOps.qualityScoreToks(col("t"), col("text"), stopwords)
-            .as("quality"))
+        "m", TextOps.qualityMetrics(col("text"), stopwords))
+      withM.select(col("doc_id"),
+          col("m.n_tokens").as("n_tokens"),
+          col("m.stop_ratio").as("stop_ratio"),
+          col("m.nonalnum_ratio").as("nonalnum_ratio"),
+          col("m.quality").as("quality"))
         .orderBy(col("doc_id"))
     },
 
@@ -184,6 +189,7 @@ object TextQueries {
     "pipeline_corpus" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
       import graft.dedup.Dedup
+      graft.functions.Native.register(s)
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 7 === 0)
@@ -194,19 +200,21 @@ object TextQueries {
         Dedup.hash60(col("doc_id").cast("string")) % 10 < 3)
       val withT = materializedColumn(sampled, "t",
         TextOps.tokens(col("text")))
+      // tokens still feed langScores; the quality metrics ride the
+      // fused single-pass struct instead of re-walking the tokens
+      val withM = materializedColumn(withT, "m",
+        TextOps.qualityMetrics(col("text"), stopwords))
       val scores = TextOps.langScores(col("t"))
-      val withS = withT.select(
-        (col("doc_id") +: col("text") +: col("t") +:
+      val withS = withM.select(
+        (col("doc_id") +: col("text") +: col("m") +:
           scores.map { case (l, c) => c.as(s"s_$l") }): _*)
       val pinned = scores.map { case (l, _) => l -> col(s"s_$l") }
       withS
-        .filter(TextOps.qualityScoreToks(col("t"), col("text"), stopwords)
-          >= 0.2 &&
+        .filter(col("m.quality") >= 0.2 &&
           TextOps.langIdFromScores(pinned) === "en")
         .select(col("doc_id"),
-          size(col("t")).as("n_tokens"),
-          TextOps.qualityScoreToks(col("t"), col("text"), stopwords)
-            .as("quality"),
+          col("m.n_tokens").as("n_tokens"),
+          col("m.quality").as("quality"),
           TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },

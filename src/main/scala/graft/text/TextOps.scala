@@ -83,6 +83,15 @@ object TextOps {
       (lit(1.0) - stopwordRatio(toks, stopwords)) *
       (lit(1.0) - nonAlnumRatio(text))
 
+  /** The whole quality-metric family — struct<n_tokens, stop_ratio,
+    * nonalnum_ratio, quality> — as ONE fused native byte pass
+    * ([[graft.functions.Native.textQualityEval]]), bit-identical to the
+    * component formulations above. Pin the struct with
+    * [[graft.ops.Ops.materializedColumn]] and select fields; requires
+    * [[graft.functions.Native.register]] on the session. */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Column =
+    graft.functions.Native.textQuality(text, array(stopwords.map(lit): _*))
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Identical docs (mod spacing/case) share a fingerprint —
     * the exact-dedup key. */

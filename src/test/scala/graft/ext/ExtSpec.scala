@@ -32,6 +32,40 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1)._2 > 0.0 && r(1)._2 <= 1.0)
   }
 
+  test("fused qualityMetrics struct equals the HOF formulation, " +
+      "including split/trim edge cases") {
+    graft.functions.Native.register(spark)
+    val stops = Seq("the", "a", "of", "and", "is")
+    // adversarial shapes: tabs (trim strips only 0x20, split keeps
+    // leading/trailing empty fields), all-space (-> [""] token), unicode
+    // (non-alnum per codepoint), punctuation, repeated stopwords
+    val texts = Seq(
+      "the quick brown fox", "  padded  both  ends  ", "\tleading tab",
+      // ("" excluded: ANSI mode makes the HOF division throw on length
+      // 0; the fused expression yields NaN there instead — below)
+      "trailing tab\t", "a\tb\nc\rd", "   ", "the the the the",
+      "caFÉ déjà-vu ünïcode", "x" * 250 + " the end", "1 2 3 4!!!",
+      "of", "OF the The", "a  a   a", "mixedvertical\ftab")
+    val df = texts.toDF("text")
+    val hof = df.select(
+      size(TextOps.tokens($"text")).as("n_tokens"),
+      TextOps.stopwordRatio(TextOps.tokens($"text"), stops).as("stop_ratio"),
+      TextOps.nonAlnumRatio($"text").as("nonalnum_ratio"),
+      TextOps.qualityScore($"text", stops).as("quality"))
+      .collect().map(_.toString)
+    val fused = df.select(TextOps.qualityMetrics($"text", stops).as("m"))
+      .select(col("m.n_tokens"), col("m.stop_ratio"),
+        col("m.nonalnum_ratio"), col("m.quality"))
+      .collect().map(_.toString)
+    // bit-identical per row
+    assert(fused.toSeq === hof.toSeq)
+    // empty text: one empty token, NaN char ratios (no ANSI throw)
+    val e = Seq("").toDF("text")
+      .select(TextOps.qualityMetrics($"text", stops).as("m"))
+      .select(col("m.n_tokens"), col("m.nonalnum_ratio")).head
+    assert(e.getInt(0) === 1 && e.getDouble(1).isNaN)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq(("a", "Hello  World"), ("b", "hello world")).toDF("id", "text")
     val fps = df.select(TextOps.fingerprint($"text")).as[String].collect()
