@@ -129,25 +129,25 @@ object Dedup {
 
   /** NOTE on input scans: the shingle pipeline (`base`) is referenced by
     * the band branch AND both sides of the verify join — Spark
-    * re-executes the subplan per reference, so `docs` is scanned ~3×.
-    * That is the deliberate trade: recomputing integer hashing is
-    * CPU-linear, while carrying shingle arrays through the band shuffle
-    * (the alternative) multiplies shuffle volume by shingle size.
+    * re-executes the subplan per reference, so without the cache `docs`
+    * would be scanned ~3×. Carrying shingle arrays through the band
+    * shuffle (the no-cache alternative to re-scanning) multiplies
+    * shuffle volume by shingle size, so the projection is PERSISTED by
+    * default: one corpus scan feeds all three references.
     *
     * @param persistShingles cache the (id, sh) projection
-    *   (MEMORY_AND_DISK) so the three references compute it once — SET
-    *   TRUE AT CORPUS SCALE, where re-reading + re-shingling the corpus
-    *   twice more dwarfs the cache cost. Default false only because the
-    *   returned DataFrame is lazy: the cache entry outlives the call,
-    *   and a benchmark loop re-invoking the pipeline would accumulate
-    *   duplicate cache entries. Callers owning the lifecycle can also
-    *   persist/pre-write the projection themselves.
+    *   (MEMORY_AND_DISK) so the three references compute it once. The
+    *   cache entry outlives the call (the returned DataFrame is lazy);
+    *   Spark's ContextCleaner reclaims the blocks once the caller drops
+    *   the result, and callers owning a tighter lifecycle (a long-lived
+    *   service looping over corpora) can pass false and persist or
+    *   pre-write the projection themselves.
     */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
                           minJaccard: Double = 0.5,
                           maxBucket: Int = DefaultMaxBucket,
-                          persistShingles: Boolean = false): DataFrame = {
+                          persistShingles: Boolean = true): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)

@@ -402,7 +402,8 @@ object Similarity {
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                       dims: Int, minCosine: Double, bits: Int = 8,
                       maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket,
-                      tables: Int = 1): DataFrame = {
+                      tables: Int = 1,
+                      persistBase: Boolean = true): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(vectors.sparkSession)
@@ -414,10 +415,14 @@ object Similarity {
     // is a candidate if it collides in ANY table. Recall rises
     // monotonically with tables; precision is unaffected because every
     // candidate is verified by exact cosine.
-    val base = materializedColumn(
+    val base0 = materializedColumn(
       vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
       "q", quantize(col("v")))
       .select(col("id"), col("q"))
+    val base =
+      if (persistBase)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     // Bucket and pair on IDS ONLY — the same shape as the MinHash
     // pipeline. Carrying the quantized vectors through collect_list /
     // pair expansion / (tables>1) distinct would copy dims longs per
@@ -441,10 +446,10 @@ object Similarity {
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
     // same pair can collide in several tables -> dedup before the verify
     val cand = if (tables > 1) cand0.distinct() else cand0
-    // NOTE: `base` is referenced by the sig branch and both join sides —
-    // Spark re-executes the subplan per reference (3 corpus scans of a
-    // cheap projection; the MinHash pipeline documents the same trade).
-    // At corpus scale, persist or pre-write the (id, q) projection.
+    // `base` is referenced by the sig branch and both join sides; the
+    // default persist above makes that ONE corpus scan (ContextCleaner
+    // reclaims the blocks when the caller drops the result — pass
+    // persistBase=false to own the lifecycle, e.g. pre-written indexes).
     cand
       .join(base.select(col("id").as("id1"), col("q").as("q1")), Seq("id1"))
       .join(base.select(col("id").as("id2"), col("q").as("q2")), Seq("id2"))

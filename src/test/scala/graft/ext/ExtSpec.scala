@@ -261,6 +261,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("pair generation scans the corpus ONCE: base projection cached, " +
+      "no repeated file scans in the executed plan") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_scan_count").toString
+    (0 until 40).map(i =>
+        (i.toLong, (0 until 8).map(d => math.sin(i + d).toDouble).toSeq,
+          s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 5} tail$i end here"))
+      .toDF("id", "vec", "text")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    // In the executed plan every FileScan must sit INSIDE an
+    // InMemoryTableScan's cached-plan print (the tree string prints the
+    // cached child under each cache node, so equal counts == no bare
+    // file scan), and the base must be referenced through the cache at
+    // least twice (band branch + verify-join sides).
+    def sourceScans(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect() // finalize any adaptive plan before inspecting
+      // AQE prints "== Final Plan ==" then "== Initial Plan ==";
+      // inspect only the final section (the whole string otherwise)
+      val s = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      ("FileScan parquet".r.findAllIn(s).size,
+        "InMemoryTableScan".r.findAllIn(s).size)
+    }
+    val (lshFile, lshMem) = sourceScans(
+      Similarity.lshNearDupPairs(src, "id", "vec", dims = 8, minCosine = 0.9))
+    assert(lshMem >= 2, "lsh plan does not share the cached base")
+    assert(lshFile === lshMem,
+      s"lsh plan has a file scan outside the cache ($lshFile vs $lshMem)")
+    val (mhFile, mhMem) = sourceScans(
+      Dedup.minHashNearDupPairs(src, "id", "text"))
+    assert(mhMem >= 2, "minhash plan does not share the cached base")
+    assert(mhFile === mhMem,
+      s"minhash plan has a file scan outside the cache ($mhFile vs $mhMem)")
+  }
+
   test("lshNearDupPairs finds planted near-identical vectors") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, (0 until 8).map(d => math.sin(i * 8 + d + 1).toFloat * 2).toSeq)
