@@ -154,8 +154,10 @@ class KvStreamingWriterFactory(path: String, schema: StructType,
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
+    // streaming epochs can REPLAY: defer the publish rename to the
+    // driver commit, whose epoch-dedup check runs first
     new KvDataWriter(path, schema, assignedVersion, partitionId, taskId,
-      routeBuckets, routeKey)
+      routeBuckets, routeKey, deferPublish = true)
 }
 
 /** Task-commit message: published file paths plus their stats, extracted
@@ -164,7 +166,9 @@ class KvStreamingWriterFactory(path: String, schema: StructType,
   * path: stats cost is distributed across writers, planning is one JSON
   * read). */
 case class KvCommitMessage(files: Seq[String],
-                           stats: Seq[KvStats.FileStat]) extends WriterCommitMessage
+                           stats: Seq[KvStats.FileStat],
+                           staged: Seq[String] = Seq.empty)
+    extends WriterCommitMessage
 
 /** Driver-side commit for the V2 sink.
   *
@@ -201,7 +205,8 @@ class KvBatchWrite(path: String, schema: StructType,
     KvV2Util.readKeyField(path, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path, schema, assignedVersion, routeBuckets, routeKey)
+    new KvWriterFactory(path, schema, assignedVersion, routeBuckets, routeKey,
+      deferPublish = epochTag.isDefined)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -221,12 +226,28 @@ class KvBatchWrite(path: String, schema: StructType,
     // replays cannot both pass
     if (epochTag.exists { case (q, e) =>
         KvEpochs.committed(path, conf, q, e) }) {
+      // epoch-tagged tasks DEFER publish (files still under .staging/),
+      // so a replay is dropped before any reader could observe it —
+      // no transient raw-log/CDC visibility window
       messages.foreach {
-        case KvCommitMessage(files, _) =>
-          files.foreach(f => fs.delete(new HPath(f), false))
+        case KvCommitMessage(files, _, staged) =>
+          (files ++ staged).foreach(f => fs.delete(new HPath(f), false))
         case _ => ()
       }
     } else {
+    // publish deferred task files (epoch-tagged writes) now that the
+    // replay check passed — rename is per-file atomic, and the manifest
+    // /meta bump below happens in this same locked scope
+    messages.foreach {
+      case KvCommitMessage(files, _, staged) if staged.nonEmpty =>
+        staged.zip(files).foreach { case (s, f) =>
+          val dst = new HPath(f)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new HPath(s), dst))
+            throw new java.io.IOException(s"kvtable: failed to publish $s")
+        }
+      case _ => ()
+    }
     if (truncate) preExisting.foreach(f => fs.delete(f.getPath, false))
     kvSchemaJson.foreach { json =>
       val out = fs.create(new HPath(s"$path/_kvschema.json"), true)
@@ -239,7 +260,7 @@ class KvBatchWrite(path: String, schema: StructType,
     // truncating write rewrites the base whole (dropping segments) —
     // the old entries describe deleted files.
     val newStats = messages.toSeq.flatMap {
-      case KvCommitMessage(_, stats) => stats
+      case KvCommitMessage(_, stats, _) => stats
       case _ => Seq.empty
     }
     val schemaStr = KvWriteUtil.toParquetSchema(
@@ -277,8 +298,8 @@ class KvBatchWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(path).getFileSystem(new Configuration())
     messages.foreach {
-      case KvCommitMessage(files, _) =>
-        files.foreach(f => fs.delete(new HPath(f), false))
+      case KvCommitMessage(files, _, staged) =>
+        (files ++ staged).foreach(f => fs.delete(new HPath(f), false))
       case _ => ()
     }
   }
@@ -286,11 +307,12 @@ class KvBatchWrite(path: String, schema: StructType,
 
 class KvWriterFactory(path: String, schema: StructType,
                       assignedVersion: Long, routeBuckets: Int = 0,
-                      keyField: Option[String] = None)
+                      keyField: Option[String] = None,
+                      deferPublish: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KvDataWriter(path, schema, assignedVersion, partitionId, taskId,
-      routeBuckets, keyField)
+      routeBuckets, keyField, deferPublish)
 }
 
 /** Per-task buffered writer. Rows carrying a `__bucket` column are
@@ -306,7 +328,8 @@ class KvWriterFactory(path: String, schema: StructType,
 class KvDataWriter(path: String, schema: StructType,
                    assignedVersion: Long, partitionId: Int,
                    taskId: Long, routeBuckets: Int = 0,
-                   routeKeyField: Option[String] = None)
+                   routeKeyField: Option[String] = None,
+                   deferPublish: Boolean = false)
     extends DataWriter[InternalRow] {
 
   import graft.kv.KvTable.{SeqCol, TombstoneCol, VersionCol}
@@ -443,27 +466,38 @@ class KvDataWriter(path: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     val conf = new Configuration()
     val fs = new HPath(path).getFileSystem(conf)
+    // Epoch-tagged (streaming) tasks DEFER the publish rename to the
+    // driver commit: the replay check there runs before any file
+    // reaches data/, so a replayed epoch is never reader-visible, even
+    // transiently (raw-log/CDC consumers included). Batch tasks publish
+    // here as before — their job-level replay cannot happen.
     val published = writers.toSeq.map { case (bucket, (staged, file, w)) =>
       w.close() // single buffered flush per task, like flushCommits()
-      fs.mkdirs(new HPath(file).getParent)
-      if (!fs.rename(new HPath(staged), new HPath(file)))
-        throw new java.io.IOException(s"kvtable: failed to publish $staged")
-      (bucket, file)
+      if (!deferPublish) {
+        fs.mkdirs(new HPath(file).getParent)
+        if (!fs.rename(new HPath(staged), new HPath(file)))
+          throw new java.io.IOException(s"kvtable: failed to publish $staged")
+      }
+      (bucket, file, staged)
     }
     // Extract this task's file stats from the footers IT just wrote —
     // distributed stats collection, merged driver-side at job commit —
     // and attach the rowkey bloom built while the rows streamed through.
-    val stats = published.map { case (bucket, file) =>
-      val p = new HPath(file)
-      val len = fs.getFileStatus(p).getLen
-      val st = KvStats.fromFooter(p, KvStats.relativize(path, p, conf), len, conf)
+    // In defer mode the footer is read at the STAGED path; the recorded
+    // manifest path is the publish target (rename preserves content).
+    val stats = published.map { case (bucket, file, staged) =>
+      val actual = new HPath(if (deferPublish) staged else file)
+      val len = fs.getFileStatus(actual).getLen
+      val st = KvStats.fromFooter(actual,
+        KvStats.relativize(path, new HPath(file), conf), len, conf)
       blooms.get(bucket) match {
         case Some((bits, valid)) if valid(0) =>
           st.copy(bloom = Some(KvBloom.encode(bits)))
         case _ => st
       }
     }
-    KvCommitMessage(published.map(_._2), stats)
+    KvCommitMessage(published.map(_._2), stats,
+      if (deferPublish) published.map(_._3) else Seq.empty)
   }
 
   override def abort(): Unit = {

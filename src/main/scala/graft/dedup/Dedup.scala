@@ -283,9 +283,14 @@ object Dedup {
                     cap: Int): DataFrame = {
     val census = df.groupBy(groupCol.as("__grp"))
       .agg(count(lit(1)).as("__n_grp"))
+    // the product side runs in DECIMAL(38,0): hash60 < P ~ 1e9, so a
+    // LONG product would overflow (silently flipping keep decisions)
+    // once a group passes ~9.2e9 rows — real at the 100 TB target.
+    // Same kept set as the long math wherever that didn't overflow, so
+    // the SQL mirrors are unchanged.
     df.join(broadcast(census), groupCol === col("__grp"))
-      .filter(hash60(idCol.cast("string")) * col("__n_grp") <
-        lit(cap.toLong) * lit(MinHashP))
+      .filter(hash60(idCol.cast("string")).cast("decimal(38,0)") *
+        col("__n_grp") < lit(cap.toLong) * lit(MinHashP))
       .drop("__grp", "__n_grp")
   }
 
@@ -372,6 +377,19 @@ object Dedup {
     * dynamic executors, a reliable `checkpoint` dir is the safer
     * variant of the same call.
     */
+  /** Free a `localCheckpoint`'d DataFrame's cached blocks
+    * (Dataset.unpersist only covers CacheManager entries; the
+    * checkpoint's RDD is held by the LogicalRDD leaf the checkpoint
+    * rewrote the plan to). Call once a checkpointed result — e.g.
+    * [[connectedComponents]]' returned labels — has been fully
+    * consumed; until then (and absent this call) the blocks live until
+    * the ContextCleaner collects the dropped RDD reference. */
+  def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(false)
+    case _ => ()
+  }
+
   def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
                           maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -385,14 +403,7 @@ object Dedup {
       labels.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
-    // free a localCheckpoint'd round's blocks (Dataset.unpersist only
-    // covers CacheManager entries; the checkpoint's RDD is held by the
-    // LogicalRDD leaf the checkpoint rewrote the plan to)
-    def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    def free(df: DataFrame): Unit = Dedup.freeCheckpoint(df)
     try {
       // lazy checkpoints: the checksum action materializes each round's
       // labels, so a round costs ONE job, not a checkpoint job plus a

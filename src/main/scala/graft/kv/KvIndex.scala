@@ -37,6 +37,22 @@ object KvIndex {
   val Sep = "\u0000"
   private val SepSucc = "\u0001"
 
+  /** Byte-stuff NUL/SOH out of the indexed value before composing the
+    * key (`\u0001`->`\u0001\u0002` first, then `\u0000`->`\u0001\u0001`):
+    * the encoded value contains no `\u0000`, so a value like "a\u0000b"
+    * can no longer fall inside the prefix range computed for value "a"
+    * -- the range `[enc(v)\u0000, enc(v)\u0001)` matches exactly the
+    * entries whose DECODED value equals `v` (the encoding is injective
+    * and NUL-free). Lookup bounds apply the same encoding; ordering
+    * between DIFFERENT values may shift, which is fine because the
+    * index serves equality prefix scans only. */
+  private def escCol(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(c, lit("\u0001"), lit("\u0001\u0002")),
+      lit("\u0000"), lit("\u0001\u0001"))
+
+  private def escStr(v: String): String =
+    v.replace("\u0001", "\u0001\u0002").replace("\u0000", "\u0001\u0001")
+
   /** Index table schema: composite rowkey + the primary key echoed as a
     * value column, plus any COVERED primary columns (their values are
     * stored in the index so a covered lookup never touches the primary
@@ -65,7 +81,7 @@ object KvIndex {
   private def entriesOf(view: DataFrame, keyField: String, col0: String,
                         covered: Seq[String]): DataFrame =
     view.select(
-      concat(col(col0).cast("string"), lit(Sep),
+      concat(escCol(col(col0).cast("string")), lit(Sep),
         col(keyField).cast("string")).as("__ikey") +:
       col(keyField).cast("string").as("__pk") +:
       covered.map(col): _*)
@@ -127,7 +143,7 @@ object KvIndex {
   def lookupKeys(spark: SparkSession, indexPath: String,
                  value: String): DataFrame =
     KvTable.readRange(spark, indexPath,
-        Some(value + Sep), Some(value + SepSucc))
+        Some(escStr(value) + Sep), Some(escStr(value) + SepSucc))
       .select(col("__pk"))
 
   /** Covered (index-only) lookup: the covered columns' values straight
@@ -139,7 +155,7 @@ object KvIndex {
     require(covered.nonEmpty,
       s"index $indexPath was built without covered columns")
     KvTable.readRange(spark, indexPath,
-        Some(value + Sep), Some(value + SepSucc))
+        Some(escStr(value) + Sep), Some(escStr(value) + SepSucc))
       .select(col("__pk") +: covered.map(col): _*)
   }
 

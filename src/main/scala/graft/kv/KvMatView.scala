@@ -196,13 +196,19 @@ object KvMatView {
                          // so the write and the emptied-group probe
                          // don't re-run the two base scans
     val schema = viewSchema(groupCol, sumCols)
-    KvTable.write(merged.filter(col("cnt") > 0), viewPath, schema,
-      SinkMode.Append)
-    val dead = merged.filter(col("cnt") === 0).select(col(groupCol))
-    if (!dead.isEmpty)
-      KvTable.delete(dead, viewPath, schema)
-    writeViewMeta(spark, viewPath, groupCol, sumCols, toCp)
-    MetaSidecar.delete(spark, journal)
+    try {
+      KvTable.write(merged.filter(col("cnt") > 0), viewPath, schema,
+        SinkMode.Append)
+      val dead = merged.filter(col("cnt") === 0).select(col(groupCol))
+      if (!dead.isEmpty)
+        KvTable.delete(dead, viewPath, schema)
+      writeViewMeta(spark, viewPath, groupCol, sumCols, toCp)
+      MetaSidecar.delete(spark, journal)
+    } finally
+      // refresh fully consumes the checkpointed merge here — free its
+      // blocks so a long-lived session's repeated refreshes don't
+      // accumulate orphaned cached RDDs
+      graft.dedup.Dedup.freeCheckpoint(merged)
   }
 
   /** The view's live contents (LWW read of the view table). */

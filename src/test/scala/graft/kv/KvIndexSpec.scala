@@ -24,6 +24,27 @@ class KvIndexSpec extends SparkSpec {
     assert(KvIndex.lookupKeys(spark, index, "").as[String].collect().isEmpty)
   }
 
+  test("indexed values containing NUL/SOH do not leak into another " +
+    "value's prefix range (byte-stuffed composite keys)") {
+    val primary = TestSpark.scratch("kvidx-nul-primary")
+    val index = TestSpark.scratch("kvidx-nul-index")
+    // "a\u0000x" would sort inside the naive range [a\0, a\1); "a\u0001"
+    // would collide with the range's upper bound
+    KvTable.write(
+      Seq(("k1", "a", 1L), ("k2", "a\u0000x", 2L), ("k3", "a\u0001", 3L))
+        .toDF("k", "status", "amt"),
+      primary, schema, SinkMode.Replace)
+    KvIndex.build(spark, primary, index, "status")
+    assert(KvIndex.lookupKeys(spark, index, "a").as[String].collect()
+      === Array("k1"))
+    assert(KvIndex.lookupKeys(spark, index, "a\u0000x").as[String].collect()
+      === Array("k2"))
+    assert(KvIndex.lookupKeys(spark, index, "a\u0001").as[String].collect()
+      === Array("k3"))
+    assert(KvIndex.lookup(spark, primary, index, "a")
+      .select("k").as[String].collect() === Array("k1"))
+  }
+
   test("refresh works on event-time-versioned (versionFrom) primaries: " +
     "the checkpoint lives in the row-version domain") {
     val primary = TestSpark.scratch("kvidx-ev-primary")
