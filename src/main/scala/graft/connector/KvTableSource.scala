@@ -396,6 +396,7 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
              limit: Option[Int] = None,
              topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -533,6 +534,27 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
     } else new partitioning.UnknownPartitioning(planned.length)
   }
 
+  /** Per-partition rowkey ordering, reported when EVERY planned
+    * partition's file is recorded key-sorted in the manifest (V2
+    * writers observe the order as rows stream through; compaction
+    * records the sort it just performed) and the key survives into the
+    * read schema. A partition is one row group of a sorted file, so
+    * its rows are ascending in the key; Spark then drops the local
+    * Sort under windows / merge joins / sortWithinPartitions on
+    * compacted layouts. False on any unknown file — never wrong. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val key = KvV2Util.readKeyField(path, new Configuration())
+    val ok = key.exists(k => required.fieldNames.contains(k)) &&
+      planned.nonEmpty && planned.forall(_.sorted)
+    if (ok)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .identity(key.get),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required, asOf)
 }
@@ -546,7 +568,8 @@ class KvScan(path: String, fullSchema: StructType, required: StructType,
 case class KvInputPartition(file: String, start: Long, length: Long,
                             hostnames: Array[String], bucket: Int,
                             rows: Long = 0L,
-                            keyStat: Option[KvStats.ColStat] = None)
+                            keyStat: Option[KvStats.ColStat] = None,
+                            sorted: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = hostnames
   override def partitionKey(): InternalRow =
@@ -902,16 +925,17 @@ object KvV2Util {
       if (buckets.exists(bs => bucket >= 0 && !bs.contains(bucket))) Seq.empty
       else {
         val hosts = KvV2Util.hosts(f, conf)
-        val groups = byRel.get(rel).filter(_.len == f.getLen) match {
+        val (groups, fileSorted) = byRel.get(rel).filter(_.len == f.getLen) match {
           case Some(st) =>
-            if (bloomPasses(st)) st.groups else Seq.empty
+            (if (bloomPasses(st)) st.groups else Seq.empty, st.sorted)
           case None => // not in manifest: one footer read (the slow path)
-            KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups
+            (KvStats.fromFooter(f.getPath, rel, f.getLen, conf).groups, false)
         }
         groups.collect {
           case g if KvStats.groupPasses(g.stats, pushed) =>
             KvInputPartition(f.getPath.toString, g.start, g.len, hosts,
-              bucket, g.rows, keyName.flatMap(k => g.stats.get(k)))
+              bucket, g.rows, keyName.flatMap(k => g.stats.get(k)),
+              sorted = fileSorted)
         }
       }
     }.toArray

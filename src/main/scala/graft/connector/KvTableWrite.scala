@@ -389,6 +389,30 @@ class KvDataWriter(path: String, schema: StructType,
   private def bloomFor(bucket: Int) =
     blooms.getOrElseUpdate(bucket, (new java.util.BitSet(KvBloom.Bits),
       Array(true)))
+
+  // OBSERVED per-file key order: true while every key this writer sent
+  // to the file was >= its predecessor (type-aware compare mirroring
+  // Spark's ascending sort). Recorded in the manifest and the basis for
+  // the scan's SupportsReportOrdering — observation, not assumption, so
+  // unsorted inputs (plain unbucketed appends) simply record false.
+  private val keyOrder = scala.collection.mutable.LinkedHashMap
+    .empty[Int, (Array[String], Array[Boolean])]
+  private def observeKey(bucket: Int, kr: String): Unit = {
+    val (last, ok) = keyOrder.getOrElseUpdate(bucket,
+      (Array[String](null), Array(true)))
+    if (kr == null) ok(0) = false // unverifiable key -> unknown
+    else if (ok(0) && last(0) != null) {
+      val cmp = schema(routeKeyIdx).dataType match {
+        case LongType | IntegerType =>
+          java.lang.Long.compare(last(0).toLong, kr.toLong)
+        case _ => // string rendering: UTF8 binary order, like parquet
+          java.util.Arrays.compareUnsigned(
+            last(0).getBytes("UTF-8"), kr.getBytes("UTF-8"))
+      }
+      if (cmp > 0) ok(0) = false
+    }
+    last(0) = kr
+  }
   private def keyRendering(row: InternalRow): String =
     if (routeKeyIdx < 0 || row.isNullAt(routeKeyIdx)) null
     else schema(routeKeyIdx).dataType match {
@@ -460,6 +484,7 @@ class KvDataWriter(path: String, schema: StructType,
     val (bits, valid) = bloomFor(bucket)
     val kr = keyRendering(row)
     if (kr == null) valid(0) = false else KvBloom.add(bits, kr)
+    observeKey(bucket, kr)
     writerFor(bucket)._3.write(g)
   }
 
@@ -488,8 +513,9 @@ class KvDataWriter(path: String, schema: StructType,
     val stats = published.map { case (bucket, file, staged) =>
       val actual = new HPath(if (deferPublish) staged else file)
       val len = fs.getFileStatus(actual).getLen
-      val st = KvStats.fromFooter(actual,
+      val st0 = KvStats.fromFooter(actual,
         KvStats.relativize(path, new HPath(file), conf), len, conf)
+      val st = st0.copy(sorted = keyOrder.get(bucket).exists(_._2(0)))
       blooms.get(bucket) match {
         case Some((bits, valid)) if valid(0) =>
           st.copy(bloom = Some(KvBloom.encode(bits)))

@@ -55,8 +55,13 @@ object KvStats {
     * files (footer extraction never sees row values); blooms matter
     * exactly for the many-small-append phase BEFORE compaction, which
     * is when point reads touch the most files. */
+  /** `sorted` records that the file's rows are ascending in the rowkey
+    * (V2 writers OBSERVE it while rows stream through; compaction sets
+    * it when it just key-sorted the data) — the basis for the scan's
+    * `SupportsReportOrdering` report. False = unknown, never wrong. */
   final case class FileStat(path: String, len: Long, groups: Seq[GroupStat],
-                            bloom: Option[String] = None)
+                            bloom: Option[String] = None,
+                            sorted: Boolean = false)
 
   /** `schema` is the parquet MessageType of the data files, so projection
     * and inference need no footer either. */
@@ -283,7 +288,8 @@ object KvStats {
           gn.get("rows").asLong(), stats)
       }.toSeq
       FileStat(fn.get("path").asText(), fn.get("len").asLong(), groups,
-        Option(fn.get("bloom")).map(_.asText()))
+        Option(fn.get("bloom")).map(_.asText()),
+        Option(fn.get("sorted")).exists(_.asBoolean()))
     }.toSeq
     Manifest(Option(root.get("schema")).map(_.asText()).getOrElse(""), files)
   }
@@ -307,6 +313,7 @@ object KvStats {
       fn.put("path", f.path)
       fn.put("len", f.len)
       f.bloom.foreach(fn.put("bloom", _))
+      if (f.sorted) fn.put("sorted", true)
       val groupsArr = fn.putArray("groups")
       f.groups.foreach { g =>
         val gn = groupsArr.addObject()
@@ -345,7 +352,8 @@ object KvStats {
     * manifest cost per micro-batch. Every [[foldThreshold]] appends the
     * segments fold into the base (which also drops entries for deleted
     * files); a missing manifest writes the base directly. */
-  def refresh(path: String, conf: Configuration): Unit = {
+  def refresh(path: String, conf: Configuration,
+              keySorted: Boolean = false): Unit = {
     val files = KvV2Util.dataFiles(path, conf)
     val prior = read(path, conf)
     val existing: Map[String, FileStat] =
@@ -356,7 +364,8 @@ object KvStats {
     val fresh: Map[String, FileStat] = files.flatMap { f =>
       val rel = relativize(path, f.getPath, conf)
       if (existing.get(rel).exists(_.len == f.getLen)) None
-      else Some(rel -> fromFooter(f.getPath, rel, f.getLen, conf))
+      else Some(rel ->
+        fromFooter(f.getPath, rel, f.getLen, conf).copy(sorted = keySorted))
     }.toMap
     if (prior.isEmpty || segmentFiles(path, conf).size >= foldThreshold) {
       // fold: one whole manifest keyed to the CURRENT file listing

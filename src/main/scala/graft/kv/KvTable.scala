@@ -713,7 +713,12 @@ object KvTable {
     val current = collapseKeepVersion(expireRaw(spark, path, expireBelow), schema)
       .withColumn(SeqCol, lit(0L))
       .withColumn(TombstoneCol, lit(false))
-    swapData(spark, path, current, buckets = 0, lastVersion = lastVer)
+      // key-sorted store files (HBase major compaction emits sorted
+      // HFiles): tight row-group key stats + the scan can report
+      // per-partition rowkey ordering (SupportsReportOrdering)
+      .sortWithinPartitions(col(schema.keyField))
+    swapData(spark, path, current, buckets = 0, lastVersion = lastVer,
+      keySorted = true)
     }
 
   /** Raw log, optionally with TTL-expired cells dropped — the physical
@@ -897,7 +902,8 @@ object KvTable {
       // for later appends (HBase stores are key-sorted for the same
       // reason)
       .sortWithinPartitions(col(schema.keyField))
-    swapData(spark, path, current, buckets, lastVersion = lastVer)
+    swapData(spark, path, current, buckets, lastVersion = lastVer,
+      keySorted = true)
     }
 
   /** Major compaction CLUSTERED along a Z-curve over `clusterCols` —
@@ -1001,7 +1007,8 @@ object KvTable {
     * point is the only copy of the data deleted.
     */
   private[kv] def swapData(spark: SparkSession, path: String, current: DataFrame,
-                       buckets: Int, lastVersion: Long): Unit = {
+                       buckets: Int, lastVersion: Long,
+                       keySorted: Boolean = false): Unit = {
     val tmp = s"$path/.compact-tmp"
     val old = s"$path/.data-old"
     val f = fs(spark, path)
@@ -1045,7 +1052,7 @@ object KvTable {
     graft.connector.KvStats.clear(path,
       spark.sparkContext.hadoopConfiguration)
     graft.connector.KvStats.refresh(path,
-      spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration, keySorted = keySorted)
   }
 
   /** Cells surviving HBase-Delete masking: drop tombstones and every

@@ -102,6 +102,32 @@ class KvTableSourceSpec extends SparkSpec {
     assert(spark.read.format("kvtable").load(path2).count() === 2)
   }
 
+  test("compacted table reports rowkey ordering: sortWithinPartitions " +
+    "on the key plans NO Sort; unverified layouts keep the Sort") {
+    val path = TestSpark.scratch("v2-ordered")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    // write UNSORTED within the input partition -> observed order false
+    KvTable.write(Seq(("b2", 2L), ("a1", 1L), ("c3", 3L))
+      .toDF("k", "v").coalesce(1), path, schema, SinkMode.Replace)
+    def sortNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Sort ".r.findAllIn(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).size
+    }
+    val before = sortNodes(spark.read.format("kvtable").load(path)
+      .sortWithinPartitions("k"))
+    assert(before > 0, "unverified layout must keep its local sort")
+    KvTable.compact(spark, path) // key-sorts files, records sorted=true
+    val after = sortNodes(spark.read.format("kvtable").load(path)
+      .sortWithinPartitions("k"))
+    assert(after === 0,
+      "compacted layout must satisfy the local sort from reported ordering")
+    // the report is per-partition only: a GLOBAL orderBy read stays
+    // correct (content identical to the sorted collect)
+    assert(spark.read.format("kvtable").load(path).orderBy("k")
+      .select("k").as[String].collect() === Array("a1", "b2", "c3"))
+  }
+
   test("format(kvtable) reads the raw log with engine columns") {
     val path = writeTwoBatches()
     val df = spark.read.format("kvtable").load(path)
