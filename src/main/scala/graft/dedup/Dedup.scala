@@ -419,7 +419,22 @@ object Dedup {
         val viaNeighbor = edges
           .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
           .select(col("src").as("id"), col("rep"))
-        val next = labels.unionByName(viaNeighbor)
+        // pointer jumping (path halving): also adopt rep(rep(id)) — an
+        // existing label of a same-component node, so the min-label
+        // invariant is untouched, but chain-shaped components converge
+        // in O(log diameter) rounds instead of O(diameter) (the
+        // adversarial case for plain propagation; dense near-dup
+        // clusters converge in a few rounds either way). Skipped in
+        // round 1, where labels are still the identity map and
+        // rep(rep(id)) = rep(id) — the join would be pure overhead.
+        val withPointer =
+          if (round == 0) labels.unionByName(viaNeighbor)
+          else labels.unionByName(viaNeighbor).unionByName(
+            labels
+              .join(labels.select(col("id").as("rep"), col("rep").as("rep2")),
+                Seq("rep"))
+              .select(col("id"), col("rep2").as("rep")))
+        val next = withPointer
           .groupBy(col("id")).agg(min(col("rep")).as("rep"))
           .localCheckpoint(false)
         val s = checksum(next) // materializes `next`

@@ -133,8 +133,6 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents converges on a long chain and detects cycles") {
-    // a 30-node chain needs ~15 propagation rounds (labels spread one
-    // hop per round from the minimum); a cycle must not loop forever
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
     val got = Dedup.connectedComponents(chain, "id1", "id2")
       .as[(Long, Long)].collect()
@@ -145,8 +143,19 @@ class DedupSpec extends SparkSpec {
     assert(gotC.length === 3 && gotC.forall(_._2 == 1L))
     // maxRounds guard throws rather than spinning
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "id1", "id2", maxRounds = 3)
+      Dedup.connectedComponents(chain, "id1", "id2", maxRounds = 2)
     }
+  }
+
+  test("pointer jumping: a 1000-node path graph converges in < 15 " +
+      "rounds (O(log diameter), not O(diameter))") {
+    // plain one-hop min propagation needs ~1000 rounds here; the
+    // rep(rep(id)) path-halving step makes the label distance shrink
+    // geometrically — maxRounds = 15 would throw without it
+    val path = (1L until 1000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(path, "id1", "id2", maxRounds = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length === 1000 && got.forall(_._2 == 1L))
   }
 
   test("maxBucket caps pathological-bucket pair expansion") {
