@@ -397,10 +397,10 @@ class KvDataWriter(path: String, schema: StructType,
   // unsorted inputs (plain unbucketed appends) simply record false.
   private val keyOrder = scala.collection.mutable.LinkedHashMap
     .empty[Int, (Array[String], Array[Boolean])]
-  private def observeKey(bucket: Int, kr: String): Unit = {
+  private def observeKey(bucket: Int, kr: String, faithful: Boolean): Unit = {
     val (last, ok) = keyOrder.getOrElseUpdate(bucket,
       (Array[String](null), Array(true)))
-    if (kr == null) ok(0) = false // unverifiable key -> unknown
+    if (kr == null || !faithful) ok(0) = false // unverifiable key -> unknown
     else if (ok(0) && last(0) != null) {
       val cmp = schema(routeKeyIdx).dataType match {
         case LongType | IntegerType =>
@@ -421,6 +421,19 @@ class KvDataWriter(path: String, schema: StructType,
       case IntegerType => row.getInt(routeKeyIdx).toString
       case _ => null
     }
+
+  // The string rendering is byte-faithful only for valid UTF-8: toString
+  // collapses invalid sequences to U+FFFD, so two distinct raw keys can
+  // render equal or even reorder (raw 0xFF > 0xEF 0xBF 0xBE, but their
+  // renderings U+FFFD < U+FFFE). Rather than record an ordering the raw
+  // bytes don't have — which would let the scan report sorted output and
+  // Spark drop a required Sort — such keys decline the sorted claim.
+  private def keyFaithful(row: InternalRow): Boolean =
+    routeKeyIdx < 0 || row.isNullAt(routeKeyIdx) ||
+      (schema(routeKeyIdx).dataType match {
+        case StringType => row.getUTF8String(routeKeyIdx).isValid
+        case _ => true
+      })
 
   private def writerFor(bucket: Int) = writers.getOrElseUpdate(bucket, {
     val name = newName()
@@ -484,7 +497,7 @@ class KvDataWriter(path: String, schema: StructType,
     val (bits, valid) = bloomFor(bucket)
     val kr = keyRendering(row)
     if (kr == null) valid(0) = false else KvBloom.add(bits, kr)
-    observeKey(bucket, kr)
+    observeKey(bucket, kr, keyFaithful(row))
     writerFor(bucket)._3.write(g)
   }
 

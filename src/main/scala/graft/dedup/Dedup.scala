@@ -139,9 +139,11 @@ object Dedup {
     *   (MEMORY_AND_DISK) so the three references compute it once. The
     *   cache entry outlives the call (the returned DataFrame is lazy);
     *   Spark's ContextCleaner reclaims the blocks once the caller drops
-    *   the result, and callers owning a tighter lifecycle (a long-lived
-    *   service looping over corpora) can pass false and persist or
-    *   pre-write the projection themselves.
+    *   the result, a caller that keeps the result alive hands the
+    *   blocks back explicitly via [[releaseCache]], and callers owning
+    *   a tighter lifecycle (a long-lived service looping over corpora)
+    *   can pass false and persist or pre-write the projection
+    *   themselves.
     */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
@@ -389,6 +391,23 @@ object Dedup {
       lr.rdd.unpersist(false)
     case _ => ()
   }
+
+  /** Release the MEMORY_AND_DISK blocks of every cached relation a
+    * returned result still references — the explicit hand-back for the
+    * `persistShingles` / `persistBase` default caches
+    * ([[minHashNearDupPairs]], `Similarity.lshNearDupPairs`). Those
+    * blocks are normally reclaimed by the ContextCleaner once the
+    * caller drops the result, but a long-lived session that HOLDS
+    * returned DataFrames pins them indefinitely; call this once the
+    * rows have been consumed. Walks the cache-substituted plan and
+    * clears each cached relation's buffers; the DataFrame stays valid
+    * (a re-use simply re-materializes the cache). */
+  def releaseCache(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        imr.cacheBuilder.clearCache(false)
+      case _ => ()
+    }
 
   def connectedComponents(pairs: DataFrame, idCol1: String, idCol2: String,
                           maxRounds: Int = 50): DataFrame = {

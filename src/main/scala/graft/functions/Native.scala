@@ -85,8 +85,13 @@ object Native {
     * 0x20 only (Spark `trim`), separators are Java regex `\s`
     * ([ \t\n\x0B\f\r]), Java split keeps leading/trailing empty fields
     * the way limit=-1 does, and "" yields a single empty token.
-    * Char counts are codepoints (UTF8String.numChars); any non-ASCII
-    * codepoint lowercases outside [a-z0-9 ] so it counts non-alnum. */
+    * Char counts are codepoints (UTF8String.numChars); every non-ASCII
+    * codepoint counts non-alnum. CONTRACT: bit-identity with the HOF
+    * formulation assumes no codepoint whose lowercase mapping crosses
+    * into ASCII — the two exceptions (U+212A KELVIN SIGN -> 'k',
+    * U+0130 'İ' -> 'i') would be alnum after `lower()` yet non-alnum
+    * here. Neither occurs in the test corpus; text containing them gets
+    * a conservative (higher) nonalnum_ratio, not a crash. */
   def textQualityEval(text: UTF8String,
                       stops: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = text.getBytes

@@ -448,7 +448,8 @@ object Similarity {
     val cand = if (tables > 1) cand0.distinct() else cand0
     // `base` is referenced by the sig branch and both join sides; the
     // default persist above makes that ONE corpus scan (ContextCleaner
-    // reclaims the blocks when the caller drops the result — pass
+    // reclaims the blocks when the caller drops the result; a caller
+    // holding the result releases them via Dedup.releaseCache — or pass
     // persistBase=false to own the lifecycle, e.g. pre-written indexes).
     cand
       .join(base.select(col("id").as("id1"), col("q").as("q1")), Seq("id1"))

@@ -128,6 +128,29 @@ class KvTableSourceSpec extends SparkSpec {
       .select("k").as[String].collect() === Array("a1", "b2", "c3"))
   }
 
+  test("invalid-UTF8 rowkeys decline the sorted claim (rendering is " +
+    "not byte-faithful): the scan keeps a required local Sort") {
+    val path = TestSpark.scratch("v2-unfaithful")
+    val schema = KvSchema.of("k", "v" -> ("f", "v"))
+    // raw key order is DESCENDING (0xFF > 0xEF 0xBF 0xBE) but both keys
+    // render U+FFFD/U+FFFE — ASCENDING — so a toString-based order
+    // observation would record sorted=true for an order the raw bytes
+    // don't have, and the scan would drop a Sort the query requires.
+    val rows = Seq(
+      (Array(0xff.toByte), 1L),
+      (Array(0xef.toByte, 0xbf.toByte, 0xbe.toByte), 2L))
+    KvTable.write(
+      rows.toDF("b", "v").select($"b".cast("string").as("k"), $"v")
+        .coalesce(1),
+      path, schema, SinkMode.Replace)
+    val rd = spark.read.format("kvtable").load(path).sortWithinPartitions("k")
+    rd.collect()
+    val sorts = "Sort ".r.findAllIn(rd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head).size
+    assert(sorts > 0,
+      "non-byte-faithful keys must not let the scan report an ordering")
+  }
+
   test("format(kvtable) reads the raw log with engine columns") {
     val path = writeTwoBatches()
     val df = spark.read.format("kvtable").load(path)

@@ -120,6 +120,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 - p._1 == 1000L))
   }
 
+  test("releaseCache frees the default-persisted shingle projection " +
+    "while the caller still holds the result") {
+    val df = (0 until 30).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(df, "doc_id", "text")
+    pairs.collect() // materialize -> the persisted base loads its blocks
+    val imrs = pairs.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(imrs.nonEmpty, "the shingle projection must be cached by default")
+    assert(imrs.exists(_.cacheBuilder.isCachedColumnBuffersLoaded))
+    Dedup.releaseCache(pairs)
+    assert(imrs.forall(!_.cacheBuilder.isCachedColumnBuffersLoaded),
+      "releaseCache must drop the cached blocks the held result pins")
+    // the result stays usable — re-use simply re-materializes
+    assert(pairs.count() >= 0)
+  }
+
   test("connectedComponents resolves clusters to min-id representatives") {
     // chain 1-2-3-4-5 (multi-round propagation), pair {10,11}, pair
     // {20,21} plus cross-edge 21-22; node 30 isolated via self-pair-free
