@@ -35,6 +35,33 @@ import java.nio.file.{Files, Paths}
   * the write path, measured against a pre-warmed streaming engine.
   */
 object Bench {
+
+  /** Accumulates per-task shuffle/spill/peak-memory across the session;
+    * Bench snapshots deltas around each query's first timed rep (the
+    * numbers are deterministic per rep — full materialization of the
+    * same plan — so one rep suffices). Turns the 100×-scale plan audit
+    * into per-round metrics: a query whose shuffle bytes blow up at a
+    * bigger SF shows up as a regression in `bench_out.json`, not just
+    * in a judge's plan read. */
+  private final class TaskMetricListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val spill = new AtomicLong
+    val peakMem = new AtomicLong // max single-task execution memory
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -127,6 +154,16 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    val metrics = new TaskMetricListener
+    spark.sparkContext.addSparkListener(metrics)
+    def flush(): Unit =
+      org.apache.spark.graftbridge.ListenerFlush(spark.sparkContext)
+
+    var shufW = Map.empty[String, Long]
+    var shufR = Map.empty[String, Long]
+    var spills = Map.empty[String, Long]
+    var peaks = Map.empty[String, Long]
+
     val results: Map[String, Seq[Double]] = selected.map { case (name, fn) =>
       if (setupFailed.contains(name)) name -> Seq(-1.0)
       else {
@@ -134,11 +171,23 @@ object Bench {
         var failed = false
         var r = 0
         while (r < reps && !failed) {
+          // Metric window around the FIRST rep only: shuffle/spill are
+          // deterministic per rep, and the flush itself is untimed.
+          if (r == 0) { flush(); metrics.peakMem.set(0L) }
+          val (w0, r0, s0) = (metrics.shuffleWrite.get, metrics.shuffleRead.get,
+            metrics.spill.get)
           val t0 = System.nanoTime()
           try { materialize(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             failed = true
+          }
+          if (r == 0 && !failed) {
+            flush()
+            shufW += name -> (metrics.shuffleWrite.get - w0)
+            shufR += name -> (metrics.shuffleRead.get - r0)
+            spills += name -> (metrics.spill.get - s0)
+            peaks += name -> metrics.peakMem.get
           }
           r += 1
         }
@@ -161,11 +210,13 @@ object Bench {
     }
     def numMap(m: Map[String, Double]) =
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def longMap(m: Map[String, Long]) =
+      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${numMap(medians)},"mins":${numMap(mins)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${numMap(medians)},"mins":${numMap(mins)},"shuffleWriteBytes":${longMap(shufW)},"shuffleReadBytes":${longMap(shufR)},"spillBytes":${longMap(spills)},"peakTaskMemBytes":${longMap(peaks)},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>

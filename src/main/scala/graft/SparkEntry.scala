@@ -5,12 +5,14 @@ import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Session requirement: the driver's testdata `events` table stores
-  * nanosecond parquet timestamps, which Spark only reads with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench; any
-  * external session running these queries needs it too). Queries convert
-  * with `timestamp_micros(ts DIV 1000)`, matching DuckDB's
-  * `CAST(ts AS TIMESTAMP)` truncation.
+  * Note on `events.ts`: the driver's testdata stores microsecond
+  * parquet timestamps (no timezone), which Spark reads as
+  * TIMESTAMP_NTZ. Queries normalize with `cast(ts as timestamp)`
+  * (a wall-clock-preserving NTZ→LTZ cast under the UTC sessions
+  * Verify/Bench build), matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+  * Earlier testdata generations stored nanos-as-long; the
+  * `nanosAsLong` session conf is kept in Verify/Bench so either
+  * generation stays readable.
   */
 object SparkEntry {
 

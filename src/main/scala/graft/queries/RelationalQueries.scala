@@ -377,7 +377,7 @@ object RelationalQueries {
     // Tumbling time window over the event stream (batch view).
     "q_time_window" -> { (s, dir) =>
       table(s, dir, "events")
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
         .groupBy(date_trunc("hour", col("t")).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec)).cast("double").as("total_value"))
@@ -390,7 +390,7 @@ object RelationalQueries {
     // shuffle, no per-row subqueries.
     "q_asof_join" -> { (s, dir) =>
       val ev = table(s, dir, "events")
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("t"), lit(1).as("is_click"),
           col("event_id"), lit(null).cast("timestamp").as("view_ts"))
@@ -749,7 +749,7 @@ object RelationalQueries {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       table(s, dir, "events")
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
         .withColumn("prev_t", lag(col("t"), 1).over(byUser))
         .withColumn("new_sess",
           when(col("prev_t").isNull ||

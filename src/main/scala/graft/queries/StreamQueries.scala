@@ -250,7 +250,7 @@ object StreamQueries {
       val stream = s.readStream
         .schema(schemaOf(s, dir, "events"))
         .parquet(streamDir(dir, "events"))
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
         .withColumn("hour_ts", date_trunc("hour", col("t")))
         .groupBy(col("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -339,7 +339,7 @@ object StreamQueries {
         .schema(schemaOf(s, dir, "events"))
         .parquet(streamDir(dir, "events"))
         .filter(col("user_id") < 200)
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
         .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("sess_start"),
@@ -412,7 +412,7 @@ object StreamQueries {
         .schema(schemaOf(s, dir, "events"))
         .parquet(streamDir(dir, "events"))
         .filter(col("user_id") < 200)
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
         .withWatermark("t", "1 hour")
         .select(col("user_id"), col("t"))
         .as[(Long, java.sql.Timestamp)]
@@ -445,7 +445,7 @@ object StreamQueries {
         .schema(schemaOf(s, dir, "events"))
         .parquet(streamDir(dir, "events"))
         .filter(col("user_id") < 50)
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
         .withWatermark("t", "1 day")
         .select(col("user_id"), col("t"))
       val ord = s.readStream
@@ -495,7 +495,7 @@ object StreamQueries {
         .schema(schemaOf(s, dir, "events"))
         .parquet(streamDir(dir, "events"))
         .filter(col("user_id") < 20)
-        .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("t", expr("cast(ts as timestamp)"))
         // clip AFTER the watermark node: the watermark must observe the
         // full event range (max Jan 30) so eviction passes the clip
         // bound; clipping first would cap the watermark at clip - 1d
