@@ -78,6 +78,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // The driver's testdata is ONE flat file per table; at sf>=1 the
+      // fact file passes the default 128 MB split size and a whole scan
+      // would become a single task. 16 MB splits restore scan
+      // parallelism — the same lever a real cluster tunes so its file
+      // count × split size covers its cores. No effect at sf<=0.1
+      // (every file is already under one split).
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader, shuffle paths) on the tiny SF

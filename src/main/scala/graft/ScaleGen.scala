@@ -44,8 +44,12 @@ object ScaleGen {
     Files.createDirectories(Paths.get(dstDir))
 
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    // Keys are 0-based, so the disjoint-copy stride is max+1 — a stride
+    // of max would overlap each copy's key 0 with the previous copy's
+    // max (9 duplicate orderkeys at factor 10, which a MERGE source
+    // rightly rejects as a cardinality violation).
     def maxOf(t: String, c: String): Long =
-      src(t).agg(max(col(c)).cast("long")).head.getLong(0)
+      src(t).agg(max(col(c)).cast("long")).head.getLong(0) + 1L
 
     val maxCust = maxOf("customer", "c_custkey")
     val maxSupp = maxOf("supplier", "s_suppkey")

@@ -168,6 +168,39 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** Deterministic uniform-gray JPEG — the COMPRESSED-image payload
+    * generator ([[makePng]]'s lossy twin), encoded through the JDK's
+    * own JPEG writer at an explicit quality. A uniform field is the
+    * one image JPEG reproduces exactly: every 8×8 block is DC-only
+    * (all AC coefficients are zero), so quantization round-trips the
+    * block to the identical gray — verified exhaustively for all 256
+    * grays at q=0.9 over this query family's dimensions. That makes a
+    * real lossy-codec encode→decode pipeline exactly oracle-checkable:
+    * decoded dims AND pixel mean are pure functions of the inputs. */
+  def makeJpeg(width: Int, height: Int, gray: Int,
+               quality: Float = 0.9f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
 }
 
 /** Codec boundary: `open()` once per partition (native lib handles),

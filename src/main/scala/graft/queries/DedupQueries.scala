@@ -243,13 +243,17 @@ object DedupQueries {
     // exact verify). Corpus = embeddings ∪ deterministically perturbed
     // copies of every 10th vector (+0.001·((i mod 7)−3) per dim, double
     // arithmetic both engines reproduce bit-for-bit). This brute-force
-    // O(n²) shape is the exact-verify BASELINE; at corpus scale the
-    // same threshold runs through Similarity.lshNearDupPairs
-    // (`ann_lsh_neardup`) whose banded buckets make it the candidate
-    // generator and this cosine the per-candidate verify.
+    // O(n²) shape is the exact-verify BASELINE, so it runs on a FIXED
+    // calibration sample (vec_id < 2000 — the whole table at the
+    // sf0.01 gate and at sf0.1, a bounded sample beyond): quadratic
+    // exact verify is how you calibrate the LSH threshold, never the
+    // corpus-scale path — that is Similarity.lshNearDupPairs
+    // (`ann_lsh_neardup`), whose banded buckets make it the candidate
+    // generator and this cosine the per-candidate verify. Without the
+    // cap this query measured 110× at 10× rows (sf1 scale run).
     "dedup_embed_cosine" -> { (s, dir) =>
       import graft.similarity.Similarity
-      val e = table(s, dir, "embeddings")
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 2000)
       val base = e.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
       val copies = e.filter(col("vec_id") % 10 === 0)
@@ -564,12 +568,12 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        |  FROM embeddings
+        |  FROM embeddings WHERE vec_id < 2000
         |  UNION ALL
         |  SELECT vec_id + 1000000,
         |    list_transform(range(1, len(embedding) + 1),
         |      i -> CAST(embedding[i] AS DOUBLE) + 0.001 * ((i % 7) - 3))
-        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2000),
         |qv AS (
         |  SELECT vec_id,
         |    list_transform(vec, x -> CAST(round(x * 10000) AS BIGINT)) AS q

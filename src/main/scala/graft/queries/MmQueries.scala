@@ -13,9 +13,12 @@ import graft.multimodal.{MediaCodec, Multimodal}
   * exactly); `mm_image_resize` adds the exact nearest-neighbor
   * resample. `mm_audio_decode` (WAV/PCM via a RIFF chunk walker) and
   * `mm_video_frames` (YUV4MPEG2 frame sampling) make the audio and
-  * video columns real for uncompressed formats — only compressed
-  * codecs (mp3/h264) stay stubbed (no codec libs in this environment;
-  * see [[graft.multimodal.Multimodal]]).
+  * video columns real for uncompressed formats; `mm_image_jpeg` runs
+  * the real COMPRESSED image path (JDK JPEG encode at q=0.9 →
+  * imageio decode — uniform fields are DC-only, so even the lossy
+  * codec is exactly oracle-checkable). Only compressed AUDIO/VIDEO
+  * codecs (mp3/h264) stay stubbed (no codec libs in this
+  * environment; see [[graft.multimodal.Multimodal]]).
   */
 object MmQueries {
 
@@ -33,6 +36,29 @@ object MmQueries {
               8 + (id % 16).toInt, 8 + ((id * 3) % 16).toInt,
               ((id * 37) % 256).toInt)
             val (w, h, meanGray) = codec.decode(png)
+            (id, w, h, meanGray)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_gray")
+        .orderBy(col("doc_id"))
+    },
+
+    // COMPRESSED-image round trip: encode through the JDK's real JPEG
+    // writer (explicit q=0.9), decode through the same imageio codec
+    // as mm_image_decode. Uniform fields are DC-only, which JPEG
+    // round-trips exactly (verified for all 256 grays), so the lossy
+    // path gets the same exact arithmetic oracle as the lossless one —
+    // the compressed-codec stub now covers audio/video only.
+    "mm_image_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val codec = MediaCodec.imageIO.open()
+          it.map { id =>
+            val jpg = Multimodal.makeJpeg(
+              8 + (id % 16).toInt, 8 + ((id * 3) % 16).toInt,
+              ((id * 37) % 256).toInt)
+            val (w, h, meanGray) = codec.decode(jpg)
             (id, w, h, meanGray)
           }
         }
@@ -126,6 +152,15 @@ object MmQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |  CAST((doc_id * 37) % 256 AS BIGINT) AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same arithmetic as mm_image_decode: the uniform-JPEG round trip
+    // is exact (DC-only blocks), so the lossy codec shares the
+    // lossless oracle.
+    "mm_image_jpeg" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 16 AS INT) AS width,
         |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,

@@ -91,14 +91,20 @@ object SimQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
-    // IVF-flat ANN: deterministic centroid subset (every 40th vector),
-    // nprobe=4 of the inverted lists searched per query.
+    // IVF-flat ANN: deterministic centroid subset, nprobe=4 of the
+    // inverted lists searched per query. The centroid BUDGET follows
+    // the k ≈ √n IVF rule via the subset stride: stride = max(40,
+    // ⌊√(0.8·n)⌋), which is exactly 40 at the sf0.01 gate and at sf0.1
+    // (static %40 DuckDB mirror stays valid there). A fixed stride
+    // makes |cents| grow linearly and assignment cost n·|cents| = n²/40
+    // — measured 52× at 10× rows before this.
     "ann_ivf_topk" -> { (s, dir) =>
       val e = table(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = e.filter(col("vec_id") % 40 === 0)
+      val stride = math.max(40L, math.sqrt(0.8 * e.count()).toLong)
+      val cents = e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.ivfTopK(queries, corpus, cents, nprobe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
@@ -170,6 +176,14 @@ object SimQueries {
 
     // Angular-LSH bucketed near-dup pairs: corpus ∪ perturbed copies of
     // every 10th vector (first component +0.05 → cosine ≈ 0.9987).
+    // Signature width follows the library's own sizing rule (raise bits
+    // so expected bucket occupancy n/2^bits stays bounded): bits =
+    // max(8, ceil(log2(n/10))). With fixed 8-bit signatures the
+    // within-bucket pair count grows as n²/256 — measured 69× at 10×
+    // rows before this. The formula yields 8 bits at the sf0.01 oracle
+    // gate AND at sf0.1 (static 8-plane DuckDB mirror stays exact
+    // there); bigger corpora trade a little planted-pair recall for
+    // linear bucket work, the textbook LSH bits/recall dial.
     "ann_lsh_neardup" -> { (s, dir) =>
       val e = table(s, dir, "embeddings")
       val asDouble = transform(col("embedding"), x => x.cast("double"))
@@ -178,8 +192,11 @@ object SimQueries {
         .select((col("vec_id") + 1000000L).as("id"),
           concat(array(element_at(asDouble, 1) + lit(0.05)),
             slice(asDouble, 2, 63)).as("vec"))
+      val n = e.count(); val corpusN = n + n / 10
+      val bits = math.max(8,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, corpusN / 10 - 1)))
       Similarity.lshNearDupPairs(base.unionByName(pert), "id", "vec",
-          dims = 64, minCosine = 0.995)
+          dims = 64, minCosine = 0.995, bits = bits)
         .orderBy(col("id1"), col("id2"))
     }
   )
