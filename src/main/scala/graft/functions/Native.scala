@@ -201,18 +201,50 @@ object Native {
     v % P
   }
 
+  /** Deterministic hyperplane weight for (plane p, 1-based dim i):
+    * the (p,i) seed through a 32-bit avalanche mixer, then mapped to
+    * [-999, 999]. Must stay bit-identical to Similarity.planeW and the
+    * DuckDB oracle mirror. The mixer (vs a raw LCG lattice) keeps
+    * planes independent — see Similarity.planeW's scaladoc for the
+    * mega-bucket failure mode it prevents. */
+  def planeWeight(p: Long, i: Long): Long = {
+    val x0 = (p * 73856093L + i * 19349663L) & 0xFFFFFFFFL
+    val x1 = ((x0 ^ (x0 >>> 16)) * 741103597L) & 0xFFFFFFFFL
+    val x2 = ((x1 ^ (x1 >>> 16)) * 695847673L) & 0xFFFFFFFFL
+    ((x2 ^ (x2 >>> 16)) % 1999L) - 999L
+  }
+
+  // Plane weights are data-independent: materialize each
+  // (bits, offset, dims) family once per JVM instead of re-deriving
+  // dims×bits weights per row. Key packs the three small ints.
+  private val planeWCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+
+  private def planeWeights(bits: Int, offset: Int, dims: Int): Array[Long] = {
+    val key = (bits.toLong << 40) | (offset.toLong << 20) | dims.toLong
+    var ws = planeWCache.get(key)
+    if (ws == null) {
+      ws = Array.tabulate(bits * dims) { j =>
+        planeWeight(offset + j / dims, 1L + j % dims)
+      }
+      planeWCache.putIfAbsent(key, ws)
+    }
+    ws
+  }
+
   /** Static eval for [[HyperplaneSigExpr]]'s codegen path: angular-LSH
     * sign bits of a quantized vector for planes [offset, offset+bits). */
   def hyperplaneSigEval(q: ArrayData, bits: Int, offset: Int): Int = {
     val dims = q.numElements()
+    val ws = planeWeights(bits, offset, dims)
     var acc = 0
-    var p = offset
-    while (p < offset + bits) {
+    var p = 0
+    while (p < bits) {
       var s = 0L
-      var i = 1
-      while (i <= dims) {
-        val w = (p * 73856093L + i * 19349663L) % 1999L - 999L
-        s += q.getLong(i - 1) * w
+      var i = 0
+      val base = p * dims
+      while (i < dims) {
+        s += q.getLong(i) * ws(base + i)
         i += 1
       }
       acc = acc * 2 + (if (s >= 0L) 1 else 0)

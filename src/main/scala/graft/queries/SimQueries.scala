@@ -219,12 +219,24 @@ object SimQueries {
        |  FROM s)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // Re-derives Native.planeWeight from its formula (avalanche mixer on
+  // the (p,i) seed, then [-999,999]) so the oracle independently checks
+  // the engine's plane family, not just its bucketing. Intermediates
+  // are inlined twice (no lets in DuckDB lambdas); all values stay
+  // non-negative BIGINT so %4294967296 == the engine's 32-bit mask.
+  private def planeWSql(p: Int): String = {
+    val x0 = s"((CAST($p AS BIGINT)*73856093 + i*19349663) % 4294967296)"
+    val x1 = s"((xor($x0, $x0 >> 16) * 741103597) % 4294967296)"
+    val x2 = s"((xor($x1, $x1 >> 16) * 695847673) % 4294967296)"
+    s"((xor($x2, $x2 >> 16) % 1999) - 999)"
+  }
+
   private val annLshSql = {
     // The 8 deterministic hyperplane sign bits, generated to match
     // Similarity.hyperplaneSig exactly (bit p has weight 2^(7-p)).
     val bits = (0 to 7).map { p =>
       s"""(CASE WHEN list_sum(list_transform(range(1, 65),
-         |  i -> q[i] * ((($p*73856093 + i*19349663) % 1999) - 999))) >= 0
+         |  i -> q[i] * ${planeWSql(p)})) >= 0
          |  THEN 1 ELSE 0 END) * ${1 << (7 - p)}""".stripMargin
     }.mkString(" + ")
     s"""WITH corpus AS (

@@ -58,10 +58,27 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
-    * 1-based dim i): an integer in [-999, 999]. Pure int arithmetic so
-    * any engine reproduces it. */
-  private def planeW(p: Column, i: Column): Column =
-    (p * lit(73856093L) + i * lit(19349663L)) % lit(1999L) - lit(999L)
+    * 1-based dim i): an integer in [-999, 999]. Pure non-negative int
+    * arithmetic so any engine reproduces it bit-for-bit.
+    *
+    * The seed is run through a 32-bit avalanche mixer (two
+    * xorshift-multiply rounds, hash-prospector-class constants kept
+    * below 2^30 so every product fits a signed 64-bit lane on engines
+    * that overflow-check). A plain LCG lattice here
+    * (`(p*A + i*B) % 1999`) makes CONSECUTIVE planes near
+    * anti-correlated — adjacent signature bits flip together, so huge
+    * vector populations collapse into the two alternating-bit buckets
+    * (0b0101.. / 0b1010..) no matter how many bits the signature has;
+    * measured 18% of a 22k corpus in two buckets, turning bucketed
+    * pair expansion quadratic. Mixing restores plane independence and
+    * the N/2^bits occupancy math. */
+  private def planeW(p: Column, i: Column): Column = {
+    val m = lit(4294967296L)
+    val x0 = (p * lit(73856093L) + i * lit(19349663L)) % m
+    val x1 = (x0.bitwiseXOR(shiftright(x0, 16)) * lit(741103597L)) % m
+    val x2 = (x1.bitwiseXOR(shiftright(x1, 16)) * lit(695847673L)) % m
+    x2.bitwiseXOR(shiftright(x2, 16)) % lit(1999L) - lit(999L)
+  }
 
   /** 8-bit angular LSH signature of a quantized vector: bit p is the
     * sign of the dot product with deterministic hyperplane p. Exact
