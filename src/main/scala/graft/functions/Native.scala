@@ -41,7 +41,10 @@ object Native {
     "graft_word_shingles" -> (es => WordShinglesExpr(es(0), es(1))),
     "graft_zvalue" -> (es => ZValueExpr(es(0), es(1))),
     "graft_top_freq" -> (es => TopFreqExpr(es.head)),
-    "graft_text_quality" -> (es => TextQualityExpr(es(0), es(1))))
+    "graft_text_quality" -> (es => TextQualityExpr(es(0), es(1))),
+    "graft_gopher_stats" -> (es => GopherStatsExpr(es.head)),
+    "graft_token_stats" -> (es => TokenStatsExpr(es.head)),
+    "graft_lang_scores" -> (es => LangScoresExpr(es(0), es(1))))
 
   /** Idempotent per-session registration; call before analysis of any
     * plan using these columns. */
@@ -75,6 +78,12 @@ object Native {
     call_function("graft_top_freq", arr)
   def textQuality(text: Column, stops: Column): Column =
     call_function("graft_text_quality", text, stops)
+  def gopherStats(text: Column): Column =
+    call_function("graft_gopher_stats", text)
+  def tokenStats(text: Column): Column =
+    call_function("graft_token_stats", text)
+  def langScores(text: Column, profiles: Column): Column =
+    call_function("graft_lang_scores", text, profiles)
 
   /** Static eval for [[TextQualityExpr]]: token count, stopword ratio,
     * non-alphanumeric ratio, and the composite quality score in ONE
@@ -156,6 +165,196 @@ object Native {
       (1.0 - stopRatio) * (1.0 - nonAlRatio)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, stopRatio, nonAlRatio, quality))
+  }
+
+  /** Static eval for [[GopherStatsExpr]]: the whole Gopher repetition-
+    * metric family — token count, duplicate-token fraction, top/dup
+    * bigram fractions, top trigram fraction — in ONE pass over the text
+    * bytes. Bit-identical to the HOF formulation the DuckDB oracle
+    * mirrors (`split(trim(text),"\\s+")` tokens, `wordShingles(t,2/3)`
+    * space-joined grams, `array_distinct` / topFreq counting):
+    * tokenization replicates Spark's trim (0x20 only) + Java regex
+    * split with limit -1 (leading/trailing empty fields kept, "" yields
+    * [""]), exactly like [[textQualityEval]]. Gram equality: tokens can
+    * contain no whitespace, so space-joined n-gram strings are equal
+    * iff the token tuples are equal — tokens are interned to dense int
+    * ids and grams counted under packed-id keys with ZERO string
+    * concatenation (the former shape built every bigram+trigram string,
+    * ~2× the corpus bytes in allocations, behind three generator
+    * barriers). */
+  def gopherStatsEval(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    // Token id sequence, interned by exact byte content.
+    val intern = new java.util.HashMap[UTF8String, Integer](64)
+    var idSeq = new Array[Int](32)
+    var n = 0
+    @inline def add(tok: UTF8String): Unit = {
+      var id = intern.get(tok)
+      if (id == null) { id = Integer.valueOf(intern.size); intern.put(tok, id) }
+      if (n == idSeq.length) idSeq = java.util.Arrays.copyOf(idSeq, n * 2)
+      idSeq(n) = id.intValue(); n += 1
+    }
+    if (lo >= hi) add(UTF8String.EMPTY_UTF8) // trimmed-empty: split -> [""]
+    else {
+      if (isWs(bytes(lo))) add(UTF8String.EMPTY_UTF8) // leading empty field
+      var i = lo
+      while (i < hi) {
+        if (isWs(bytes(i))) i += 1
+        else {
+          val start = i
+          while (i < hi && !isWs(bytes(i))) i += 1
+          add(UTF8String.fromBytes(bytes, start, i - start))
+        }
+      }
+      if (isWs(bytes(hi - 1))) add(UTF8String.EMPTY_UTF8) // trailing empty field
+    }
+    val dupTokFrac = (n - intern.size).toDouble / n
+    // Bigram counts under (id,id) packed-long keys.
+    val nbg = if (n >= 2) n - 1 else 0
+    var topBg = 0
+    var distinctBg = 0
+    if (nbg > 0) {
+      val m = new java.util.HashMap[java.lang.Long, Integer](Math.max(16, nbg * 2))
+      var i = 0
+      while (i < nbg) {
+        val key = java.lang.Long.valueOf(
+          (idSeq(i).toLong << 32) | (idSeq(i + 1).toLong & 0xffffffffL))
+        val prev = m.get(key)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        m.put(key, c)
+        if (c > topBg) topBg = c
+        i += 1
+      }
+      distinctBg = m.size
+    }
+    // Trigram top count under 21-bit-packed (id,id,id) keys; a document
+    // with >= 2^21 DISTINCT tokens (>2M-token doc) falls back to tuple
+    // keys rather than miscounting.
+    val ntg = if (n >= 3) n - 2 else 0
+    var topTg = 0
+    if (ntg > 0) {
+      if (intern.size < (1 << 21)) {
+        val m = new java.util.HashMap[java.lang.Long, Integer](Math.max(16, ntg * 2))
+        var i = 0
+        while (i < ntg) {
+          val key = java.lang.Long.valueOf(
+            (idSeq(i).toLong << 42) | (idSeq(i + 1).toLong << 21) | idSeq(i + 2).toLong)
+          val prev = m.get(key)
+          val c = if (prev == null) 1 else prev.intValue() + 1
+          m.put(key, c)
+          if (c > topTg) topTg = c
+          i += 1
+        }
+      } else {
+        val m = scala.collection.mutable.HashMap.empty[(Int, Int, Int), Int]
+        var i = 0
+        while (i < ntg) {
+          val key = (idSeq(i), idSeq(i + 1), idSeq(i + 2))
+          val c = m.getOrElse(key, 0) + 1
+          m.update(key, c)
+          if (c > topTg) topTg = c
+          i += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n,
+      dupTokFrac,
+      if (nbg > 0) topBg.toDouble / nbg else 0.0,
+      if (nbg > 0) (nbg - distinctBg).toDouble / nbg else 0.0,
+      if (ntg > 0) topTg.toDouble / ntg else 0.0))
+  }
+
+  /** Static eval for [[TokenStatsExpr]]: token count + total token
+    * codepoints in ONE byte pass — bit-identical to
+    * `size(tokens(text))` / `aggregate(transform(toks, length), 0L, +)`
+    * (the [[graft.text.TextOps.tokenChars]] HOF chain). Split/trim
+    * semantics exactly as [[textQualityEval]]; char counts are
+    * codepoints (non-continuation UTF-8 bytes), and empty fields
+    * contribute 0 chars. */
+  def tokenStatsEval(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var n = 0
+    var chars = 0L
+    if (lo >= hi) n = 1 // trimmed-empty: split -> [""], 0 chars
+    else {
+      if (isWs(bytes(lo))) n += 1 // leading empty field
+      var i = lo
+      while (i < hi) {
+        if (isWs(bytes(i))) i += 1
+        else {
+          n += 1
+          while (i < hi && !isWs(bytes(i))) {
+            if ((bytes(i) & 0xc0) != 0x80) chars += 1 // codepoint start
+            i += 1
+          }
+        }
+      }
+      if (isWs(bytes(hi - 1))) n += 1 // trailing empty field
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, chars))
+  }
+
+  /** Static eval for [[LangScoresExpr]]: per-profile stopword-hit
+    * counts (frequency, not distinct) in ONE tokenize pass —
+    * bit-identical to [[graft.text.TextOps.langScores]]'s per-profile
+    * `size(filter(toks, t => array_contains(profile, t)))` HOF walks.
+    * Profiles arrive as a literal array-of-arrays; the result is the
+    * count array in profile order. */
+  def langScoresEval(text: UTF8String, profiles: ArrayData): GenericArrayData = {
+    val bytes = text.getBytes
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    val np = profiles.numElements()
+    val counts = new Array[Int](np)
+    // leading/trailing/trimmed-empty fields are empty tokens — profile
+    // words are non-empty, so empty tokens can never hit; skip them.
+    var i = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        val start = i
+        while (i < hi && !isWs(bytes(i))) i += 1
+        val len = i - start
+        var p = 0
+        while (p < np) {
+          val words = profiles.getArray(p)
+          val nw = words.numElements()
+          var w = 0
+          var hit = false
+          while (w < nw && !hit) {
+            val st = words.getUTF8String(w)
+            if (st.numBytes == len) {
+              val sb = st.getBytes
+              var m = 0
+              while (m < len && sb(m) == bytes(start + m)) m += 1
+              hit = m == len
+            }
+            w += 1
+          }
+          if (hit) counts(p) += 1
+          p += 1
+        }
+      }
+    }
+    new GenericArrayData(counts.map(c => c: Any))
   }
 
   /** Static eval for [[TopFreqExpr]]: count of the most frequent
@@ -690,6 +889,68 @@ case class TopFreqExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Native.topFreqEval($a);")
   override protected def withNewChildInternal(c: Expression): TopFreqExpr =
     copy(c)
+}
+
+/** text string -> struct<n_tokens:int, dup_token_frac:double,
+  * top_bigram_frac:double, dup_bigram_frac:double,
+  * top_trigram_frac:double>: the Gopher repetition-filter metric family
+  * (Rae et al. 2021 §A1.1) in ONE byte pass ([[Native.gopherStatsEval]])
+  * — replaces a tokenize + two shingle materializations + two
+  * array_distinct walks + two topFreq hash passes behind three
+  * generator barriers. Pin the struct behind a generator barrier and
+  * select its fields. */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_bigram_frac", DoubleType, nullable = false),
+    StructField("top_trigram_frac", DoubleType, nullable = false)))
+  override def nullSafeEval(t: Any): Any =
+    Native.gopherStatsEval(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Native.gopherStatsEval($t);")
+  override protected def withNewChildInternal(c: Expression): GopherStatsExpr =
+    copy(c)
+}
+
+/** text string -> struct<n_tokens:int, total_chars:long>: token count
+  * and total token codepoints in ONE byte pass
+  * ([[Native.tokenStatsEval]]) — replaces a tokenize + interpreted
+  * aggregate/transform HOF walk per referencing projection. Pin the
+  * struct behind a generator barrier and select its fields. */
+case class TokenStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("total_chars", LongType, nullable = false)))
+  override def nullSafeEval(t: Any): Any =
+    Native.tokenStatsEval(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Native.tokenStatsEval($t);")
+  override protected def withNewChildInternal(c: Expression): TokenStatsExpr =
+    copy(c)
+}
+
+/** (text string, profiles array<array<string>>) -> array<int>: count
+  * of tokens hitting each profile's word list, in profile order, ONE
+  * tokenize pass ([[Native.langScoresEval]]) — replaces one
+  * interpreted filter/array_contains HOF walk per profile. Pin the
+  * array behind a generator barrier and element_at the entries. */
+case class LangScoresExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(t: Any, p: Any): Any =
+    Native.langScoresEval(t.asInstanceOf[UTF8String], p.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.Native.langScoresEval($t, $p);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** (text string, stopwords array<string>) -> struct<n_tokens:int,

@@ -356,22 +356,33 @@ object RelationalQueries {
     // Map functions (§2h): build per-row maps (map_from_arrays /
     // map_concat), probe (element_at), filter entries by a lambda
     // (map_filter), and enumerate keys/values (map_keys / map_values,
-    // sorted so the projection is deterministic).
+    // sorted so the projection is deterministic). The map is PINNED
+    // behind a generator barrier: the filter plus four projections
+    // reference it, and CollapseProject would otherwise inline the
+    // map_concat build into every reference — five map constructions
+    // per row instead of one (measured 1.7× on the query at sf1).
     "q_map_funcs" -> { (s, dir) =>
+      import graft.ops.Ops.materializedColumn
       val m = map_concat(
         map_from_arrays(array(lit("status"), lit("prio")),
           array(col("o_orderstatus"), col("o_orderpriority"))),
         map(lit("cust"), col("o_custkey").cast("string")))
-      table(s, dir, "orders")
-        .select(col("o_orderkey"), m.as("m"))
+      materializedColumn(
+          table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_custkey")),
+          "m", m)
         .filter(element_at(col("m"), "status") === "O")
+        // sort FIRST, derive after: the range partitioner's sample pass
+        // re-executes the sort's child, so projecting the interpreted
+        // map_filter + sorted-CSV work above the Sort keeps it out of
+        // that second execution (order is preserved by the projection)
+        .orderBy(col("o_orderkey"))
         .select(col("o_orderkey"),
           element_at(col("m"), "prio").as("prio"),
           size(map_filter(col("m"), (_, v) => length(v) > lit(9)))
             .cast("long").as("n_long_vals"),
           array_join(sort_array(map_keys(col("m"))), "|").as("keys_csv"),
           array_join(sort_array(map_values(col("m"))), "|").as("vals_csv"))
-        .orderBy(col("o_orderkey"))
     },
 
     // Tumbling time window over the event stream (batch view).

@@ -62,16 +62,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // One fused native byte pass (TokenStatsExpr) computes the token
+    // count and char total; the former shape pinned the token array,
+    // built EVERY trigram string just to count them (n_shingles =
+    // max(n-2, 0) by construction — wordShingles yields n-2 grams when
+    // n >= 3, else empty), and ran two interpreted aggregate-HOF walks
+    // for the char totals.
     "text_tokens" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
-      val withT = materializedColumn(
+      graft.functions.Native.register(s)
+      val withS = materializedColumn(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "t", TextOps.tokens(col("text")))
-      withT.select(col("doc_id"),
-          size(col("t")).as("n_tokens"),
-          size(TextOps.wordShingles(col("t"), 3)).as("n_shingles"),
-          TextOps.tokenChars(col("t")).as("total_chars"),
-          (TextOps.tokenChars(col("t")).cast("double") / size(col("t")))
+        "st", TextOps.tokenStatsFused(col("text")))
+      withS.select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          greatest(col("st.n_tokens") - 2, lit(0)).as("n_shingles"),
+          col("st.total_chars").as("total_chars"),
+          (col("st.total_chars").cast("double") / col("st.n_tokens"))
             .as("avg_token_len"))
         .orderBy(col("doc_id"))
     },
@@ -131,48 +138,47 @@ object TextQueries {
 
     // Gopher-style repetition filters (Rae et al. 2021 §A1.1): top/
     // duplicate n-gram fractions and a keep flag at corpus-calibrated
-    // thresholds. All metrics are per-row higher-order-function compute
-    // over pinned token/shingle arrays — ZERO shuffle, no explode: the
-    // 100 TB shape is a pure map over the corpus scan. (The documents
-    // corpus has no newlines, so Gopher's line-level metrics are
-    // vacuous here; the n-gram family is the discriminating one.)
+    // thresholds. ONE fused native byte pass per row (GopherStatsExpr)
+    // computes the whole family — ZERO shuffle, no explode, no shingle
+    // strings materialized: the 100 TB shape is a pure map over the
+    // corpus scan. Bit-identical to the pinned-HOF formulation the
+    // oracle mirrors (ExtSpec proves it). (The documents corpus has no
+    // newlines, so Gopher's line-level metrics are vacuous here; the
+    // n-gram family is the discriminating one.)
     "text_gopher_quality" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
-      graft.functions.Native.register(s) // topGramFrac's topFreq expr
-      val withT = materializedColumn(
+      graft.functions.Native.register(s)
+      val withG = materializedColumn(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "t", TextOps.tokens(col("text")))
-      val withBg = materializedColumn(withT, "bg",
-        TextOps.wordShingles(col("t"), 2))
-      val withTg = materializedColumn(withBg, "tg",
-        TextOps.wordShingles(col("t"), 3))
-      withTg.select(col("doc_id"),
-          size(col("t")).as("n_tokens"),
-          TextOps.dupGramFrac(col("t")).as("dup_token_frac"),
-          TextOps.topGramFrac(col("bg")).as("top_bigram_frac"),
-          TextOps.dupGramFrac(col("bg")).as("dup_bigram_frac"),
-          TextOps.topGramFrac(col("tg")).as("top_trigram_frac"))
+        "g", TextOps.gopherMetrics(col("text")))
+      withG.select(col("doc_id"),
+          col("g.n_tokens").as("n_tokens"),
+          col("g.dup_token_frac").as("dup_token_frac"),
+          col("g.top_bigram_frac").as("top_bigram_frac"),
+          col("g.dup_bigram_frac").as("dup_bigram_frac"),
+          col("g.top_trigram_frac").as("top_trigram_frac"))
         .withColumn("keep",
           col("top_bigram_frac") <= 0.05 && col("dup_bigram_frac") <= 0.05 &&
             col("top_trigram_frac") <= 0.04)
         .orderBy(col("doc_id"))
     },
 
-    // Stopword-profile language ID (deterministic heuristic).
+    // Stopword-profile language ID (deterministic heuristic). ALL
+    // profile scores come from ONE fused native tokenize pass
+    // (LangScoresExpr) pinned as an array<int>; the winner is picked
+    // from O(1) element_at reads of the pinned array (the former shape
+    // pinned the token array and ran one interpreted filter-HOF walk
+    // per profile).
     "text_langid" -> { (s, dir) =>
       import graft.ops.Ops.materializedColumn
-      // Stage 1 pins the token array; stage 2 computes each profile
-      // score ONCE as a named column; the winner is then picked from
-      // those pinned attributes (langIdFromScores would otherwise
-      // re-evaluate every score O(profiles²) times, each re-tokenizing).
-      val withT = materializedColumn(
+      graft.functions.Native.register(s)
+      val withSc = materializedColumn(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "t", TextOps.tokens(col("text")))
-      val scores = TextOps.langScores(col("t"))
-      val withScores = withT.select(
-        col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }: _*)
-      val pinned = scores.map { case (l, _) => l -> col(s"s_$l") }
-      withScores.select(
+        "sc", TextOps.langScoresFused(col("text")))
+      val pinned = TextOps.langProfiles.zipWithIndex.map { case ((l, _), i) =>
+        l -> element_at(col("sc"), i + 1)
+      }
+      withSc.select(
           (col("doc_id") +:
             TextOps.langIdFromScores(pinned).as("lang_guess") +:
             pinned.map { case (l, c) => c.as(s"s_$l") }): _*)
@@ -198,17 +204,16 @@ object TextQueries {
         TextOps.fingerprint(col("text")), col("doc_id"))
       val sampled = deduped.filter(
         Dedup.hash60(col("doc_id").cast("string")) % 10 < 3)
-      val withT = materializedColumn(sampled, "t",
-        TextOps.tokens(col("text")))
-      // tokens still feed langScores; the quality metrics ride the
-      // fused single-pass struct instead of re-walking the tokens
-      val withM = materializedColumn(withT, "m",
+      // both per-doc passes are fused native single-pass expressions:
+      // quality rides TextQualityExpr, the language scores ride
+      // LangScoresExpr — no token array is ever materialized
+      val withM = materializedColumn(sampled, "m",
         TextOps.qualityMetrics(col("text"), stopwords))
-      val scores = TextOps.langScores(col("t"))
-      val withS = withM.select(
-        (col("doc_id") +: col("text") +: col("m") +:
-          scores.map { case (l, c) => c.as(s"s_$l") }): _*)
-      val pinned = scores.map { case (l, _) => l -> col(s"s_$l") }
+      val withS = materializedColumn(withM, "sc",
+        TextOps.langScoresFused(col("text")))
+      val pinned = TextOps.langProfiles.zipWithIndex.map { case ((l, _), i) =>
+        l -> element_at(col("sc"), i + 1)
+      }
       withS
         .filter(col("m.quality") >= 0.2 &&
           TextOps.langIdFromScores(pinned) === "en")
@@ -343,6 +348,47 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20)
+    },
+
+    // PII detection + redaction — the scrub stage every training-data
+    // pipeline runs before release (emails / IPv4s / phone numbers →
+    // typed placeholders). Patterns live in the RE2 ∩ java.util.regex
+    // common subset so DuckDB extracts/replaces byte-identically. The
+    // synthetic corpus carries no PII, so the query PLANTS deterministic
+    // doc_id-derived PII into a third of the docs first (mirrored in the
+    // oracle) — counts and the scrubbed-text fingerprint are then
+    // value-level, not vacuously zero. Per-row regex map over one scan —
+    // no shuffle; the 100 TB shape is scan-bound.
+    "text_pii_scrub" -> { (s, dir) =>
+      import graft.ops.Ops.materializedColumn
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phonePat = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+      val planted = when(col("doc_id") % 4 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"), lit(" up")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" call +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today")))
+        .otherwise(lit(""))
+      // pin the planted text: five regex passes reference it
+      val withT = materializedColumn(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "t2", concat(col("text"), planted))
+      withT.select(col("doc_id"),
+          size(regexp_extract_all(col("t2"), lit(emailPat), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("t2"), lit(ipPat), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("t2"), lit(phonePat), lit(0)))
+            .as("n_phones"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t2"),
+            emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>"))
+            .as("scrub_fp"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -574,6 +620,31 @@ object TextQueries {
          |        i -> t[i] || ' ' || t[i+1])) AS bigram
          |      FROM (SELECT $toks AS t FROM documents))
          |GROUP BY bigram
-         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "text_pii_scrub" ->
+      raw"""WITH p AS (SELECT doc_id, text ||
+           |  CASE WHEN doc_id % 4 = 0 THEN ' reach user' ||
+           |         CAST(doc_id AS VARCHAR) || '@example.com now'
+           |       WHEN doc_id % 4 = 1 THEN ' host 10.' ||
+           |         CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+           |         CAST(doc_id % 250 AS VARCHAR) || ' up'
+           |       WHEN doc_id % 4 = 2 THEN ' call +1 (555) 010-' ||
+           |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+           |       ELSE '' END AS t2 FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t2,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(t2,
+           |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+           |  CAST(len(regexp_extract_all(t2,
+           |    '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS INT)
+           |    AS n_phones,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+           |    '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+           |    AS scrub_fp
+           |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -92,6 +92,32 @@ object TextOps {
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column =
     graft.functions.Native.textQuality(text, array(stopwords.map(lit): _*))
 
+  /** The whole Gopher repetition-metric family — struct<n_tokens,
+    * dup_token_frac, top_bigram_frac, dup_bigram_frac,
+    * top_trigram_frac> — as ONE fused native byte pass
+    * ([[graft.functions.Native.gopherStatsEval]]), bit-identical to the
+    * component formulation (tokens + wordShingles(2/3) + dupGramFrac /
+    * topGramFrac). Pin the struct with
+    * [[graft.ops.Ops.materializedColumn]] and select fields; requires
+    * [[graft.functions.Native.register]] on the session. */
+  def gopherMetrics(text: Column): Column =
+    graft.functions.Native.gopherStats(text)
+
+  /** Token count + total token codepoints — struct<n_tokens,
+    * total_chars> — as ONE fused native byte pass, bit-identical to
+    * `size(tokens(text))` / [[tokenChars]]. Pin and select fields;
+    * requires [[graft.functions.Native.register]]. */
+  def tokenStatsFused(text: Column): Column =
+    graft.functions.Native.tokenStats(text)
+
+  /** All [[langProfiles]] scores — array<int> in profile order — as ONE
+    * fused native tokenize pass, bit-identical to [[langScores]]'s
+    * per-profile HOF walks. Pin the array and element_at the entries;
+    * requires [[graft.functions.Native.register]]. */
+  def langScoresFused(text: Column): Column =
+    graft.functions.Native.langScores(text,
+      array(langProfiles.map { case (_, ws) => array(ws.map(lit): _*) }: _*))
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Identical docs (mod spacing/case) share a fingerprint —
     * the exact-dedup key. */

@@ -66,6 +66,73 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getInt(0) === 1 && e.getDouble(1).isNaN)
   }
 
+  test("fused gopherMetrics struct equals the pinned-HOF formulation, " +
+      "including empty-token and repeated-gram edge cases") {
+    graft.functions.Native.register(spark)
+    import graft.ops.Ops.materializedColumn
+    // adversarial shapes: heavy repetition (top/dup fracs interact),
+    // single-token (no bigrams), two-token (no trigrams), tabs (empty
+    // leading/trailing fields join into grams like " a"), all-space
+    // (-> [""] token), case-sensitive tokens, long repeated runs
+    val texts = Seq(
+      "the quick brown fox", "a a a a a a", "one", "two words",
+      "\ttab lead", "trail\t", "   ", "a b a b a b a b c",
+      "x y x z x y x z", "A a A a", "w " * 80 + "end",
+      "p q r p q r p q r p q", "solo  double   triple")
+    val df = texts.toDF("text")
+    val withT = materializedColumn(df, "t", TextOps.tokens($"text"))
+    val withBg = materializedColumn(withT, "bg", TextOps.wordShingles($"t", 2))
+    val withTg = materializedColumn(withBg, "tg", TextOps.wordShingles($"t", 3))
+    val hof = withTg.select(
+      size($"t").as("n_tokens"),
+      TextOps.dupGramFrac($"t").as("dup_token_frac"),
+      TextOps.topGramFrac($"bg").as("top_bigram_frac"),
+      TextOps.dupGramFrac($"bg").as("dup_bigram_frac"),
+      TextOps.topGramFrac($"tg").as("top_trigram_frac"))
+      .collect().map(_.toString)
+    val fused = df.select(TextOps.gopherMetrics($"text").as("g"))
+      .select(col("g.n_tokens"), col("g.dup_token_frac"),
+        col("g.top_bigram_frac"), col("g.dup_bigram_frac"),
+        col("g.top_trigram_frac"))
+      .collect().map(_.toString)
+    assert(fused.toSeq === hof.toSeq) // bit-identical per row
+  }
+
+  test("fused tokenStats and langScores equal their HOF formulations " +
+      "on split/trim/unicode edge cases") {
+    graft.functions.Native.register(spark)
+    import graft.ops.Ops.materializedColumn
+    val texts = Seq(
+      "the quick brown fox", "  padded  both  ends  ", "\tleading tab",
+      "trailing tab\t", "a\tb\nc\rd", "   ", "one", "two words",
+      "caFÉ déjà-vu ünïcode", "der und die la le est y es", "the la",
+      "el el el", "und", "x" * 300, "a  a   a")
+    val df = texts.toDF("text")
+    val withT = materializedColumn(df, "t", TextOps.tokens($"text"))
+    // token stats: n_tokens / n_shingles(3) / total codepoint chars
+    val hofStats = withT.select(
+      size($"t").as("n"),
+      size(TextOps.wordShingles($"t", 3)).as("n_sh"),
+      TextOps.tokenChars($"t").as("chars"))
+      .collect().map(_.toString)
+    val fusedStats = df.select(TextOps.tokenStatsFused($"text").as("st"))
+      .select(col("st.n_tokens").as("n"),
+        greatest(col("st.n_tokens") - 2, lit(0)).as("n_sh"),
+        col("st.total_chars").as("chars"))
+      .collect().map(_.toString)
+    assert(fusedStats.toSeq === hofStats.toSeq)
+    // language scores: per-profile frequency counts in profile order
+    val hofScores = withT.select(
+      TextOps.langScores($"t").map { case (l, c) => c.as(s"s_$l") }: _*)
+      .collect().map(_.toString)
+    val fusedScores = df
+      .select(TextOps.langScoresFused($"text").as("sc"))
+      .select(TextOps.langProfiles.zipWithIndex.map { case ((l, _), i) =>
+        element_at(col("sc"), i + 1).as(s"s_$l") }: _*)
+      .collect().map(_.toString)
+    assert(fusedScores.toSeq === hofScores.toSeq)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq(("a", "Hello  World"), ("b", "hello world")).toDF("id", "text")
     val fps = df.select(TextOps.fingerprint($"text")).as[String].collect()
