@@ -80,11 +80,18 @@ object Bench {
     .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // The driver's testdata is ONE flat file per table; at sf>=1 the
       // fact file passes the default 128 MB split size and a whole scan
-      // would become a single task. 16 MB splits restore scan
-      // parallelism — the same lever a real cluster tunes so its file
-      // count × split size covers its cores. No effect at sf<=0.1
-      // (every file is already under one split).
-      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      // would become a single task. Split size is the lever a real
+      // cluster tunes so file count × split size covers its cores;
+      // SPARK_GRAFT_SPLIT_MB overrides for big-SF evidence runs (scan
+      // parallelism is additionally capped by the file's row-group
+      // count — ScaleGen writes 4 MB blocks for exactly that reason).
+      // Default stays 16 MB: at sf0.1 (11 MB lineitem, ~1 MB row
+      // groups) finer splits measured a consistent LOSS — 11 tasks ×
+      // (footer parse + reader init + noop-commit) exceeds the row
+      // work they parallelize. Fixed costs win below ~100 MB inputs.
+      .config("spark.sql.files.maxPartitionBytes",
+        s"${sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "16").toInt * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${256 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader, shuffle paths) on the tiny SF

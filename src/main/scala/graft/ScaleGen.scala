@@ -106,7 +106,16 @@ object ScaleGen {
 
     tables.foreach { case (t, df) =>
       val tmp = s"$dstDir/_tmp_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // Small row groups (4 MB uncompressed buffer vs the 128 MB
+      // default): a Spark scan can parallelize at most one task per row
+      // group, and the coalesce(1) flat file would otherwise carry a
+      // handful of giant groups — sf2 orders measured 6 groups, capping
+      // every per-row-heavy query at 6 of 32 cores and masquerading as
+      // super-linear scaling. Real cluster tables have thousands of
+      // groups; this makes the local evidence runs representative.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(tmp)
       val part = Files.list(Paths.get(tmp)).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"no parquet part written for $t"))

@@ -142,14 +142,23 @@ object Similarity {
     graft.functions.Native.register(corpus.sparkSession)
     val cosine = graft.functions.Native.cosineQ _
     val corpusQ = corpus.select(col("id"), quantize(col("vec")).as("vq"))
-    corpusQ.crossJoin(quantCentroids(centroids))
+    // The aggregation runs over SKINNY (id, {cosine, negcid}) rows: the
+    // cosine is computed in the projection right after the broadcast
+    // cross join and vq is dropped before the agg. Carrying vq through
+    // the agg (the former `first(vq)` shape) put the whole quantized
+    // vector into every candidate row AND every hash-map entry — at
+    // n·|cents| candidate volume the partial agg overflowed to
+    // sort-based fallback over ~KB-wide rows (11.6 GB spill, 5.6× at
+    // 2× rows in the sf2 scale run). The one extra equi-join to
+    // re-attach vq shuffles only n narrow rows.
+    val best = corpusQ.crossJoin(quantCentroids(centroids))
+      .select(col("id"), struct(cosine(col("vq"), col("cq")).as("c"),
+        (-col("cid")).as("negcid")).as("cand"))
       .groupBy(col("id"))
-      .agg(
-        max(struct(cosine(col("vq"), col("cq")).as("c"),
-          (-col("cid")).as("negcid"))).as("m"),
-        // every candidate row of a group carries the same vq
-        first(col("vq")).as("vq"))
-      .select((-col("m.negcid")).as("cid"), col("id"), col("vq"))
+      .agg(max(col("cand")).as("m"))
+      .select(col("id"), (-col("m.negcid")).as("cid"))
+    best.join(corpusQ, Seq("id"))
+      .select(col("cid"), col("id"), col("vq"))
   }
 
   /** Search a (possibly persisted) assignment table: each query probes
