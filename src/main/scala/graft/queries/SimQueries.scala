@@ -301,8 +301,14 @@ object SimQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // Stride mirrors the query's k ≈ √n IVF rule IN SQL (max(40,
+  // ⌊√(0.8·n)⌋)), so the oracle stays valid at ANY scale factor — a
+  // literal 40 held only at the sf0.01/sf0.1 gate sizes and value-
+  // mismatched the sf1 spot run.
   private val annIvfSql = ivfSqlWithCents(
-    s"SELECT vec_id AS cid, $quantSql AS cq FROM embeddings WHERE vec_id % 40 = 0")
+    s"""SELECT vec_id AS cid, $quantSql AS cq FROM embeddings
+       |WHERE vec_id % (SELECT GREATEST(40, CAST(FLOOR(SQRT(0.8 * count(*)))
+       |  AS BIGINT)) FROM embeddings) = 0""".stripMargin)
 
   // --- dynamic trained-model mirrors -----------------------------------
 
