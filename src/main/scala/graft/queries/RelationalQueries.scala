@@ -827,13 +827,19 @@ object RelationalQueries {
       def d(c: String) = col(c).cast("double")
       val varQty = (nD * d("sxx") - d("sx") * d("sx")) /
         (nD * (nD - lit(1.0)))
+      // The co-moments are EXACT decimals both engines agree on; the
+      // derived doubles are rounded to 9 places because the
+      // decimal→double CAST itself can differ by an ulp across engines
+      // once the scaled integers pass 2^53 (DuckDB double-rounds via
+      // int→double then /10^scale; the JVM conversion rounds once) —
+      // corr_qp value-mismatched at sf1 from exactly this.
       g.select(col("l_returnflag"), col("n"),
-          (d("sx") / nD).as("mean_qty"),
-          varQty.as("var_qty"),
-          sqrt(varQty).as("sd_qty"),
-          ((nD * d("sxy") - d("sx") * d("sy")) /
+          round(d("sx") / nD, 9).as("mean_qty"),
+          round(varQty, 9).as("var_qty"),
+          round(sqrt(varQty), 9).as("sd_qty"),
+          round((nD * d("sxy") - d("sx") * d("sy")) /
             sqrt((nD * d("sxx") - d("sx") * d("sx")) *
-              (nD * d("syy") - d("sy") * d("sy")))).as("corr_qp"))
+              (nD * d("syy") - d("sy") * d("sy"))), 9).as("corr_qp"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -1083,19 +1089,19 @@ object RelationalQueries {
         |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_qty,
+        |  round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
-        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 9) AS var_qty,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_qty,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 9) AS sd_qty,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr_qp
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "q_window_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -232,14 +232,25 @@ object SimQueries {
   }
 
   private val annLshSql = {
-    // The 8 deterministic hyperplane sign bits, generated to match
-    // Similarity.hyperplaneSig exactly (bit p has weight 2^(7-p)).
-    val bits = (0 to 7).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+    // Deterministic hyperplane sign bits, generated to match
+    // Similarity.hyperplaneSig exactly. The query log-scales its
+    // signature WIDTH with the corpus (bits = max(8, 64 −
+    // numberOfLeadingZeros(corpusN/10 − 1))), so the mirror computes
+    // the same width IN SQL — length(bin(x)) is DuckDB's integer-exact
+    // bit width — and sums plane p with weight 2^(bits−1−p) only while
+    // p < bits (20 candidate planes cover corpora to ~5M vectors; a
+    // static 8-plane mirror held only at the gate sizes and would
+    // value-mismatch from sf1 up).
+    val bits = (0 to 19).map { p =>
+      s"""(CASE WHEN $p < nbits AND list_sum(list_transform(range(1, 65),
          |  i -> q[i] * ${planeWSql(p)})) >= 0
-         |  THEN 1 ELSE 0 END) * ${1 << (7 - p)}""".stripMargin
+         |  THEN CAST(1 AS BIGINT) << (nbits - 1 - $p) ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""WITH corpus AS (
+    s"""WITH nb AS (
+       |  SELECT GREATEST(8, length(bin(GREATEST(1, (cnt + cnt//10)//10 - 1))))
+       |    AS nbits
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |corpus AS (
        |  SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
        |  FROM embeddings
@@ -251,7 +262,7 @@ object SimQueries {
        |qv AS (
        |  SELECT id, list_transform(vec, x -> CAST(round(x*10000) AS BIGINT)) AS q
        |  FROM corpus),
-       |sigs AS (SELECT id, q, $bits AS sig FROM qv),
+       |sigs AS (SELECT id, q, $bits AS sig FROM qv, nb),
        |oks AS (
        |  SELECT sig FROM sigs GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10000)
        |SELECT id1, id2, cosine FROM (
