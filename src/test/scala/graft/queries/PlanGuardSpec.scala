@@ -73,4 +73,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: []"),
       "q_tpch_q6 has an unfiltered scan")
   }
+
+  test("ivfAssign aggregates SKINNY rows: no vector column in any " +
+      "aggregate (the wide-row shape spilled 11.6 GB at sf2)") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(50).toDF("id")
+      .withColumn("vec", expr("transform(sequence(1, 8), j -> cast(id + j as double))"))
+    val cents = spark.range(3)
+      .select((col("id") * 20).as("cid"), expr(
+        "transform(sequence(1, 8), j -> cast(cid * 2 + j as double))").as("cvec"))
+    val assigned = graft.similarity.Similarity.ivfAssign(corpus, cents)
+    val aggs = assigned.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty, "ivfAssign lost its aggregation")
+    aggs.foreach { a =>
+      // neither the grouping nor any aggregate buffer may carry the
+      // quantized vector; it joins back AFTER the agg
+      val refs = a.aggregateExpressions.flatMap(_.references).map(_.name)
+      assert(!refs.exists(_.startsWith("vq")),
+        s"ivfAssign aggregate carries the vector: $refs")
+    }
+    // and the result still matches the window formulation semantics
+    val got = assigned.orderBy("id")
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 50)
+  }
+
+  test("q_map_funcs pins its map: exactly ONE map_concat evaluation " +
+      "per row (five inlined builds regressed 1.7x at sf1)") {
+    val p = plan("q_map_funcs")
+    val builds = "map_concat".r.findAllIn(p).size
+    // one build in the Generate barrier; references elsewhere must be
+    // to the pinned attribute, not re-inlined constructions
+    assert(builds <= 1, s"q_map_funcs inlines map_concat $builds times:\n$p")
+    assert(p.contains("Generate"), "q_map_funcs lost its generator barrier")
+  }
 }
