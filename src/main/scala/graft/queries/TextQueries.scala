@@ -380,11 +380,11 @@ object TextQueries {
         table(s, dir, "documents").select(col("doc_id"), col("text")),
         "t2", concat(col("text"), planted))
       withT.select(col("doc_id"),
-          size(regexp_extract_all(col("t2"), lit(emailPat), lit(0)))
-            .as("n_emails"),
-          size(regexp_extract_all(col("t2"), lit(ipPat), lit(0))).as("n_ips"),
-          size(regexp_extract_all(col("t2"), lit(phonePat), lit(0)))
-            .as("n_phones"),
+          // regexp_count scans without materializing the match arrays
+          // (len(regexp_extract_all) on the DuckDB side — same value)
+          regexp_count(col("t2"), lit(emailPat)).cast("int").as("n_emails"),
+          regexp_count(col("t2"), lit(ipPat)).cast("int").as("n_ips"),
+          regexp_count(col("t2"), lit(phonePat)).cast("int").as("n_phones"),
           md5(regexp_replace(regexp_replace(regexp_replace(col("t2"),
             emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>"))
             .as("scrub_fp"))
