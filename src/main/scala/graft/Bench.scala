@@ -69,6 +69,19 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
+    // A malformed env var must name itself, not surface as a bare
+    // NumberFormatException from the middle of session construction.
+    val splitMb = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "16")
+      try raw.trim.toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_SPLIT_MB must be an integer (MB); got '$raw'")
+      }
+    }
+    // SPARK_GRAFT_METRICS=off drops the task-metric listener entirely —
+    // the A/B lever for attributing listener overhead in bench totals.
+    val metricsOn =
+      !sys.env.get("SPARK_GRAFT_METRICS").exists(_.equalsIgnoreCase("off"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,7 +103,7 @@ object Bench {
       // (footer parse + reader init + noop-commit) exceeds the row
       // work they parallelize. Fixed costs win below ~100 MB inputs.
       .config("spark.sql.files.maxPartitionBytes",
-        s"${sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "16").toInt * 1024 * 1024}")
+        s"${splitMb * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${256 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -169,9 +182,10 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     val metrics = new TaskMetricListener
-    spark.sparkContext.addSparkListener(metrics)
+    if (metricsOn) spark.sparkContext.addSparkListener(metrics)
     def flush(): Unit =
-      org.apache.spark.graftbridge.ListenerFlush(spark.sparkContext)
+      if (metricsOn)
+        org.apache.spark.graftbridge.ListenerFlush(spark.sparkContext)
 
     var shufW = Map.empty[String, Long]
     var shufR = Map.empty[String, Long]
@@ -232,7 +246,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${numMap(medians)},"mins":${numMap(mins)},"shuffleWriteBytes":${longMap(shufW)},"shuffleReadBytes":${longMap(shufR)},"spillBytes":${longMap(spills)},"peakTaskMemBytes":${longMap(peaks)},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
-    try Files.writeString(Paths.get(outFile), line + "\n")
+    // Compact headline AFTER the full record: the round driver captures
+    // a bounded stdout tail, and r5's tail was consumed by the per-query
+    // maps — the total never made it into BENCH_r05.json. This line is
+    // small enough to survive any tail window.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${medians.size},"nerrors":${errors.size},"reps":$reps,"sf":"$sfDir","summary":true}"""
+    println(summary)
+    try Files.writeString(Paths.get(outFile), line + "\n" + summary + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

@@ -662,7 +662,17 @@ object RelationalQueries {
             .as("aq"),
           expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("eq"),
           expr("approx_percentile(l_extendedprice, 0.99, 2500)").as("ap99"),
-          expr("percentile(l_extendedprice, 0.99)").as("ep99"))
+          // Exact-percentile gate companions must stay BOUNDED-BUFFER:
+          // Spark's `percentile` holds a value->count map per group, so
+          // the raw high-cardinality l_extendedprice would grow that map
+          // with the row count (OOM-shaped at 100x). Flooring to whole
+          // currency units bounds distinct values by the price DOMAIN
+          // (~100k entries) independent of scale; the <1-unit
+          // quantization error is far inside the 2% sketch band gated
+          // below. `floor` is bitwise-deterministic on the same stored
+          // doubles across engines (no HALF_UP-vs-fp divergence, unlike
+          // round). l_quantity above is 1..50 — already domain-bounded.
+          expr("percentile(floor(l_extendedprice), 0.99)").as("ep99"))
         .select(col("l_returnflag"),
           element_at(col("eq"), 1).as("p25_qty"),
           element_at(col("eq"), 2).as("med_qty"),
@@ -833,6 +843,13 @@ object RelationalQueries {
       // once the scaled integers pass 2^53 (DuckDB double-rounds via
       // int→double then /10^scale; the JVM conversion rounds once) —
       // corr_qp value-mismatched at sf1 from exactly this.
+      // Residual caveat (advisor r5): round-at-9-places narrows but does
+      // not ELIMINATE divergence — Spark rounds via exact BigDecimal
+      // HALF_UP, DuckDB via fp multiply/divide, so a value within an ulp
+      // of a 9th-place half-way boundary could still round apart at some
+      // SF. Green at sf0.01/1/2; a hash-only miss here with matching
+      // rows/schema should be read as this boundary, not a logic bug
+      // (exact co-moments n/sx/sxx/sxy remain the authoritative values).
       g.select(col("l_returnflag"), col("n"),
           round(d("sx") / nD, 9).as("mean_qty"),
           round(varQty, 9).as("var_qty"),
@@ -1337,7 +1354,7 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.25) AS p25_qty,
         |  quantile_cont(l_quantity, 0.5) AS med_qty,
         |  quantile_cont(l_quantity, 0.75) AS p75_qty,
-        |  quantile_cont(l_extendedprice, 0.99) AS p99_price,
+        |  quantile_cont(floor(l_extendedprice), 0.99) AS p99_price,
         |  TRUE AS med_in_band, TRUE AS quartiles_in_band,
         |  TRUE AS p99_in_band
         |FROM lineitem GROUP BY l_returnflag

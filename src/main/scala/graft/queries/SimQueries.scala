@@ -195,6 +195,15 @@ object SimQueries {
       val n = e.count(); val corpusN = n + n / 10
       val bits = math.max(8,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, corpusN / 10 - 1)))
+      // The DuckDB mirror (annLshSql) materializes exactly 20 candidate
+      // plane terms; past ~5M vectors the formula would ask for a 21st
+      // and the mirror would SILENTLY drop high-order planes and
+      // spuriously fail the gate. Fail the query loudly instead — the
+      // gate query and its mirror must widen together.
+      require(bits <= 20,
+        s"ann_lsh_neardup gate mirror covers <=20 LSH planes; corpus of " +
+          s"$corpusN vectors needs $bits. Extend annLshSql's plane list " +
+          "in step with this formula before gating at this scale.")
       Similarity.lshNearDupPairs(base.unionByName(pert), "id", "vec",
           dims = 64, minCosine = 0.995, bits = bits)
         .orderBy(col("id1"), col("id2"))

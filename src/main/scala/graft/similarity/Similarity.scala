@@ -137,7 +137,14 @@ object Similarity {
     * shuffles and sorts all n·|cents| vector-carrying rows (measured
     * 4.8 GB of spill at 20k×500), while the partial agg folds each
     * vector's candidates map-side and shuffles n one-struct rows. Same
-    * tie-break as the window (highest cosine, then lowest cid). */
+    * tie-break as the window (highest cosine, then lowest cid).
+    *
+    * PRECONDITION: `corpus.id` must be unique. The final join-back that
+    * re-attaches the quantized vector emits one row per matching corpus
+    * row; a duplicated id would yield duplicate assignment rows (the
+    * pre-r5 `first(vq)` aggregate collapsed them silently — this shape
+    * surfaces the input defect instead). All callers pass `vec_id`-keyed
+    * tables; SimilaritySpec pins the contract. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.Native.register(corpus.sparkSession)
     val cosine = graft.functions.Native.cosineQ _

@@ -15,7 +15,9 @@ import sys
 
 def load(path):
     with open(path) as f:
-        return json.loads(f.read().strip())
+        # Bench writes the full record on line 1 and a compact headline
+        # summary on line 2; only the full record has per-query maps.
+        return json.loads(f.read().strip().splitlines()[0])
 
 
 def main():
@@ -59,8 +61,14 @@ def main():
 
     tot_s = sum(v for v in qs.values() if v > 0)
     tot_b = sum(v for v in qb.values() if v > 0)
-    print(f"\ntotal: {tot_s:.1f}s -> {tot_b:.1f}s = {tot_b / tot_s:.2f}x "
-          f"at {factor:.0f}x data; {nflag} queries above {flag_at:.0f}x")
+    spill_tot = sum(v for v in sp_b.values() if v > 0)
+    # Scripted headline — paste this into SCALING_r{N}.md verbatim so the
+    # doc's counts can never diverge from the records (r5's did: 148 vs 149).
+    print(f"\nheadline: {len(qb)} queries ({len(common)} common), "
+          f"{len(big.get('errors', {}))} errors at big SF; "
+          f"total {tot_s:.1f}s -> {tot_b:.1f}s = {tot_b / tot_s:.2f}x "
+          f"at {factor:.0f}x data; {nflag} queries above {flag_at:.0f}x; "
+          f"big-SF spill {spill_tot / 1e6:.0f} MB")
     errs = {**{k: v for k, v in small.get("errors", {}).items()},
             **{k: v for k, v in big.get("errors", {}).items()}}
     if errs:
