@@ -23,12 +23,21 @@ import org.apache.spark.sql.functions._
   *    noise (±0.2), decorrelating cross-copy cosine while keeping
   *    within-copy neighborhoods.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> <factor>
+  * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> <factor> [skew]
+  *
+  * The optional `skew` mode replaces uniform replication with a zipf-ish
+  * shape (hot join/group keys, one dominant text block, a hot embedding
+  * cluster — see the skew-mode comment in `main`) for the degradation
+  * campaigns; copy 0 stays pristine and keyspaces stay disjoint.
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, fStr) = args
+    val (srcDir, dstDir, fStr, skew) = args match {
+      case Array(s, d, f)         => (s, d, f, false)
+      case Array(s, d, f, "skew") => (s, d, f, true)
+      case _ => sys.error("usage: ScaleGen <srcSfDir> <dstDir> <factor> [skew]")
+    }
     val factor = fStr.toInt
     require(factor >= 1 && factor <= 26, "factor must be in [1,26]") // 26: alphabet rotations
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +81,44 @@ object ScaleGen {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     def rot(s: String, i: Int) = s.drop(i) + s.take(i)
 
+    // ---- skew mode -------------------------------------------------
+    // Uniform replication proves "same plan, F x the rows"; real corpora
+    // are zipf. `skew` keeps copy 0 pristine and, in copies i>=1,
+    // collapses a deterministic slice of each distribution onto ONE hot
+    // value, producing the shapes a 100 TB cluster actually fights:
+    //  - hot JOIN/GROUP keys (30% of replicated lineitem rows on one
+    //    partkey/suppkey, orders on one custkey, events on one user_id
+    //    => one hash partition carries ~27% of the fact table; AQE's
+    //    skew-split must absorb the join side, and windows/groupBys
+    //    over the key see a giant single group);
+    //  - a dominant text block (80% of replicated documents forced to
+    //    one lang+source => blocking keys built from metadata go hot;
+    //    the capped-bucket metrics must REPORT drops, not die);
+    //  - a hot embedding cluster (30% of replicated vectors collapsed
+    //    onto copy-0's first vector +-0.001 noise => one LSH bucket /
+    //    IVF list holds a third of the corpus).
+    // The hot values come from copy 0, so FK joins still resolve and
+    // every copy's keyspace stays disjoint.
+    def minOf(t: String, c: String): Long =
+      src(t).agg(min(col(c)).cast("long")).head.getLong(0)
+    lazy val hotPart = minOf("part", "p_partkey")
+    lazy val hotSupp = minOf("supplier", "s_suppkey")
+    lazy val hotCust = minOf("customer", "c_custkey")
+    lazy val hotUser = minOf("events", "user_id")
+    lazy val hotSource = src("documents").select(col("source"))
+      .orderBy(col("source")).head.getString(0)
+    lazy val hotVec: Seq[Float] =
+      src("embeddings").orderBy(col("vec_id")).select(col("embedding"))
+        .head.getSeq[Float](0)
+    /** 30%-slice predicate, decorrelated per copy and per column role. */
+    def slice(keyCol: String, i: Int, role: Int, pct: Int) =
+      pmod(hash(col(keyCol), lit(i * 7 + role)), lit(100)) < lit(pct)
+    def hotIf(df: DataFrame, keyCol: String, target: String, hot: Long,
+              i: Int, role: Int, pct: Int = 30): DataFrame =
+      if (!skew || i == 0) df
+      else df.withColumn(target,
+        when(slice(keyCol, i, role, pct), lit(hot)).otherwise(col(target)))
+
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> src("region"),
       "nation" -> src("nation"),
@@ -79,19 +126,29 @@ object ScaleGen {
       "supplier" -> replicate("supplier")((d, i) => shift(d, "s_suppkey", i * maxSupp)),
       "part" -> replicate("part")((d, i) => shift(d, "p_partkey", i * maxPart)),
       "orders" -> replicate("orders") { (d, i) =>
-        shift(shift(d, "o_orderkey", i * maxOrd), "o_custkey", i * maxCust)
+        val base = shift(shift(d, "o_orderkey", i * maxOrd), "o_custkey", i * maxCust)
+        hotIf(base, "o_orderkey", "o_custkey", hotCust, i, role = 1)
       },
       "lineitem" -> replicate("lineitem") { (d, i) =>
-        shift(shift(shift(d, "l_orderkey", i * maxOrd),
+        val base = shift(shift(shift(d, "l_orderkey", i * maxOrd),
           "l_partkey", i * maxPart), "l_suppkey", i * maxSupp)
+        hotIf(hotIf(base, "l_orderkey", "l_partkey", hotPart, i, role = 2),
+          "l_orderkey", "l_suppkey", hotSupp, i, role = 3)
       },
       "events" -> replicate("events") { (d, i) =>
-        shift(shift(d, "event_id", i * maxEvent), "user_id", i * maxUser)
+        val base = shift(shift(d, "event_id", i * maxEvent), "user_id", i * maxUser)
+        hotIf(base, "event_id", "user_id", hotUser, i, role = 4)
       },
       "documents" -> replicate("documents") { (d, i) =>
-        shift(d, "doc_id", i * maxDoc).withColumn("text",
+        val base = shift(d, "doc_id", i * maxDoc).withColumn("text",
           translate(col("text"),
             lower + lower.toUpperCase, rot(lower, i) + rot(lower, i).toUpperCase))
+        if (!skew || i == 0) base
+        else base
+          .withColumn("lang",
+            when(slice("doc_id", i, 5, 80), lit("en")).otherwise(col("lang")))
+          .withColumn("source",
+            when(slice("doc_id", i, 5, 80), lit(hotSource)).otherwise(col("source")))
       },
       "embeddings" -> replicate("embeddings") { (d, i) =>
         val noisy =
@@ -100,7 +157,23 @@ object ScaleGen {
             s"""transform(embedding, (x, j) ->
                |  cast(x + (pmod(hash(vec_id, j, $i), 2001) - 1000) / 5000.0
                |       as float))""".stripMargin))
-        shift(noisy, "vec_id", i * maxVec)
+        val clustered =
+          if (!skew || i == 0) noisy
+          else {
+            // 30% of this copy's vectors collapse onto copy-0's first
+            // vector plus per-(row,dim) noise of +-0.001 — one near-dup
+            // cluster holding ~27% of the corpus, the hot-LSH-bucket /
+            // hot-IVF-list shape.
+            val hotArr = hotVec.map(v => s"cast($v as float)")
+              .mkString("array(", ",", ")")
+            noisy.withColumn("embedding",
+              when(slice("vec_id", i, 6, 30),
+                expr(s"""transform($hotArr, (x, j) ->
+                        |  cast(x + (pmod(hash(vec_id, j), 21) - 10) / 10000.0
+                        |       as float))""".stripMargin))
+                .otherwise(col("embedding")))
+          }
+        shift(clustered, "vec_id", i * maxVec)
       }
     )
 

@@ -172,18 +172,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     val kvSchema = KvSchema(key, values.toSeq)
-    val f = fs(path)
-    f.mkdirs(new HPath(path))
-    val out = f.create(schemaFileOf(path), true)
-    try out.write(kvSchema.toJson.getBytes("UTF-8")) finally out.close()
-    KvV2Util.writeMeta(path, conf, version = 0L, buckets = 0)
-    // Persist the parquet schema (logical + engine columns) as an empty
-    // stats-manifest base: loadTable/inferSchema then work with ZERO
-    // data files — and with zero footer IO forever after.
-    val fileSchema = KvWriteUtil.fileSchema(schema, synth = true)
-    KvStats.write(path,
-      KvStats.Manifest(KvWriteUtil.toParquetSchema(fileSchema).toString,
-        Seq.empty), conf)
+    val fileSchema = KvDdl.createEmpty(path, kvSchema, schema, conf)
     new KvBatchTable(path, fileSchema)
   }
 
@@ -636,4 +625,34 @@ class KvFilesReaderFactory
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
+}
+
+/** Storage-side DDL shared by the SQL catalog ([[KvCatalog]]) and the
+  * transport SPI ([[graft.kv.ParquetKvStore]]) — one definition of what
+  * "an empty, immediately-loadable KV table" is on disk. */
+object KvDdl {
+
+  /** Persist an empty table at `path`: `_kvschema.json`, zeroed meta,
+    * and a schema-bearing empty stats manifest so reads work with zero
+    * data files (and zero footer IO forever after). `logical` is the
+    * key + value column types. Returns the on-disk file schema (logical
+    * plus engine columns). */
+  def createEmpty(path: String, kv: KvSchema, logical: StructType,
+                  conf: Configuration): StructType = {
+    require(logical.fieldNames.contains(kv.keyField),
+      s"kvtable: key '${kv.keyField}' missing from declared columns")
+    val f = new HPath(path).getFileSystem(conf)
+    // the empty data dir makes the v1 parquet read path hit
+    // UNABLE_TO_INFER_SCHEMA (handled: empty DF with the manifest
+    // schema) instead of PATH_NOT_FOUND on a freshly created table
+    f.mkdirs(new HPath(s"$path/data"))
+    val out = f.create(new HPath(s"$path/_kvschema.json"), true)
+    try out.write(kv.toJson.getBytes("UTF-8")) finally out.close()
+    KvV2Util.writeMeta(path, conf, version = 0L, buckets = 0)
+    val fileSchema = KvWriteUtil.fileSchema(logical, synth = true)
+    KvStats.write(path,
+      KvStats.Manifest(KvWriteUtil.toParquetSchema(fileSchema).toString,
+        Seq.empty), conf)
+    fileSchema
+  }
 }

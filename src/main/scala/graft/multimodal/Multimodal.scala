@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * both exercised end-to-end by oracle queries. AUDIO decode is REAL
   * for WAV/PCM: [[MediaCodec.wavPcm]] is a hand-rolled RIFF chunk
   * walker (PCM needs no codec library), oracle-checked by
-  * `mm_audio_decode`. Compressed audio (mp3/aac) and video codecs are
-  * not present in this environment and stay stubbed behind
+  * `mm_audio_decode` — and REAL for COMPRESSED IMA-ADPCM WAV:
+  * [[MediaCodec.wavAdpcm]] implements the public IMA/DVI 4-bit
+  * adaptive-delta spec in pure JVM code (oracle-checked by
+  * `mm_audio_adpcm`). Codecs needing native libraries this
+  * environment does not ship (mp3/aac, h264/vp9) stay stubbed behind
   * [[MediaCodec.stub]]: the Spark-side plumbing (schema, batched
   * per-partition execution, fixed-width feature output, partitioning
   * behavior) is identical either way — swap in a JNI/ffmpeg binding in
@@ -201,6 +204,105 @@ object Multimodal {
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
+
+  /** Deterministic IMA-ADPCM WAV (format tag 0x11) payload generator —
+    * the COMPRESSED-audio twin of [[makeWav]]: 4-bit adaptive delta
+    * coding (~4:1 over 16-bit PCM) per the public IMA/DVI spec. One
+    * block per payload: 4-byte state header (initial predictor, step
+    * index) then packed nibbles, with the spec's `fact` chunk carrying
+    * the true sample count and the extended `fmt ` carrying
+    * samplesPerBlock. Encoding is exact arithmetic, so for a given
+    * input signal the decoded output (and its quantization error) is
+    * fully deterministic — what the oracle queries rely on. */
+  def makeAdpcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(samples.nonEmpty, "adpcm payload needs at least one sample")
+    val n = samples.length
+    val nibbleBytes = (n - 1 + 1) / 2 // sample 0 lives in the header
+    val blockAlign = 4 + nibbleBytes + (nibbleBytes & 1) // word-aligned
+    val data = new Array[Byte](blockAlign)
+    val st = new ImaAdpcm.State(samples(0), 0)
+    data(0) = (samples(0) & 0xff).toByte
+    data(1) = ((samples(0) >> 8) & 0xff).toByte
+    data(2) = st.index.toByte
+    data(3) = 0
+    var i = 1
+    while (i < n) {
+      val nib = st.encode(samples(i))
+      val off = 4 + (i - 1) / 2
+      if (((i - 1) & 1) == 0) data(off) = (nib & 0x0f).toByte // low first
+      else data(off) = (data(off) | (nib << 4)).toByte
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + blockAlign)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(4 + 28 + 12 + 8 + blockAlign)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(20)
+    bb.putShort(0x11); bb.putShort(1)            // IMA ADPCM, mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign / math.max(1, 1 + 2 * (blockAlign - 4)))
+    bb.putShort(blockAlign.toShort); bb.putShort(4) // block align, bits
+    bb.putShort(2)                                // cbSize
+    bb.putShort((1 + 2 * (blockAlign - 4)).toShort) // samplesPerBlock
+    bb.put("fact".getBytes("US-ASCII")); bb.putInt(4); bb.putInt(n)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(blockAlign)
+    bb.put(data)
+    bb.array()
+  }
+}
+
+/** IMA/DVI ADPCM state machine (public spec: IMA Digital Audio Focus
+  * and Technical Working Groups, "Recommended Practices for Enhancing
+  * Digital Audio Compatibility", rev 3.00 — the step/index tables and
+  * the quantize/reconstruct recurrences are normative and reproduced
+  * by every implementation). Used by both the encoder fixture and the
+  * real decoder so the two cannot drift. */
+private[multimodal] object ImaAdpcm {
+  val stepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  val indexTable: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  final class State(var predictor: Int, var index: Int) {
+    private def clamp(): Unit = {
+      if (predictor > 32767) predictor = 32767
+      if (predictor < -32768) predictor = -32768
+      if (index < 0) index = 0
+      if (index > 88) index = 88
+    }
+    /** Reconstruct from one nibble (the decoder recurrence). */
+    def decode(nibble: Int): Int = {
+      val step = stepTable(index)
+      var diff = step >> 3
+      if ((nibble & 1) != 0) diff += step >> 2
+      if ((nibble & 2) != 0) diff += step >> 1
+      if ((nibble & 4) != 0) diff += step
+      if ((nibble & 8) != 0) predictor -= diff else predictor += diff
+      index += indexTable(nibble & 0x0f)
+      clamp()
+      predictor
+    }
+    /** Quantize one target sample to a nibble AND advance through the
+      * decoder recurrence (encoder state must track the decoder's). */
+    def encode(sample: Int): Int = {
+      val step = stepTable(index)
+      var diff = sample - predictor
+      var nibble = 0
+      if (diff < 0) { nibble = 8; diff = -diff }
+      if (diff >= step) { nibble |= 4; diff -= step }
+      if (diff >= (step >> 1)) { nibble |= 2; diff -= step >> 1 }
+      if (diff >= (step >> 2)) nibble |= 1
+      decode(nibble)
+      nibble
+    }
+  }
 }
 
 /** Codec boundary: `open()` once per partition (native lib handles),
@@ -262,6 +364,76 @@ object MediaCodec {
       (rate, n, meanAbs)
     }
   }
+
+  /** REAL compressed-audio codec for IMA-ADPCM WAV (format tag 0x11) —
+    * a pure-JVM implementation of the public IMA/DVI spec (see
+    * [[ImaAdpcm]]): RIFF chunk walk, per-block state header, 4-bit
+    * adaptive delta reconstruction, `fact`-chunk sample-count
+    * truncation. Returns (sample rate, decoded sample count, decoded
+    * samples) so callers can check the reconstruction against the
+    * source signal — this is a genuinely COMPRESSED format (~4:1), the
+    * audio analogue of the JPEG round-trip, shrinking the "compressed
+    * media is stubbed" gap to mp3/aac/h264 (which need native libs
+    * this environment does not ship). */
+  def wavAdpcm: MediaCodec[(Int, Int, Array[Short])] =
+    () => new Session[(Int, Int, Array[Short])] {
+      def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+        require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+          "payload is not RIFF/WAVE")
+        var pos = 12
+        var rate = -1; var blockAlign = -1; var spb = -1
+        var factN = -1
+        var out: Array[Short] = null
+        while (pos + 8 <= bytes.length) {
+          val id = tag(pos)
+          val size = bb.getInt(pos + 4)
+          val body = pos + 8
+          id match {
+            case "fmt " =>
+              require(bb.getShort(body) == 0x11, "not IMA ADPCM (fmt 0x11)")
+              require(bb.getShort(body + 2) == 1, "expect mono")
+              rate = bb.getInt(body + 4)
+              blockAlign = bb.getShort(body + 12)
+              require(bb.getShort(body + 14) == 4, "expect 4-bit nibbles")
+              spb = if (size >= 20) bb.getShort(body + 18)
+                    else 1 + 2 * (blockAlign - 4)
+            case "fact" => factN = bb.getInt(body)
+            case "data" =>
+              require(rate > 0, "data chunk before fmt")
+              val nBlocks = size / blockAlign
+              val buf = new Array[Short](nBlocks * spb)
+              var b = 0; var w = 0
+              while (b < nBlocks) {
+                val base = body + b * blockAlign
+                val pred = bb.getShort(base).toInt
+                val idx = bytes(base + 2) & 0xff
+                require(idx <= 88, s"corrupt step index $idx")
+                val st = new ImaAdpcm.State(pred, idx)
+                buf(w) = pred.toShort; w += 1
+                var s = 1
+                while (s < spb) {
+                  val byte = bytes(base + 4 + (s - 1) / 2) & 0xff
+                  val nib = if (((s - 1) & 1) == 0) byte & 0x0f else byte >> 4
+                  buf(w) = st.decode(nib).toShort; w += 1
+                  s += 1
+                }
+                b += 1
+              }
+              out = buf
+            case _ => ()
+          }
+          pos = body + size + (size & 1)
+        }
+        require(out != null, "no data chunk")
+        // the fact chunk carries the true count (the last block may be
+        // logically short)
+        val n = if (factN >= 0 && factN <= out.length) factN else out.length
+        (rate, n, out.take(n))
+      }
+    }
 
   /** REAL video frame-sampling for uncompressed YUV4MPEG2 — a
     * hand-rolled .y4m parser (header tags, per-frame `FRAME` markers,

@@ -16,9 +16,11 @@ import graft.multimodal.{MediaCodec, Multimodal}
   * video columns real for uncompressed formats; `mm_image_jpeg` runs
   * the real COMPRESSED image path (JDK JPEG encode at q=0.9 →
   * imageio decode — uniform fields are DC-only, so even the lossy
-  * codec is exactly oracle-checkable). Only compressed AUDIO/VIDEO
-  * codecs (mp3/h264) stay stubbed (no codec libs in this
-  * environment; see [[graft.multimodal.Multimodal]]).
+  * codec is exactly oracle-checkable); `mm_audio_adpcm` runs the real
+  * COMPRESSED audio path (IMA-ADPCM, a pure-JVM 4-bit adaptive-delta
+  * codec). Only codecs that need native libraries this environment
+  * does not ship (mp3/aac/h264) stay stubbed — see
+  * [[graft.multimodal.Multimodal]].
   */
 object MmQueries {
 
@@ -94,6 +96,41 @@ object MmQueries {
     // chunked header — no codec libs needed), per-partition codec
     // init; decoded rate / sample count / mean |amplitude| are exact
     // arithmetic the oracle recomputes.
+    // REAL compressed-audio decode: deterministic triangle-wave signals
+    // IMA-ADPCM-encoded (4-bit adaptive delta, format tag 0x11) and
+    // decoded by the pure-JVM state machine. Sample rate, decoded
+    // count and exact payload byte size are arithmetic the oracle
+    // recomputes; `tracked` asserts the reconstruction follows the
+    // source within the codec's adaptation bound (AdpcmSpec measures
+    // the family's true worst case; the query uses 2x headroom).
+    "mm_audio_adpcm" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val codec = MediaCodec.wavAdpcm.open()
+          it.map { id =>
+            val n = 64 + (id % 64).toInt
+            val rate = 8000 + (id % 8).toInt * 1000
+            val d = 16 * (1 + (id % 3).toInt) // samples/step slope
+            val a = 1024
+            val src = Array.tabulate(n) { i =>
+              val t = (((id % 7) + i) * d % (4 * a)).toInt
+              (a - math.abs(t - 2 * a)).toShort
+            }
+            val payload = Multimodal.makeAdpcmWav(rate, src)
+            val (r, ns, out) = codec.decode(payload)
+            var maxErr = 0
+            var i = 0
+            while (i < math.min(ns, n)) {
+              maxErr = math.max(maxErr, math.abs(out(i) - src(i))); i += 1
+            }
+            (id, r, ns, payload.length, ns == n && maxErr <= 256)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "payload_bytes", "tracked")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_audio_decode" -> { (s, dir) =>
       import s.implicits._
       table(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -176,6 +213,16 @@ object MmQueries {
         |  CAST(list_sum(list_transform(range(0, 8),
         |    y -> ((doc_id * 37) % 256 + (y * (8 + (doc_id * 3) % 16)) // 8) % 256))
         |    // 8 AS BIGINT) AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // payload bytes: 60 fixed (RIFF + extended fmt + fact + data
+    // headers) + block = 4 + nibbleBytes + pad, nibbleBytes = n // 2.
+    "mm_audio_adpcm" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(64 + doc_id % 64 AS INT) AS n_samples,
+        |  CAST(64 + (64 + doc_id % 64) // 2
+        |       + ((64 + doc_id % 64) // 2) % 2 AS INT) AS payload_bytes,
+        |  TRUE AS tracked
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_audio_decode" ->
       """SELECT doc_id,

@@ -100,6 +100,44 @@ class PlanGuardSpec extends SparkSpec {
     assert(got.length === 50)
   }
 
+  test("the sf2 AQE flip keeps its sides: fact-fact joins go shuffle, " +
+      "hinted dims stay broadcast (q_tpch_q5/q4/q12)") {
+    // At sf2 the r5 campaign saw these queries' fact-side joins flip
+    // from broadcast to shuffle (the ~15,000x shuffle-write jump) while
+    // the hint-broadcast dims stayed broadcast — correct, but until now
+    // unpinned: a regression to broadcasting a FACT side (executor OOM
+    // at 100 TB) or to shuffling the dims would hide inside "AQE chose
+    // differently". Simulate the big-SF size relations by dropping the
+    // broadcast thresholds below even sf0.001's facts: every unhinted
+    // join must plan as a shuffle join, every hinted dim must still
+    // broadcast (hints outrank thresholds), and nothing goes cartesian.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    keys.foreach(k => conf.set(k, "1KB"))
+    try {
+      val shuffleJoin = "(SortMergeJoin|ShuffledHashJoin)".r
+      Seq("q_tpch_q5", "q_tpch_q4", "q_tpch_q12").foreach { n =>
+        val p = plan(n)
+        assert(shuffleJoin.findFirstIn(p).isDefined,
+          s"$n under big-SF thresholds lost its shuffle fact join:\n$p")
+        assert(!p.contains("CartesianProduct"),
+          s"$n under big-SF thresholds planned a CartesianProduct")
+      }
+      // q5's three hinted dims must survive the threshold drop as
+      // broadcasts, and its two fact-side joins must both be shuffles.
+      val p5 = plan("q_tpch_q5")
+      val bhj = "BroadcastHashJoin".r.findAllIn(p5).size
+      val smj = shuffleJoin.findAllIn(p5).size
+      assert(bhj >= 3, s"q_tpch_q5 lost a hinted dim broadcast ($bhj):\n$p5")
+      assert(smj >= 2, s"q_tpch_q5 broadcast a fact side ($smj):\n$p5")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q_map_funcs pins its map: exactly ONE map_concat evaluation " +
       "per row (five inlined builds regressed 1.7x at sf1)") {
     val p = plan("q_map_funcs")
