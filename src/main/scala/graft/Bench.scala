@@ -155,9 +155,9 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val root = Paths.get("/root/repo/target/kvscratch")
       if (Files.isDirectory(root))
-        Files.list(root).iterator().asScala.foreach { d =>
-          Files.deleteIfExists(d.resolve("_bench_ready"))
-        }
+        Files.list(root).iterator().asScala
+          .filter(Files.isDirectory(_)) // stray lock/.crc FILES also land here
+          .foreach(d => Files.deleteIfExists(d.resolve("_bench_ready")))
     }
     System.setProperty("graft.reuse.tables", "true")
     var errors = Map.empty[String, String]

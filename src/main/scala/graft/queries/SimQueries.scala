@@ -256,9 +256,14 @@ object SimQueries {
          |  THEN CAST(1 AS BIGINT) << (nbits - 1 - $p) ELSE 0 END)""".stripMargin
     }.mkString(" + ")
     s"""WITH nb AS (
-       |  SELECT GREATEST(8, length(bin(GREATEST(1, (cnt + cnt//10)//10 - 1))))
-       |    AS nbits
-       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |  SELECT CASE WHEN nbits0 > 20 THEN CAST(error(
+       |      'ann_lsh_neardup oracle mirror generates 20 planes; nbits='
+       |        || nbits0 || ' needs more — extend planeWSql coverage')
+       |      AS INT) ELSE nbits0 END AS nbits
+       |  FROM (
+       |    SELECT GREATEST(8, length(bin(GREATEST(1, (cnt + cnt//10)//10 - 1))))
+       |      AS nbits0
+       |    FROM (SELECT count(*) AS cnt FROM embeddings))),
        |corpus AS (
        |  SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
