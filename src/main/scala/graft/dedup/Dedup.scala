@@ -93,6 +93,26 @@ object Dedup {
         struct(least(element_at(ids, i), y).as("id1"),
           greatest(element_at(ids, i), y).as("id2")))))
 
+  /** Star (pivot) pairs for an OVERSIZED candidate bucket: (min_id, x)
+    * for every other member — O(m) rows instead of m·(m-1)/2. A giant
+    * bucket is, in practice, one near-identical duplicate cluster (the
+    * skew campaign's hot embedding cluster produced a 5930-member bucket
+    * = 17.6M all-pairs); its consumer (clustering / keeper election)
+    * needs the cluster CONNECTED, not its quadratic pair closure, and
+    * every star pair is still exact-verified downstream. `id1 < id2`
+    * holds because the pivot is the bucket minimum. */
+  def starPairsFromIds(ids: Column): Column = {
+    val pivot = array_min(ids)
+    transform(filter(ids, x => x =!= pivot),
+      x => struct(pivot.as("id1"), x.as("id2")))
+  }
+
+  /** Bucket size above which pair expansion degrades to star pairs
+    * (all-pairs below it; see [[starPairsFromIds]]). Far above any
+    * bucket observed on uniform corpora at 20× gate scale, so the
+    * collapse only engages on degenerate hot clusters. */
+  val DefaultStarBucket = 1000
+
   /** Exact Jaccard similarity of two token/shingle arrays (set
     * semantics, duplicate-safe, engine-reproducible). array_intersect /
     * array_distinct are hash-based O(n+m) — never the O(n·m)
@@ -119,12 +139,15 @@ object Dedup {
   val DefaultMaxBucket = 10000
 
   private[graft] def capBuckets(grouped: DataFrame, sizeOf: Column,
-                                metricName: String, maxBucket: Int): DataFrame =
+                                metricName: String, maxBucket: Int,
+                                starBucket: Int = Int.MaxValue): DataFrame =
     grouped
       .filter(sizeOf > 1)
       .observe(metricName,
         sum(when(sizeOf > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
-        coalesce(max(sizeOf), lit(0)).as("max_bucket"))
+        coalesce(max(sizeOf), lit(0)).as("max_bucket"),
+        sum(when(sizeOf > starBucket && sizeOf <= maxBucket, 1L)
+          .otherwise(0L)).as("star_buckets"))
       .filter(sizeOf <= maxBucket)
 
   /** NOTE on input scans: the shingle pipeline (`base`) is referenced by

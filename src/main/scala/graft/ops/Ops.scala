@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Per-key row count above which an analytic window's partition is
+    * adaptively CHUNKED along its order key (two-phase running window —
+    * see q_window_funcs): below it, a key's history is one window
+    * partition; above it, one serial task would sort and scan the whole
+    * hot key. Sized to what one task handles comfortably at the test
+    * scales; a production deployment tunes it to rows-per-task the same
+    * way it tunes shuffle partition counts. */
+  val HotWindowKeyRows = 100000L
+
   /** `RegexSplitter(new Fields(...), pattern)` analog
     * (`MultiFamilyHBaseTest.java:54-55`): split `input` on a regex into N
     * named string fields, dropping the input column (Cascading's

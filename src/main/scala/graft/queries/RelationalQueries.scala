@@ -19,6 +19,61 @@ object RelationalQueries {
 
   private val dec = DecimalType(18, 2)
 
+  /** Two-phase chunked running window over `base` (o_custkey /
+    * o_orderkey / o_orderdate / o_totalprice), engaged by q_window_funcs
+    * when `hotKeys` is non-empty. Hot keys' order ranges are chunked by
+    * calendar month so their window work parallelizes; cold keys keep a
+    * single (sentinel) chunk. Bit-identical to the plain one-window
+    * form: decimal addition is associative, (o_orderdate, o_orderkey)
+    * is a total order, and lag(1) at a chunk head is exactly the
+    * previous chunk's last row. */
+  private def windowFuncsChunked(base: org.apache.spark.sql.DataFrame,
+                                 hotKeys: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // sentinel (not null) for cold keys: a null chunk would fall out
+    // of the equi-join back to the carry rows
+    val sentinel = to_timestamp(lit("1900-01-01"))
+    val chunk = when(col("__hot").isNotNull,
+      date_trunc("month", col("o_orderdate"))).otherwise(sentinel)
+    val wc = Window.partitionBy(col("o_custkey"), col("__chunk"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val inChunk = base
+      .join(broadcast(hotKeys), Seq("o_custkey"), "left")
+      .withColumn("__chunk", chunk)
+      .withColumn("rn0", row_number().over(wc))
+      .withColumn("prev0", lag(col("o_totalprice"), 1).over(wc))
+      .withColumn("rt0",
+        sum(col("o_totalprice").cast(dec))
+          .over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-(custkey, chunk) carry — computed from the already-
+    // partitioned rows, so the partial aggregate adds no exchange of
+    // the fact; for a cold key it is a single row whose offsets are
+    // null (no preceding chunk), restoring the plain-window result
+    val carryOrd = Window.partitionBy(col("o_custkey")).orderBy(col("__chunk"))
+    val carryW = carryOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val carry = inChunk
+      .groupBy(col("o_custkey"), col("__chunk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(dec)).as("csum"),
+        max_by(col("o_totalprice"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("clast"))
+      .select(col("o_custkey"), col("__chunk"),
+        sum(col("cnt")).over(carryW).as("rn_off"),
+        sum(col("csum")).over(carryW).as("rt_off"),
+        lag(col("clast"), 1).over(carryOrd).as("prev_last"))
+    // shuffle-hash, not sort-merge: the fact side is already hash
+    // partitioned on the join keys but sorted by (date, key) for the
+    // windows — SMJ would re-sort every fact partition
+    inChunk.join(carry.hint("shuffle_hash"), Seq("o_custkey", "__chunk"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        (col("rn0") + coalesce(col("rn_off"), lit(0L))).cast("int").as("rn"),
+        coalesce(col("prev0"), col("prev_last")).as("prev_price"),
+        (col("rt0") + coalesce(col("rt_off"), lit(0).cast(dec)))
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: partial-agg shuffle on two
     // low-cardinality keys; the date filter is pushed to the parquet scan.
@@ -96,19 +151,50 @@ object RelationalQueries {
     },
 
     // Ranking / analytic / framed aggregate windows.
+    // ADAPTIVELY CHUNKED running window (the q_skyline two-phase
+    // pattern, engaged per key only where needed): a single hash
+    // partition per o_custkey makes a hot key's whole history ONE
+    // serial task (the skew campaign measured 3.0× under a 27%-hot
+    // custkey). A cheap per-key count finds keys above
+    // `HotWindowKeyRows`; ONLY those get their order key chunked by
+    // calendar month — a prefix-respecting refinement of the
+    // (o_orderdate, o_orderkey) total order — so a hot key's window
+    // work spreads over its months while every cold key keeps the
+    // plain one-partition window (skew-free data takes the plain-window
+    // plan outright and pays only the key-count probe job).
+    // The cross-chunk carry (row-count / decimal-sum offsets,
+    // previous chunk's last price) is a window over the per-chunk
+    // AGGREGATE — one row per cold key, #months rows per hot key —
+    // joined back shuffle-hash on the keys the fact is already
+    // partitioned by (SMJ would re-sort every fact partition).
+    // Exactness: decimal addition is associative, the order is total
+    // (o_orderkey is unique), and lag(1) at a chunk head is exactly the
+    // previous chunk's last row — bit-identical to the one-window form
+    // the oracle keeps.
     "q_window_funcs" -> { (s, dir) =>
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      table(s, dir, "orders")
+      val base = table(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
-        .withColumn("running_total",
-          sum(col("o_totalprice").cast(dec))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double"))
-        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      val hotKeys = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > lit(Ops.HotWindowKeyRows))
+        .select(col("o_custkey"), lit(true).as("__hot"))
+      // Driver-side plan choice (the AQE pattern, one partial-agg job):
+      // skew-free data keeps the single-exchange plain window and pays
+      // only the key-count probe; the two-phase machinery below is
+      // constructed only when a hot key actually exists.
+      if (hotKeys.isEmpty) {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("running_total",
+            sum(col("o_totalprice").cast(dec))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      } else windowFuncsChunked(base, hotKeys)
     },
 
     // Top-k: planned as TakeOrderedAndProject (per-partition heaps, no

@@ -249,7 +249,10 @@ object SimQueries {
     // bit width — and sums plane p with weight 2^(bits−1−p) only while
     // p < bits (20 candidate planes cover corpora to ~5M vectors; a
     // static 8-plane mirror held only at the gate sizes and would
-    // value-mismatch from sf1 up).
+    // value-mismatch from sf1 up). Bucket degradation mirrors the
+    // engine exactly: all-pairs for buckets of 2..1000 members, STAR
+    // (pivot = min id) pairs for 1001..10000, dropped above — the
+    // literals are Dedup.DefaultStarBucket / DefaultMaxBucket.
     val bits = (0 to 19).map { p =>
       s"""(CASE WHEN $p < nbits AND list_sum(list_transform(range(1, 65),
          |  i -> q[i] * ${planeWSql(p)})) >= 0
@@ -278,14 +281,24 @@ object SimQueries {
        |  FROM corpus),
        |sigs AS (SELECT id, q, $bits AS sig FROM qv, nb),
        |oks AS (
-       |  SELECT sig FROM sigs GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10000)
-       |SELECT id1, id2, cosine FROM (
-       |  SELECT a.id AS id1, b.id AS id2,
-       |    list_dot_product(a.q, b.q)
-       |      / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
-       |      AS cosine
+       |  SELECT sig, COUNT(*) AS m, MIN(id) AS pivot
+       |  FROM sigs GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10000),
+       |cand AS (
+       |  SELECT a.id AS id1, a.q AS q1, b.id AS id2, b.q AS q2
        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
-       |  JOIN oks o ON o.sig = a.sig)
+       |  JOIN oks o ON o.sig = a.sig AND o.m <= 1000
+       |  UNION ALL
+       |  SELECT p.id AS id1, p.q AS q1, b.id AS id2, b.q AS q2
+       |  FROM oks o
+       |  JOIN sigs p ON p.sig = o.sig AND p.id = o.pivot
+       |  JOIN sigs b ON b.sig = o.sig AND b.id <> o.pivot
+       |  WHERE o.m > 1000)
+       |SELECT id1, id2, cosine FROM (
+       |  SELECT id1, id2,
+       |    list_dot_product(q1, q2)
+       |      / (sqrt(list_dot_product(q1, q1)) * sqrt(list_dot_product(q2, q2)))
+       |      AS cosine
+       |  FROM cand)
        |WHERE cosine >= 0.995
        |ORDER BY id1, id2""".stripMargin
   }

@@ -270,6 +270,28 @@ class DedupSpec extends SparkSpec {
     assert(m.getAs[Int]("max_bucket") === 100)
   }
 
+  test("lshNearDupPairs star-collapses oversized buckets: O(m) pivot " +
+    "pairs, connectivity kept, star_buckets reported") {
+    // 12 identical vectors -> one bucket of 12. Below the star
+    // threshold: all 66 pairs; with starBucket = 5 the bucket exceeds
+    // the threshold (but not the drop cap) -> 11 pivot pairs from the
+    // min id, every member still connected, metric reports the collapse.
+    val corpus = (0 until 12).map(i => (i.toLong, Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "vec")
+    val all = Similarity.lshNearDupPairs(corpus, "id", "vec", dims = 3,
+      minCosine = 0.99, bits = 4)
+    assert(all.count() === 12L * 11 / 2)
+    val starred = Similarity.lshNearDupPairs(corpus, "id", "vec", dims = 3,
+      minCosine = 0.99, bits = 4, starBucket = 5)
+    val rows = starred.collect()
+    assert(rows.length === 11)
+    assert(rows.forall(_.getLong(0) == 0L), "pivot must be the min id")
+    assert(rows.map(_.getLong(1)).sorted === (1L to 11L).toArray)
+    val m = starred.queryExecution.observedMetrics("graft_lsh_buckets")
+    assert(m.getAs[Long]("star_buckets") === 1L)
+    assert(m.getAs[Long]("dropped_buckets") === 0L)
+  }
+
   test("simHash: identical docs hamming 0, perturbed docs close, " +
     "unrelated docs far") {
     val df = Seq(
@@ -354,6 +376,26 @@ class SimilaritySpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(queries, corpus, 3)
       .select($"id").as[Long].collect().toSet
     assert(ivf === brute)
+  }
+
+  test("ivfAssign unique-id contract: one row per id on unique input; " +
+    "a duplicated id SURFACES as duplicate rows (never silently collapsed)") {
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val unique = Seq((0L, Seq(1.0, 0.1)), (1L, Seq(0.1, 1.0)))
+      .toDF("id", "vec")
+    val a = Similarity.ivfAssign(unique, cents)
+    assert(a.count() === 2)
+    assert(a.select("id").distinct().count() === 2)
+    // duplicate id 0 (conflicting vectors): the pre-r5 first(vq) shape
+    // picked one arbitrarily; the join-back shape must emit BOTH rows so
+    // the caller's input defect is visible, not masked
+    val dup = unique.union(Seq((0L, Seq(0.2, 1.0))).toDF("id", "vec"))
+    val d = Similarity.ivfAssign(dup, cents)
+    // best is 1 row per id (2), join-back fans id 0 out over both its
+    // corpus rows: 2 + 1 = 3 emitted rows
+    assert(d.count() === 3, "duplicated id must yield duplicate rows")
+    assert(d.filter($"id" === 0L).count() === 2)
   }
 
   test("pair generation scans the corpus ONCE: base projection cached, " +
