@@ -18,8 +18,12 @@ import org.apache.spark.sql.types._
   * `mm_audio_decode` — and REAL for COMPRESSED IMA-ADPCM WAV:
   * [[MediaCodec.wavAdpcm]] implements the public IMA/DVI 4-bit
   * adaptive-delta spec in pure JVM code (oracle-checked by
-  * `mm_audio_adpcm`). Codecs needing native libraries this
-  * environment does not ship (mp3/aac, h264/vp9) stay stubbed behind
+  * `mm_audio_adpcm`). VIDEO is REAL for uncompressed YUV4MPEG2
+  * ([[MediaCodec.y4mFrameSample]]) and for COMPRESSED MJPEG-in-AVI
+  * ([[MediaCodec.aviMjpegFrameSample]]: RIFF/AVI container walk +
+  * per-frame JDK JPEG decode, oracle-checked by `mm_video_mjpeg`).
+  * Codecs needing native libraries this environment does not ship
+  * (mp3/aac, and INTER-frame video h264/vp9) stay stubbed behind
   * [[MediaCodec.stub]]: the Spark-side plumbing (schema, batched
   * per-partition execution, fixed-width feature output, partitioning
   * behavior) is identical either way — swap in a JNI/ffmpeg binding in
@@ -203,6 +207,71 @@ object Multimodal {
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-in-AVI payload generator — the COMPRESSED-video
+    * twin of [[makeY4m]]: a RIFF/AVI container (`hdrl` with `avih` +
+    * `strl`, then a `movi` LIST) whose `00dc` chunks each hold one full
+    * JPEG frame from the same JDK encoder as [[makeJpeg]]. Frame `f` is
+    * the uniform gray `grays(f)` — DC-only blocks round-trip exactly
+    * (see [[makeJpeg]]), so decoded dimensions, frame counts and
+    * sampled-luma means stay exact arithmetic even through a genuinely
+    * compressed video format. */
+  def makeMjpegAvi(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    require(grays.nonEmpty, "avi payload needs at least one frame")
+    val frames = grays.map(g => makeJpeg(w, h, g))
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    val moviBody = new java.io.ByteArrayOutputStream()
+    frames.foreach { j =>
+      val cb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      cb.put(fourcc("00dc")); cb.putInt(j.length)
+      moviBody.write(cb.array()); moviBody.write(j)
+      if ((j.length & 1) == 1) moviBody.write(0) // RIFF word alignment
+    }
+    val movi = moviBody.toByteArray
+    // avih (56 bytes) + one video stream: strh (56) + strf/BITMAPINFOHEADER (40)
+    val hdrl = java.nio.ByteBuffer.allocate(4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdrl.put(fourcc("hdrl"))
+    hdrl.put(fourcc("avih")); hdrl.putInt(56)
+    hdrl.putInt(40000)              // usec/frame (25 fps)
+    hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0)
+    hdrl.putInt(frames.length)      // total frames
+    hdrl.putInt(0); hdrl.putInt(1)  // initial frames, streams
+    hdrl.putInt(frames.map(_.length).max)
+    hdrl.putInt(w); hdrl.putInt(h)
+    hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0)
+    hdrl.put(fourcc("LIST"))
+    hdrl.putInt(4 + 8 + 56 + 8 + 40) // strl LIST size
+    hdrl.put(fourcc("strl"))
+    hdrl.put(fourcc("strh")); hdrl.putInt(56)
+    hdrl.put(fourcc("vids")); hdrl.put(fourcc("MJPG"))
+    hdrl.putInt(0); hdrl.putInt(0)  // flags, priority+language
+    hdrl.putInt(0)                  // initial frames
+    hdrl.putInt(1); hdrl.putInt(25) // scale, rate (25 fps)
+    hdrl.putInt(0)                  // start
+    hdrl.putInt(frames.length)      // length (frames)
+    hdrl.putInt(frames.map(_.length).max)
+    hdrl.putInt(-1); hdrl.putInt(0) // quality, sample size
+    hdrl.putShort(0); hdrl.putShort(0)
+    hdrl.putShort(w.toShort); hdrl.putShort(h.toShort) // rcFrame
+    hdrl.put(fourcc("strf")); hdrl.putInt(40)
+    hdrl.putInt(40)                 // biSize
+    hdrl.putInt(w); hdrl.putInt(h)
+    hdrl.putShort(1); hdrl.putShort(24) // planes, bit count
+    hdrl.put(fourcc("MJPG"))        // biCompression
+    hdrl.putInt(w * h * 3)          // biSizeImage
+    hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0)
+    val hdrlArr = hdrl.array()
+    val riffLen = 4 + 8 + hdrlArr.length + 8 + 4 + movi.length
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")); bb.putInt(riffLen); bb.put(fourcc("AVI "))
+    bb.put(fourcc("LIST")); bb.putInt(hdrlArr.length); bb.put(hdrlArr)
+    bb.put(fourcc("LIST")); bb.putInt(4 + movi.length); bb.put(fourcc("movi"))
+    bb.put(movi)
+    bb.array()
   }
 
   /** Deterministic IMA-ADPCM WAV (format tag 0x11) payload generator —
@@ -479,6 +548,74 @@ object MediaCodec {
         require(frames > 0, "no frames")
         (w, h, frames, sampled,
           if (sampled == 0) 0L else sum / (sampled.toLong * w * h))
+      }
+    }
+
+  /** REAL compressed-video frame-sampling for MJPEG-in-AVI — a
+    * hand-rolled RIFF/AVI chunk walker (the container format is public
+    * and byte-exact) feeding every `every`-th `00dc` frame through the
+    * JDK's real JPEG decoder. Returns (width, height, total frames,
+    * sampled frames, mean luma over sampled pixels) like
+    * [[y4mFrameSample]], with the container's declared `avih`
+    * dimensions cross-checked against every decoded frame. MJPEG is a
+    * genuinely compressed video format (intra-frame JPEG, the
+    * capture/interchange codec), so the remaining video stub is
+    * INTER-frame codecs (h264/vp9) only, which need native libs this
+    * environment does not ship — see [[stub]]. */
+  def aviMjpegFrameSample(every: Int): MediaCodec[(Int, Int, Int, Int, Long)] =
+    () => {
+      javax.imageio.ImageIO.setUseCache(false)
+      new Session[(Int, Int, Int, Int, Long)] {
+        def decode(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+          require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+            "payload is not RIFF/AVI")
+          var declW = -1; var declH = -1
+          var frames = 0; var sampled = 0; var sum = 0L
+          var outW = -1; var outH = -1
+          def walk(from: Int, to: Int): Unit = {
+            var pos = from
+            while (pos + 8 <= to) {
+              val id = tag(pos)
+              val size = bb.getInt(pos + 4)
+              val body = pos + 8
+              require(body + size <= to, s"truncated $id chunk")
+              id match {
+                case "LIST" => walk(body + 4, body + size) // recurse past type
+                case "avih" =>
+                  declW = bb.getInt(body + 32); declH = bb.getInt(body + 36)
+                case "00dc" =>
+                  if (frames % every == 0) {
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(bytes, body, size))
+                    require(img != null, "frame is not a decodable JPEG")
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    require(outW < 0 || (w == outW && h == outH),
+                      "inconsistent frame dimensions")
+                    outW = w; outH = h
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+                      y += 1
+                    }
+                    sampled += 1
+                  }
+                  frames += 1
+                case _ => () // strh/strf/idx1/JUNK/... — skip
+              }
+              pos = body + size + (size & 1)
+            }
+          }
+          walk(12, bytes.length)
+          require(frames > 0, "no video frames")
+          require(declW == outW && declH == outH,
+            s"avih dims ${declW}x$declH != decoded ${outW}x$outH")
+          (outW, outH, frames, sampled,
+            if (sampled == 0) 0L else sum / (sampled.toLong * outW * outH))
+        }
       }
     }
 

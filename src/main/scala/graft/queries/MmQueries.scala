@@ -18,8 +18,10 @@ import graft.multimodal.{MediaCodec, Multimodal}
   * imageio decode — uniform fields are DC-only, so even the lossy
   * codec is exactly oracle-checkable); `mm_audio_adpcm` runs the real
   * COMPRESSED audio path (IMA-ADPCM, a pure-JVM 4-bit adaptive-delta
-  * codec). Only codecs that need native libraries this environment
-  * does not ship (mp3/aac/h264) stay stubbed — see
+  * codec); `mm_video_mjpeg` runs the real COMPRESSED video path
+  * (MJPEG-in-AVI: RIFF container walk + per-frame JDK JPEG decode).
+  * Only codecs that need native libraries this environment does not
+  * ship (mp3/aac; inter-frame h264/vp9) stay stubbed — see
   * [[graft.multimodal.Multimodal]].
   */
 object MmQueries {
@@ -174,6 +176,32 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL COMPRESSED-video frame-sampling: the same frame-selection
+    // arithmetic as mm_video_frames, but the payload is MJPEG-in-AVI —
+    // a RIFF/AVI container whose 00dc chunks each hold a real JDK-encoded
+    // JPEG frame, walked and decoded by MediaCodec.aviMjpegFrameSample.
+    // Uniform frames are DC-only, so the lossy codec shares the
+    // uncompressed path's exact oracle (see makeJpeg); with this, only
+    // INTER-frame video codecs (h264/vp9) remain environment-stubbed.
+    "mm_video_mjpeg" -> { (s, dir) =>
+      import s.implicits._
+      table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val codec = MediaCodec.aviMjpegFrameSample(3).open()
+          it.map { id =>
+            val w = 8 + (id % 8).toInt * 2
+            val h = 8 + ((id * 3) % 8).toInt * 2
+            val nf = 4 + (id % 12).toInt
+            val grays = Array.tabulate(nf)(f => ((id * 13 + f * 7) % 256).toInt)
+            val (dw, dh, frames, sampled, meanLuma) =
+              codec.decode(Multimodal.makeMjpegAvi(w, h, grays))
+            (id, dw, dh, frames, sampled, meanLuma)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "n_sampled", "mean_luma")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_meta" -> { (s, dir) =>
       val payload = Multimodal.asPayload(col("text"))
       table(s, dir, "documents")
@@ -236,6 +264,19 @@ object MmQueries {
     // [0, ceil(nf/3)); frame f's uniform luma is (id*13 + f*7) % 256,
     // so sampled frame i contributes (id*13 + i*21) % 256.
     "mm_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+        |  CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS height,
+        |  CAST(4 + doc_id % 12 AS INT) AS n_frames,
+        |  CAST((4 + doc_id % 12 + 2) // 3 AS INT) AS n_sampled,
+        |  CAST(list_sum(list_transform(range(0, (4 + doc_id % 12 + 2) // 3),
+        |    i -> (doc_id * 13 + i * 21) % 256))
+        |    // ((4 + doc_id % 12 + 2) // 3) AS BIGINT) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same selection arithmetic as mm_video_frames: the MJPEG round
+    // trip is exact for uniform frames (DC-only blocks, see makeJpeg),
+    // so the compressed container shares the uncompressed oracle.
+    "mm_video_mjpeg" ->
       """SELECT doc_id,
         |  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
         |  CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS height,

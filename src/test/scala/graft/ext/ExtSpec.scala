@@ -625,6 +625,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mjpeg-avi codec walks the container and decodes sampled frames exactly") {
+    // 5 frames of grays 10,20,30,40,50; every=2 samples frames 0,2,4
+    // -> mean (10+30+50)/3 = 30, through REAL JPEG decode (uniform
+    // frames are DC-only, so the lossy codec is exact).
+    val avi = Multimodal.makeMjpegAvi(12, 10, Array(10, 20, 30, 40, 50))
+    assert(MediaCodec.aviMjpegFrameSample(2).open().decode(avi) ===
+      ((12, 10, 5, 3, 30L)))
+    assert(MediaCodec.aviMjpegFrameSample(1).open().decode(avi) ===
+      ((12, 10, 5, 5, 30L)))
+    // Non-AVI payloads are rejected, not misparsed (a WAV is also RIFF).
+    intercept[IllegalArgumentException] {
+      MediaCodec.aviMjpegFrameSample(2).open()
+        .decode(Multimodal.makeWav(8000, Array[Short](1, 2, 3)))
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.aviMjpegFrameSample(2).open().decode("not a video".getBytes)
+    }
+  }
+
+  test("mjpeg round-trip is exact for every gray the query family emits") {
+    // The mm_video_mjpeg oracle assumes gray-in == mean-luma-out for all
+    // 256 uniform grays across the family's dimension grid (w,h in
+    // 8,10..22). Verify the worst-case corners + full gray sweep at one
+    // dimension pair, and the dimension sweep at two grays — the same
+    // exhaustive style as makeJpeg's image check.
+    val codec = MediaCodec.aviMjpegFrameSample(1).open()
+    (0 until 256).foreach { g =>
+      val (_, _, _, _, mean) =
+        codec.decode(Multimodal.makeMjpegAvi(8, 22, Array(g)))
+      assert(mean === g.toLong, s"gray $g did not round-trip at 8x22")
+    }
+    for (w <- 8 to 22 by 2; h <- 8 to 22 by 2; g <- Seq(7, 250)) {
+      val (dw, dh, _, _, mean) =
+        codec.decode(Multimodal.makeMjpegAvi(w, h, Array(g)))
+      assert((dw, dh, mean) === ((w, h, g.toLong)), s"${w}x$h gray $g")
+    }
+  }
+
   test("nearest-neighbor resize samples exactly the expected source rows") {
     // 4×16 gradient (row y = gray 10+y) resized to 8×8: target row y
     // samples source row (y*16)/8 = 2y, so the resized mean must be
