@@ -32,7 +32,7 @@ def main():
     hdr = "| query | base | constrained | ratio |"
     sep = "|---|---|---|---|"
     if show_spill:
-        hdr = hdr[:-1] + " spill |"
+        hdr = hdr + " spill |"
         sep += "---|"
     print(hdr)
     print(sep)

@@ -26,7 +26,7 @@ done
 # Canonical judged record = the min-total lowmem pass.
 python3 - <<'EOF'
 import json
-recs = {p: json.load(open(f"evidence/lowmem_low_p{p}_r06.json")) for p in (1, 2)}
+recs = {p: json.loads(open(f"evidence/lowmem_low_p{p}_r06.json").read().strip().splitlines()[0]) for p in (1, 2)}
 best = min(recs, key=lambda p: recs[p]["value"])
 json.dump(recs[best], open("evidence/bench_sf2_lowmem_r06.json", "w"))
 print(f"canonical lowmem record = pass {best}, total {recs[best]['value']:.1f}s")
