@@ -27,8 +27,8 @@ object RelationalQueries {
     * form: decimal addition is associative, (o_orderdate, o_orderkey)
     * is a total order, and lag(1) at a chunk head is exactly the
     * previous chunk's last row. */
-  private def windowFuncsChunked(base: org.apache.spark.sql.DataFrame,
-                                 hotKeys: org.apache.spark.sql.DataFrame)
+  private[queries] def windowFuncsChunked(base: org.apache.spark.sql.DataFrame,
+                                          hotKeys: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // sentinel (not null) for cold keys: a null chunk would fall out
     // of the equi-join back to the carry rows
