@@ -530,6 +530,64 @@ object StreamQueries {
       KvTable.read(s, path)
         .select(col("user_id"), col("t"), col("o_orderkey"))
         .orderBy(col("user_id"), col("t"), col("o_orderkey"))
+    },
+
+    // SALTED stream-STREAM interval join — the production answer to a
+    // hot key in a streaming join, demonstrated rather than asserted
+    // (SCALING_r06.md §1 excludes the unsalted stream joins from the
+    // skew gate because a doubly-hot key makes the ANSWER quadratic;
+    // salting cannot shrink that output, but it spreads a hot key's
+    // matching WORK and join STATE across SALTS partitions instead of
+    // one). The equality key becomes (user_id, salt): the events side
+    // derives its salt from the row (hash of (user_id, t)), the orders
+    // side replicates each row to ALL salts — orders state grows
+    // SALTS×, the per-partition share of a hot key's work drops
+    // SALTS× — and every event row still meets each matching order
+    // exactly once (at its own salt), so the join result is identical
+    // to stream_join's shape and the oracle is the same plain SQL
+    // interval join with no salt in sight.
+    "stream_join_salted" -> { (s, dir) =>
+      val path = scratchDir("stream_join_salted", dir)
+      KvTable.drop(s, path)
+      val schema = KvSchema.of("jk",
+        "user_id" -> ("j", "user_id"),
+        "t" -> ("j", "t"),
+        "o_orderkey" -> ("j", "orderkey"))
+      val salts = 8
+      val ev = s.readStream
+        .schema(schemaOf(s, dir, "events"))
+        .parquet(streamDir(dir, "events"))
+        .filter(col("user_id") < 50)
+        .withColumn("t", expr("cast(ts as timestamp)"))
+        .withWatermark("t", "1 day")
+        .withColumn("salt",
+          pmod(xxhash64(col("user_id"), col("t")), lit(salts.toLong)))
+        .select(col("user_id"), col("t"), col("salt"))
+      val ord = s.readStream
+        .schema(schemaOf(s, dir, "orders"))
+        .parquet(streamDir(dir, "orders"))
+        .filter(col("o_custkey") < 50)
+        .withColumn("o_orderdate",
+          col("o_orderdate").cast("timestamp") + expr("INTERVAL 29 YEARS"))
+        .withWatermark("o_orderdate", "1 day")
+        .withColumn("o_salt",
+          explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_salt"))
+      val joined = ev.join(ord,
+        col("user_id") === col("o_custkey") &&
+          col("salt") === col("o_salt") &&
+          col("t") >= col("o_orderdate") - expr("INTERVAL 3 DAYS") &&
+          col("t") <= col("o_orderdate") + expr("INTERVAL 3 DAYS"))
+        .withColumn("jk", concat_ws("|",
+          col("user_id"), unix_micros(col("t")), col("o_orderkey")))
+        .select(col("jk"), col("user_id"), col("t"), col("o_orderkey"))
+      runStream(joined, outputMode = "append") { (batch, _) =>
+        KvTable.write(batch, path, schema, SinkMode.Append)
+      }
+      KvTable.read(s, path)
+        .select(col("user_id"), col("t"), col("o_orderkey"))
+        .orderBy(col("user_id"), col("t"), col("o_orderkey"))
     }
   )
 
@@ -627,6 +685,18 @@ object StreamQueries {
         |GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin,
     "stream_join" ->
+      """SELECT DISTINCT e.user_id, CAST(e.ts AS TIMESTAMP) AS t, o.o_orderkey
+        |FROM events e JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        | AND CAST(e.ts AS TIMESTAMP)
+        |       >= o.o_orderdate + INTERVAL 29 YEAR - INTERVAL 3 DAY
+        | AND CAST(e.ts AS TIMESTAMP)
+        |       <= o.o_orderdate + INTERVAL 29 YEAR + INTERVAL 3 DAY
+        |WHERE e.user_id < 50
+        |ORDER BY user_id, t, o_orderkey""".stripMargin,
+    // identical to stream_join's oracle: the salt is an execution
+    // detail that must cancel out of the answer entirely
+    "stream_join_salted" ->
       """SELECT DISTINCT e.user_id, CAST(e.ts AS TIMESTAMP) AS t, o.o_orderkey
         |FROM events e JOIN orders o
         |  ON e.user_id = o.o_custkey
