@@ -83,17 +83,15 @@ object Multimodal {
   def makeGradientPng(width: Int, height: Int, gray0: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](width)
     var y = 0
     while (y < height) {
       val g = (gray0 + y) % 256
-      val rgb = (g << 16) | (g << 8) | g
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      java.util.Arrays.fill(row, (g << 16) | (g << 8) | g)
+      img.setRGB(0, y, width, 1, row, 0, width)
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodeWith(pngWriter.get(), img, null)
   }
 
   /** REAL nearest-neighbor resample to `tw`×`th`: target pixel (x,y)
@@ -105,17 +103,46 @@ object Multimodal {
     val out = new java.awt.image.BufferedImage(tw, th,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val (w, h) = (src.getWidth, src.getHeight)
+    // Row-bulk get/set with a precomputed x-map and a last-source-row
+    // cache: value-identical to per-pixel getRGB/setRGB (the bulk forms
+    // run every pixel through the same default-sRGB ColorModel
+    // conversion, just inside one JDK loop instead of per call), and an
+    // order of magnitude faster on the byte-raster images the JPEG/PNG
+    // decoders produce.
+    val srcRow = new Array[Int](w)
+    val outRow = new Array[Int](tw)
+    val xmap = Array.tabulate(tw)(x => (x.toLong * w / tw).toInt)
+    var lastSy = -1
     var y = 0
     while (y < th) {
       val sy = (y.toLong * h / th).toInt
+      if (sy != lastSy) { src.getRGB(0, sy, w, 1, srcRow, 0, w); lastSy = sy }
       var x = 0
-      while (x < tw) {
-        out.setRGB(x, y, src.getRGB((x.toLong * w / tw).toInt, sy))
-        x += 1
-      }
+      while (x < tw) { outRow(x) = srcRow(xmap(x)); x += 1 }
+      out.setRGB(0, y, tw, 1, outRow, 0, tw)
       y += 1
     }
     out
+  }
+
+  /** Sum of the red channel (the luma proxy every mm_* featurizer
+    * uses) over a whole image via row-bulk `getRGB` — value-identical
+    * to summing per-pixel `img.getRGB(x, y)` (both paths convert each
+    * pixel through the identical default-sRGB ColorModel), but the
+    * per-pixel form re-dispatches through the color model once per
+    * CALL, which dominated the decode queries' profiles. */
+  def redSum(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val row = new Array[Int](w)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) { sum += (row(x) >> 16) & 0xff; x += 1 }
+      y += 1
+    }
+    sum
   }
 
   /** Deterministic 16-bit mono PCM WAV (RIFF) payload generator — the
@@ -157,6 +184,37 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One ImageWriter per (thread, format): the payload generators run
+    * per-row inside task threads, and a fresh
+    * `ImageIO.getImageWritersByFormatName(...).next()` per call is a
+    * registry scan + codec construction per FRAME. Worse,
+    * `ImageIO.createImageOutputStream` obeys the global use-cache flag
+    * (default TRUE) and backs each encode with a scratch FILE on disk.
+    * Encoding through a reused per-thread writer into a
+    * [[javax.imageio.stream.MemoryCacheImageOutputStream]] is
+    * byte-identical (same codec, same params — verified exhaustively
+    * over this family's dimensions and all 256 grays) and ~4× faster
+    * per frame. ImageWriter is not thread-safe; the ThreadLocal is the
+    * confinement. */
+  private def threadWriter(format: String) = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+  }
+  private val pngWriter = threadWriter("png")
+  private val jpgWriter = threadWriter("jpg")
+
+  private def encodeWith(writer: javax.imageio.ImageWriter,
+                         img: java.awt.image.BufferedImage,
+                         params: javax.imageio.ImageWriteParam): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally ios.close()
+    bos.toByteArray
+  }
+
   /** Deterministic uniform-gray PNG — the test/query payload generator
     * (PNG is lossless, so decoded dimensions and pixel means are exact
     * arithmetic functions of the inputs, checkable by a non-image
@@ -164,16 +222,11 @@ object Multimodal {
   def makePng(width: Int, height: Int, gray: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = (gray << 16) | (gray << 8) | gray
+    val row = new Array[Int](width)
+    java.util.Arrays.fill(row, (gray << 16) | (gray << 8) | gray)
     var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    while (y < height) { img.setRGB(0, y, width, 1, row, 0, width); y += 1 }
+    encodeWith(pngWriter.get(), img, null)
   }
 
   /** Deterministic uniform-gray JPEG — the COMPRESSED-image payload
@@ -189,24 +242,15 @@ object Multimodal {
                quality: Float = 0.9f): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = (gray << 16) | (gray << 8) | gray
+    val row = new Array[Int](width)
+    java.util.Arrays.fill(row, (gray << 16) | (gray << 8) | gray)
     var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    while (y < height) { img.setRGB(0, y, width, 1, row, 0, width); y += 1 }
+    val writer = jpgWriter.get()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-    } finally { writer.dispose(); ios.close() }
-    bos.toByteArray
+    encodeWith(writer, img, params)
   }
 
   /** Deterministic MJPEG-in-AVI payload generator — the COMPRESSED-video
@@ -566,6 +610,21 @@ object MediaCodec {
     () => {
       javax.imageio.ImageIO.setUseCache(false)
       new Session[(Int, Int, Int, Int, Long)] {
+        // One JPEG ImageReader per session: every 00dc chunk is JPEG by
+        // format definition, so the per-frame ImageIO.read format sniff
+        // and reader construction are pure overhead. Same JDK decoder,
+        // identical pixels.
+        private val jpegReader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        private def readJpegFrame(bytes: Array[Byte], off: Int,
+                                  len: Int): java.awt.image.BufferedImage = {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes, off, len))
+          try {
+            jpegReader.setInput(iis, true, true)
+            jpegReader.read(0)
+          } finally iis.close()
+        }
         def decode(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -588,19 +647,13 @@ object MediaCodec {
                   declW = bb.getInt(body + 32); declH = bb.getInt(body + 36)
                 case "00dc" =>
                   if (frames % every == 0) {
-                    val img = javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(bytes, body, size))
+                    val img = readJpegFrame(bytes, body, size)
                     require(img != null, "frame is not a decodable JPEG")
                     val (w, h) = (img.getWidth, img.getHeight)
                     require(outW < 0 || (w == outW && h == outH),
                       "inconsistent frame dimensions")
                     outW = w; outH = h
-                    var y = 0
-                    while (y < h) {
-                      var x = 0
-                      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-                      y += 1
-                    }
+                    sum += Multimodal.redSum(img)
                     sampled += 1
                   }
                   frames += 1
@@ -633,14 +686,7 @@ object MediaCodec {
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, "payload is not a decodable image")
         val r = Multimodal.resizeNearest(img, tw, th)
-        var sum = 0L
-        var y = 0
-        while (y < th) {
-          var x = 0
-          while (x < tw) { sum += (r.getRGB(x, y) >> 16) & 0xff; x += 1 }
-          y += 1
-        }
-        (tw, th, sum / (tw.toLong * th))
+        (tw, th, Multimodal.redSum(r) / (tw.toLong * th))
       }
     }
   }
@@ -657,14 +703,7 @@ object MediaCodec {
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, "payload is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-          y += 1
-        }
-        (w, h, sum / (w.toLong * h))
+        (w, h, Multimodal.redSum(img) / (w.toLong * h))
       }
     }
   }

@@ -26,13 +26,28 @@ import graft.multimodal.{MediaCodec, Multimodal}
   */
 object MmQueries {
 
+  /** Input to every codec stage: the id column, spread round-robin
+    * across the session's full parallelism. The parquet scan's
+    * partitioning is BYTE-based (`maxPartitionBytes`), which is right
+    * for IO-bound scans and wrong for a CPU-bound per-row codec stage —
+    * a few MB of ids plan as one or two partitions and the decode runs
+    * on as many cores while the rest idle. Repartitioning the skinny id
+    * column costs O(ids) shuffle bytes and is exactly what a production
+    * decode stage does: media work is scheduled by ROW count, not input
+    * bytes. */
+  private def codecIds(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   val defs: Map[String, Q] = Map(
     // Encode→decode image round trip, batched per partition (codec init
     // once per partition — the mapInPandas-shaped plumbing with a real
     // JVM codec).
     "mm_image_decode" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "documents").select(col("doc_id")).as[Long]
+      codecIds(s, dir)
         .mapPartitions { it =>
           val codec = MediaCodec.imageIO.open()
           it.map { id =>
@@ -55,7 +70,7 @@ object MmQueries {
     // the compressed-codec stub now covers audio/video only.
     "mm_image_jpeg" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "documents").select(col("doc_id")).as[Long]
+      codecIds(s, dir)
         .mapPartitions { it =>
           val codec = MediaCodec.imageIO.open()
           it.map { id =>
@@ -78,7 +93,7 @@ object MmQueries {
     // the mean, so the resample arithmetic itself is value-checked.
     "mm_image_resize" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "documents").select(col("doc_id")).as[Long]
+      codecIds(s, dir)
         .mapPartitions { it =>
           val codec = MediaCodec.imageResize(8, 8).open()
           it.map { id =>
@@ -107,7 +122,7 @@ object MmQueries {
     // the family's true worst case; the query uses 2x headroom).
     "mm_audio_adpcm" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "documents").select(col("doc_id")).as[Long]
+      codecIds(s, dir)
         .mapPartitions { it =>
           val codec = MediaCodec.wavAdpcm.open()
           it.map { id =>
@@ -135,7 +150,7 @@ object MmQueries {
 
     "mm_audio_decode" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "documents").select(col("doc_id")).as[Long]
+      codecIds(s, dir)
         .mapPartitions { it =>
           val codec = MediaCodec.wavPcm.open()
           it.map { id =>
@@ -159,7 +174,7 @@ object MmQueries {
     // image resample's row selection.
     "mm_video_frames" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "documents").select(col("doc_id")).as[Long]
+      codecIds(s, dir)
         .mapPartitions { it =>
           val codec = MediaCodec.y4mFrameSample(3).open()
           it.map { id =>
@@ -185,7 +200,7 @@ object MmQueries {
     // INTER-frame video codecs (h264/vp9) remain environment-stubbed.
     "mm_video_mjpeg" -> { (s, dir) =>
       import s.implicits._
-      table(s, dir, "documents").select(col("doc_id")).as[Long]
+      codecIds(s, dir)
         .mapPartitions { it =>
           val codec = MediaCodec.aviMjpegFrameSample(3).open()
           it.map { id =>
