@@ -174,6 +174,36 @@ object SimQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // SemDeDup (the published semantic-dedup method) over the
+    // embeddings corpus ∪ perturbed near-copies of every 10th vector
+    // (cosine ≈ 0.9987 to their source — over the 0.995 line, so the
+    // planted copies are exactly what the operator must prune).
+    // k-means clusters bound the candidate space; the order-free
+    // dominance rule prunes within clusters (keep the most central of
+    // any over-threshold pair). k follows the √n occupancy rule like
+    // ann_ivf's centroid stride — fixed k would grow cluster occupancy
+    // (and the within-cluster pair work) linearly with the corpus. The
+    // TRAINED centroids ship to the oracle as literals via the sidecar,
+    // so the mirror is SF-independent by construction.
+    "dedup_semantic" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val asD = transform(col("embedding"), x => x.cast("double"))
+      val base = e.select(col("vec_id").as("id"), asD.as("vec"))
+      val pert = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("id"),
+          concat(array(element_at(asD, 1) + lit(0.05)),
+            slice(asD, 2, 63)).as("vec"))
+      val corpus = base.unionByName(pert)
+      val n = e.count(); val corpusN = n + n / 10
+      val k = math.max(16, math.sqrt(corpusN / 8.0).toInt)
+      val cents = Similarity.kmeansCentroids(corpus, k = k, iters = 3)
+      writeCentsSidecar(java.nio.file.Paths.get(
+        scratchDir("semdedup_model", dir), "cents.txt"), cents)
+      lastDir = Some(dir)
+      Similarity.semanticDedup(corpus, cents, minCosine = 0.995)
+        .orderBy(col("id"))
+    },
+
     // Angular-LSH bucketed near-dup pairs: corpus ∪ perturbed copies of
     // every 10th vector (first component +0.05 → cosine ≈ 0.9987).
     // Signature width follows the library's own sizing rule (raise bits
@@ -305,6 +335,58 @@ object SimQueries {
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** SemDeDup mirror with the trained centroids as a pluggable CTE:
+    * same corpus ∪ perturbed-copies construction as the LSH mirror,
+    * the assignment CTE from the IVF mirror (highest cosine, then
+    * lowest cid), the LSH mirror's three cluster-size regimes
+    * (all-pairs ≤ 1000, pivot pairs to 10000, dropped above — the
+    * literals are Dedup.DefaultStarBucket / DefaultMaxBucket), and the
+    * dominance rule verbatim: of an over-threshold pair the less
+    * central member (tie: higher id) drops. */
+  private def semDedupSql(centsCte: String): String = {
+    val cos = cosSql _
+    s"""WITH cents AS ($centsCte),
+       |corpus AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS id,
+       |    [list_transform(embedding, x -> CAST(x AS DOUBLE))[1] + 0.05]
+       |      || list_transform(embedding, x -> CAST(x AS DOUBLE))[2:64] AS vec
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |qv AS (
+       |  SELECT id, list_transform(vec, x -> CAST(round(x*10000) AS BIGINT)) AS vq
+       |  FROM corpus),
+       |assign AS (
+       |  SELECT id, vq, cid, ccos FROM (
+       |    SELECT c.id, c.vq, ct.cid, ${cos("c.vq", "ct.cq")} AS ccos,
+       |      row_number() OVER (PARTITION BY c.id
+       |        ORDER BY ${cos("c.vq", "ct.cq")} DESC, ct.cid) AS rn
+       |    FROM qv c, cents ct) WHERE rn = 1),
+       |oks AS (
+       |  SELECT cid, COUNT(*) AS m, MIN(id) AS pivot FROM assign GROUP BY 1
+       |  HAVING COUNT(*) BETWEEN 2 AND 10000),
+       |cand AS (
+       |  SELECT a.id AS id1, a.vq AS q1, a.ccos AS c1,
+       |         b.id AS id2, b.vq AS q2, b.ccos AS c2
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+       |  JOIN oks o ON o.cid = a.cid AND o.m <= 1000
+       |  UNION ALL
+       |  SELECT p.id, p.vq, p.ccos, b.id, b.vq, b.ccos
+       |  FROM oks o
+       |  JOIN assign p ON p.cid = o.cid AND p.id = o.pivot
+       |  JOIN assign b ON b.cid = o.cid AND b.id <> o.pivot
+       |  WHERE o.m > 1000),
+       |dropped AS (
+       |  SELECT DISTINCT CASE WHEN c1 < c2 OR (c1 = c2 AND id1 > id2)
+       |    THEN id1 ELSE id2 END AS id
+       |  FROM cand WHERE ${cos("q1", "q2")} >= 0.995)
+       |SELECT a.id, a.cid, a.ccos, d.id IS NULL AS kept
+       |FROM assign a LEFT JOIN dropped d ON d.id = a.id
+       |ORDER BY a.id""".stripMargin
+  }
 
   /** IVF-flat mirror with a pluggable centroid CTE — shared by
     * `ann_ivf_topk` (centroids = every-40th-vector subset, plain SQL)
@@ -478,11 +560,15 @@ object SimQueries {
           scratchDir("ann_pq_model", dir), "cents.txt"))
         val kmCents = readCentsSidecar(java.nio.file.Paths.get(
           scratchDir("ann_kmeans_model", dir), "cents.txt"))
+        val sdCents = readCentsSidecar(java.nio.file.Paths.get(
+          scratchDir("semdedup_model", dir), "cents.txt"))
         (cb.map(c => "ann_pq_topk" -> pqSql(c, rerank = 50)) ++
           (for (c <- cb; ce <- pqCents)
             yield "ann_ivfpq_topk" -> ivfPqSql(c, ce, nprobe = 4, rerank = 40)) ++
           kmCents.map(ce =>
-            "ann_kmeans_ivf" -> ivfSqlWithCents(centsValuesCte(ce)))).toMap
+            "ann_kmeans_ivf" -> ivfSqlWithCents(centsValuesCte(ce))) ++
+          sdCents.map(ce =>
+            "dedup_semantic" -> semDedupSql(centsValuesCte(ce)))).toMap
     }
     Map(
       "ann_topk" -> annTopkSql,

@@ -517,4 +517,72 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (the published method:
+    * cluster embeddings with k-means, then prune near-duplicates
+    * WITHIN each cluster — clustering bounds the candidate space so
+    * the quadratic pair work never crosses cluster borders). Every
+    * corpus row comes back flagged: (id, cid, ccos, kept) where ccos
+    * is the quantized cosine to the assigned centroid and `kept` is
+    * decided by a deterministic, order-free dominance rule: a vector
+    * drops iff some same-cluster vector with quantized cosine >=
+    * `minCosine` to it is MORE CENTRAL (higher ccos; ties keep the
+    * lower id). Unlike the paper's greedy sweep this needs no
+    * sequential pass — it is one pair join + partial-aggregated
+    * distinct, and it is exactly mirrorable in SQL.
+    *
+    * Scale shape: assignment is [[ivfAssign]]'s one linear corpus pass
+    * (centroids broadcast, skinny agg). Clusters are candidate buckets
+    * in exactly the LSH pipeline's three regimes — all-pairs up to
+    * `starBucket`, O(m) pivot pairs to `maxBucket`, dropped (and
+    * counted via `graft_semdedup_clusters` observe metrics) above.
+    * Pair expansion carries IDS ONLY; vectors join back once per side.
+    * At 100 TB the knobs are the ones the paper itself turns: train k
+    * on a sample, grow k with the corpus so cluster occupancy stays
+    * bounded, persist the assignment `partitionBy(cid)` and prune per
+    * cluster.
+    *
+    * PRECONDITION: `corpus.id` unique (inherited from [[ivfAssign]]).
+    * Callers own releasing the internal cache via
+    * [[graft.dedup.Dedup.releaseCache]] once the result is consumed. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    minCosine: Double,
+                    maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket,
+                    starBucket: Int = graft.dedup.Dedup.DefaultStarBucket)
+      : DataFrame = {
+    import graft.functions.Native
+    Native.register(corpus.sparkSession)
+    val cos = Native.cosineQ _
+    val assigned = ivfAssign(corpus, centroids)
+      .join(quantCentroids(centroids), Seq("cid"))
+      .select(col("cid"), col("id"), col("vq"),
+        cos(col("vq"), col("cq")).as("ccos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.dedup.Dedup.capBuckets(
+        assigned.groupBy(col("cid")).agg(collect_list(col("id")).as("ids")),
+        size(col("ids")), "graft_semdedup_clusters", maxBucket, starBucket)
+      .select(explode(
+        when(size(col("ids")) <= lit(starBucket),
+          graft.dedup.Dedup.pairsFromIds(col("ids")))
+          .otherwise(graft.dedup.Dedup.starPairsFromIds(col("ids")))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // Of an over-threshold pair the LESS central member drops (tie: the
+    // higher id). The dominance rule is monotone — extra pairs can only
+    // re-confirm drops — so the star regime degrades recall (only
+    // pivot-adjacent pairs examined), never correctness.
+    val dropped = pairs
+      .join(assigned.select(col("id").as("id1"), col("vq").as("q1"),
+        col("ccos").as("c1")), Seq("id1"))
+      .join(assigned.select(col("id").as("id2"), col("vq").as("q2"),
+        col("ccos").as("c2")), Seq("id2"))
+      .filter(cos(col("q1"), col("q2")) >= lit(minCosine))
+      .select(when(col("c1") < col("c2") ||
+          (col("c1") === col("c2") && col("id1") > col("id2")), col("id1"))
+        .otherwise(col("id2")).as("id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"), col("ccos"),
+        coalesce(col("__drop"), lit(false)).unary_!.as("kept"))
+  }
 }

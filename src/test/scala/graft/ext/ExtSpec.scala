@@ -448,6 +448,49 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until 3).forall(i => found.contains((i.toLong, i + 100L))))
   }
 
+  test("semanticDedup dominance rule: less central near-dup drops, " +
+    "dissimilar cluster members survive, exact-tie keeps the lower id") {
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+      .toDF("cid", "cvec")
+    val corpus = Seq(
+      (1L, Seq(10.0, 0.0, 0.0)),  // cluster 0, most central
+      (2L, Seq(10.0, 0.5, 0.0)),  // cos(1,2)≈0.9988 ≥ τ → drops (less central)
+      (3L, Seq(10.0, 3.0, 0.0)),  // cos(1,3)≈0.958 < τ → kept
+      (4L, Seq(0.0, 10.0, 0.0)),  // cluster 1, most central
+      (5L, Seq(0.0, 10.0, 0.5)),  // near-dup of 4 → drops
+      (6L, Seq(10.0, 0.0, 0.0))   // exact duplicate of 1: ccos tie → higher id drops
+    ).toDF("id", "vec")
+    val out = Similarity.semanticDedup(corpus, cents, minCosine = 0.995)
+      .orderBy("id").as[(Long, Int, Double, Boolean)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.filter(_._4).map(_._1).toSet === Set(1L, 3L, 4L))
+    // cluster assignment sanity: x-axis rows in cluster 0, y-axis in 1
+    assert(out.filter(r => Set(1L, 2L, 3L, 6L)(r._1)).forall(_._2 == 0))
+    assert(out.filter(r => Set(4L, 5L)(r._1)).forall(_._2 == 1))
+  }
+
+  test("semanticDedup star regime examines pivot pairs only — " +
+    "non-pivot near-dups survive there but drop under all-pairs") {
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    // pivot (min id 10) is DISSIMILAR to both others; 11 and 12 are
+    // near-identical to each other
+    val corpus = Seq(
+      (10L, Seq(10.0, 3.0, 0.0)),
+      (11L, Seq(10.0, 0.0, 0.0)),
+      (12L, Seq(10.0, 0.01, 0.0))
+    ).toDF("id", "vec")
+    def kept(star: Int) =
+      Similarity.semanticDedup(corpus, cents, minCosine = 0.995,
+          starBucket = star)
+        .filter($"kept").select($"id").as[Long].collect().toSet
+    // all-pairs: (11,12) over τ → 12 drops (11 is more central)
+    assert(kept(star = 1000) === Set(10L, 11L))
+    // star regime (m=3 > starBucket=2): only (10,11) and (10,12)
+    // examined, both under τ → everything survives (documented
+    // recall degradation, never a wrong drop)
+    assert(kept(star = 2) === Set(10L, 11L, 12L))
+  }
+
   test("IVF search over a persisted cid-partitioned assignment table " +
     "matches the inline path and partition-prunes") {
     val corpus = (0L until 60L).map { i =>
