@@ -261,6 +261,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-weighted source MIXING — the α-smoothed multinomial
+    // data-mixture pass of multilingual/multi-source pretraining:
+    // sample source s at rate ∝ n_s^α / n_s with α = 1/2 and a total
+    // budget of half the corpus, so overrepresented sources downsample
+    // toward the smoothed weights and small sources keep everything
+    // (no upsampling). All arithmetic is engine-exact: the only float
+    // op is per-source floor(sqrt(n)) (correctly-rounded IEEE on an
+    // exact integer input — order-free, unlike a double weight SUM),
+    // and the keep rule is multiplied out — keep iff h·n_s·W < B·w_s·P
+    // — so there is no division and no rounding boundary anywhere.
+    // Census is a |sources|-row partial agg broadcast back; one corpus
+    // scan; decimals keep the triple product overflow-safe at 100 TB
+    // row counts (same reasoning as stratifiedCap).
+    "text_mixture_sample" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val census = docs.groupBy(col("source").as("__src"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__wsrc", floor(sqrt(col("__n").cast("double"))).cast("long"))
+      val tot = census.agg(
+        floor(sum(col("__n")) / 2).cast("decimal(38,0)").as("__budget"),
+        sum(col("__wsrc")).cast("decimal(38,0)").as("__wtot"))
+      val h = graft.dedup.Dedup.hash60(col("doc_id").cast("string"))
+        .cast("decimal(38,0)")
+      docs.join(broadcast(census), col("source") === col("__src"))
+        .crossJoin(broadcast(tot))
+        .filter(h * col("__n").cast("decimal(38,0)") * col("__wtot") <
+          col("__budget") * col("__wsrc").cast("decimal(38,0)") *
+            lit(graft.dedup.Dedup.MinHashP).cast("decimal(38,0)"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Content-defined chunking by rolling hash: a 3-token rolling hash
     // (the same base-31 poly roll the dedup pipeline uses) marks a chunk
     // boundary wherever hash % 8 == 0 — boundaries move with content,
@@ -561,6 +593,18 @@ object TextQueries {
         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |         AS BIGINT) % 1000000007) * n_lang
         |      < CAST(50 AS BIGINT) * 1000000007
+        |ORDER BY doc_id""".stripMargin,
+    "text_mixture_sample" ->
+      """WITH census AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS ws
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n) // 2 AS bgt, SUM(ws) AS wt FROM census)
+        |SELECT doc_id, source, lang
+        |FROM documents JOIN census USING (source), tot
+        |WHERE CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |          AS BIGINT) % 1000000007) AS HUGEINT) * n * wt
+        |      < CAST(bgt AS HUGEINT) * ws * 1000000007
         |ORDER BY doc_id""".stripMargin,
     "text_chunks" ->
       s"""SELECT doc_id,
