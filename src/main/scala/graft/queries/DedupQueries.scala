@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.kv.{KvSchema, KvTable, SinkMode}
 import graft.text.TextOps
 
 /** Deduplication EXT queries. The synthetic documents table has no real
@@ -42,6 +43,27 @@ object DedupQueries {
       |SELECT doc_id + 1000000 AS doc_id, text || ' xtra token pad' AS text
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** The persisted fingerprint index dedup_incremental serves from:
+    * fp → first owner over the already-accepted corpus (doc_id % 5 ≠
+    * 0), bulk-loaded into its compacted 8-bucket KvTable layout in one
+    * job. Bench builds it untimed (prepare); Verify rebuilds per run. */
+  private def fpIndexPath(s: SparkSession, dir: String): String = {
+    val path = scratchDir("dedup_fp_index", dir)
+    ensureSetup(path) {
+      val idx = table(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+      KvTable.bulkLoad(idx, path, KvSchema.of("fp", "owner" -> ("d", "owner")),
+        buckets = 8, SinkMode.Replace)
+    }
+    path
+  }
+
+  /** Bench runs these untimed before timing the query bodies. */
+  val prepares: Map[String, (SparkSession, String) => Unit] = Map(
+    "dedup_incremental" -> ((s, d) => { fpIndexPath(s, d); () }))
+
   val defs: Map[String, Q] = Map(
     // Exact dedup by content fingerprint: deterministic keeper (min id)
     // + copy count per group. One partial-agg shuffle at any scale.
@@ -50,6 +72,37 @@ object DedupQueries {
         .groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keep_id"))
+    },
+
+    // INCREMENTAL exact dedup — the daily-crawl shape: a persisted KV
+    // fingerprint index (the classic content-addressed dedup index a
+    // log-structured store serves) holds every already-accepted
+    // document's fingerprint → first owner; each new batch is checked
+    // with one fingerprint pass + one join against the index, O(batch)
+    // work regardless of corpus history. The index is born compacted
+    // via bulkLoad (sorted bucket files, blooms, manifest). At 100 TB
+    // the index side stays a bucket-compacted KvTable; a batch
+    // repartitioned by the same key bucketing joins storage-partitioned
+    // (kv_colocated_join demonstrates that machinery) — here the plain
+    // join is the shape under test. Batch = the unindexed split
+    // (doc_id % 5 == 0) ∪ replayed copies of every 7th INDEXED doc
+    // (re-crawled pages — the hits the index exists to catch).
+    "dedup_incremental" -> { (s, dir) =>
+      val path = fpIndexPath(s, dir)
+      val idx = KvTable.readV2(s, path).select(col("fp").as("__fp"), col("owner"))
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+            pmod(col("doc_id"), lit(7L)) === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      batch
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .join(idx, col("fp") === col("__fp"), "left")
+        .select(col("doc_id"), col("fp"), col("owner"),
+          col("owner").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
     },
 
     // MinHash + banded LSH near-dup pairs with exact Jaccard verify.
@@ -507,6 +560,23 @@ object DedupQueries {
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_incremental" ->
+      raw"""WITH idx AS (
+           |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           |    MIN(doc_id) AS owner
+           |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+           |batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents
+           |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1),
+           |fps AS (
+           |  SELECT doc_id,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           |  FROM batch)
+           |SELECT f.doc_id, f.fp, i.owner, i.owner IS NOT NULL AS is_dup
+           |FROM fps f LEFT JOIN idx i USING (fp)
+           |ORDER BY f.doc_id""".stripMargin,
     "dedup_minhash" -> minhashSql,
     "dedup_clusters" -> clustersSql,
     "dedup_cluster_best" -> clusterBestSql,
