@@ -26,10 +26,13 @@ class PlanGuardSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Side-effect-free query sets (no KV scratch writes, no streams). */
+  /** Side-effect-free query sets (no KV scratch writes, no streams).
+    * dedup_incremental is excluded like the KV family: its def builds
+    * the persisted fingerprint index before planning. */
   private def audited: Map[String, Q] =
     RelationalQueries.defs ++ RelationalQueries.defs2 ++
-      TpchQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      TpchQueries.defs ++ TextQueries.defs ++
+      (DedupQueries.defs - "dedup_incremental") ++
       UdfQueries.defs
 
   private def plan(name: String): String =
@@ -146,5 +149,38 @@ class PlanGuardSpec extends SparkSpec {
     // to the pinned attribute, not re-inlined constructions
     assert(builds <= 1, s"q_map_funcs inlines map_concat $builds times:\n$p")
     assert(p.contains("Generate"), "q_map_funcs lost its generator barrier")
+  }
+
+  test("codec queries repartition the id column to full parallelism " +
+      "(byte-sized scan splits starve a CPU-bound per-row stage)") {
+    Seq("mm_image_decode", "mm_image_jpeg", "mm_video_mjpeg",
+        "mm_audio_decode").foreach { n =>
+      val p = MmQueries.defs(n)(spark, dir).queryExecution
+        .executedPlan.treeString
+      assert(p.contains("RoundRobinPartitioning"),
+        s"$n lost its codec repartition:\n$p")
+    }
+  }
+
+  test("semanticDedup plans broadcast centroid joins and no cartesian; " +
+      "pair expansion shuffles ids only") {
+    import spark.implicits._
+    val corpus = (0L until 50L)
+      .map(i => (i, Seq.tabulate(8)(d => math.sin(i * 8 + d))))
+      .toDF("id", "vec")
+    val cents = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("cid", "cvec")
+    val df = graft.similarity.Similarity.semanticDedup(corpus, cents, 0.99)
+    df.collect() // finalize the adaptive plan before inspecting
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"semanticDedup planned a CartesianProduct:\n$p")
+    // the centroid cross join must ride a broadcast (BNLJ or, post-AQE,
+    // a broadcast hash join) — never a shuffle of the corpus per centroid
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"semanticDedup lost its broadcast centroid join:\n$p")
   }
 }
