@@ -202,6 +202,7 @@ object Multimodal {
   }
   private val pngWriter = threadWriter("png")
   private val jpgWriter = threadWriter("jpg")
+  private val gifWriter = threadWriter("gif")
 
   private def encodeWith(writer: javax.imageio.ImageWriter,
                          img: java.awt.image.BufferedImage,
@@ -316,6 +317,37 @@ object Multimodal {
     bb.put(fourcc("LIST")); bb.putInt(4 + movi.length); bb.put(fourcc("movi"))
     bb.put(movi)
     bb.array()
+  }
+
+  /** Deterministic animated GIF payload generator — the third real
+    * video container ([[makeY4m]] uncompressed, [[makeMjpegAvi]]
+    * intra-frame JPEG, and here the JDK's own multi-image sequence
+    * writer: GIF87a/89a with LZW-compressed frames). GIF is lossless
+    * and a uniform-gray frame yields an exact one-entry palette, so
+    * decoded dimensions, frame counts and sampled-luma means stay
+    * exact arithmetic (verified exhaustively over the query family's
+    * dimension/gray grid). Frame `f` is the uniform gray `grays(f)`. */
+  def makeGif(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    require(grays.nonEmpty, "gif payload needs at least one frame")
+    val writer = gifWriter.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val row = new Array[Int](w)
+        java.util.Arrays.fill(row, (g << 16) | (g << 8) | g)
+        var y = 0
+        while (y < h) { img.setRGB(0, y, w, 1, row, 0, w); y += 1 }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally ios.close()
+    bos.toByteArray
   }
 
   /** Deterministic IMA-ADPCM WAV (format tag 0x11) payload generator —
@@ -668,6 +700,52 @@ object MediaCodec {
             s"avih dims ${declW}x$declH != decoded ${outW}x$outH")
           (outW, outH, frames, sampled,
             if (sampled == 0) 0L else sum / (sampled.toLong * outW * outH))
+        }
+      }
+    }
+
+  /** REAL animated-GIF frame-sampling through the JDK's multi-image
+    * ImageReader surface (`getNumImages` / `read(i)`) — a different
+    * decode API than the hand-rolled container walkers: the CONTAINER
+    * parsing (frame directory, LZW decompression, palette) is the
+    * JDK's, not ours. Same contract as [[y4mFrameSample]] /
+    * [[aviMjpegFrameSample]]: every `every`-th frame decodes,
+    * returning (width, height, total frames, sampled frames, mean
+    * luma over sampled pixels). One reused reader per session. */
+  def gifFrameSample(every: Int): MediaCodec[(Int, Int, Int, Int, Long)] =
+    () => {
+      javax.imageio.ImageIO.setUseCache(false)
+      new Session[(Int, Int, Int, Int, Long)] {
+        private val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        def decode(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+          require(bytes.length >= 6 &&
+            new String(bytes, 0, 4, "US-ASCII") == "GIF8",
+            "payload is not a GIF")
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, false, true)
+            val frames = reader.getNumImages(true)
+            require(frames > 0, "no frames")
+            var sampled = 0; var sum = 0L
+            var outW = -1; var outH = -1
+            var f = 0
+            while (f < frames) {
+              if (f % every == 0) {
+                val img = reader.read(f)
+                require(outW < 0 ||
+                  (img.getWidth == outW && img.getHeight == outH),
+                  "inconsistent frame dimensions")
+                outW = img.getWidth; outH = img.getHeight
+                sum += Multimodal.redSum(img)
+                sampled += 1
+              }
+              f += 1
+            }
+            (outW, outH, frames, sampled,
+              if (sampled == 0) 0L else sum / (sampled.toLong * outW * outH))
+          } finally iis.close()
         }
       }
     }

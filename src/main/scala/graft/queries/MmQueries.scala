@@ -217,6 +217,30 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Same selection arithmetic again, through the JDK's own
+    // multi-image GIF reader (container parsing + LZW + palette all
+    // JDK-side) — the third real video container next to the
+    // hand-rolled .y4m and AVI walkers. GIF is lossless, so it shares
+    // the uncompressed oracle.
+    "mm_video_gif" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.gifFrameSample(3).open()
+          it.map { id =>
+            val w = 8 + (id % 8).toInt * 2
+            val h = 8 + ((id * 3) % 8).toInt * 2
+            val nf = 4 + (id % 12).toInt
+            val grays = Array.tabulate(nf)(f => ((id * 13 + f * 7) % 256).toInt)
+            val (dw, dh, frames, sampled, meanLuma) =
+              codec.decode(Multimodal.makeGif(w, h, grays))
+            (id, dw, dh, frames, sampled, meanLuma)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "n_sampled", "mean_luma")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_meta" -> { (s, dir) =>
       val payload = Multimodal.asPayload(col("text"))
       table(s, dir, "documents")
@@ -292,6 +316,18 @@ object MmQueries {
     // trip is exact for uniform frames (DC-only blocks, see makeJpeg),
     // so the compressed container shares the uncompressed oracle.
     "mm_video_mjpeg" ->
+      """SELECT doc_id,
+        |  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+        |  CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS height,
+        |  CAST(4 + doc_id % 12 AS INT) AS n_frames,
+        |  CAST((4 + doc_id % 12 + 2) // 3 AS INT) AS n_sampled,
+        |  CAST(list_sum(list_transform(range(0, (4 + doc_id % 12 + 2) // 3),
+        |    i -> (doc_id * 13 + i * 21) % 256))
+        |    // ((4 + doc_id % 12 + 2) // 3) AS BIGINT) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // GIF is lossless — identical arithmetic to the other two video
+    // containers.
+    "mm_video_gif" ->
       """SELECT doc_id,
         |  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
         |  CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS height,

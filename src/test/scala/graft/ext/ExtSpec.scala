@@ -687,6 +687,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gif codec reads the JDK-written sequence and samples every k-th frame") {
+    // 5 frames of grays 10,20,30,40,50; every=2 samples frames 0,2,4
+    // -> mean (10+30+50)/3 = 30, through the JDK's multi-image GIF
+    // reader (lossless, exact palette for uniform frames).
+    val gif = Multimodal.makeGif(12, 10, Array(10, 20, 30, 40, 50))
+    assert(MediaCodec.gifFrameSample(2).open().decode(gif) ===
+      ((12, 10, 5, 3, 30L)))
+    assert(MediaCodec.gifFrameSample(1).open().decode(gif) ===
+      ((12, 10, 5, 5, 30L)))
+    // a session decodes many payloads through ONE reused reader
+    val session = MediaCodec.gifFrameSample(1).open()
+    (0 until 8).foreach { g =>
+      assert(session.decode(Multimodal.makeGif(8, 8, Array(g * 30))) ===
+        ((8, 8, 1, 1, (g * 30).toLong)))
+    }
+    // Non-GIF payloads are rejected, not misparsed.
+    intercept[IllegalArgumentException] {
+      MediaCodec.gifFrameSample(2).open().decode("not a video".getBytes)
+    }
+  }
+
   test("mjpeg round-trip is exact for every gray the query family emits") {
     // The mm_video_mjpeg oracle assumes gray-in == mean-luma-out for all
     // 256 uniform grays across the family's dimension grid (w,h in
