@@ -168,37 +168,54 @@ object Dedup {
     *   can pass false and persist or pre-write the projection
     *   themselves.
     */
-  def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
-                          minJaccard: Double = 0.5,
-                          maxBucket: Int = DefaultMaxBucket,
-                          persistShingles: Boolean = true): DataFrame = {
+  /** The (id, sh) shingle-hash projection [[minHashNearDupPairs]]
+    * builds internally, exposed for INDEX pipelines (incremental
+    * near-dup): compute once over the accepted corpus, persist, probe
+    * later. md5 runs once per TOKEN; shingling is long arithmetic in
+    * single-pass native expressions behind generator barriers — same
+    * math as the HOF column API, same oracle. Docs too short to
+    * shingle are dropped (they can't be near-dups, and without the
+    * filter they all share null band keys → one O(m²) bucket). */
+  def shingleProjection(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3): DataFrame = {
     import graft.functions.Native
     import graft.ops.Ops.materializedColumn
     Native.register(docs.sparkSession)
-    // Each stage evaluates ONCE per row behind generator barriers
-    // (inlined, the signature would recompute per band and the token
-    // hashes per permutation). md5 runs once per TOKEN; shingles,
-    // permutations, band keys and the Jaccard verify are long arithmetic
-    // in single-pass native expressions (same math as the HOF column
-    // API, same oracle).
-    val base0 = materializedColumn(
+    materializedColumn(
       materializedColumn(
         docs.select(col(idCol).as("id"), col(textCol).as("text")),
         "th", Native.tokenHashes(TextOps.tokens(col("text")))),
       "sh", Native.shingleHashes(col("th"), shingleLen))
       .select(col("id"), col("sh"))
-      // docs too short to shingle can't be near-dups; without this they
-      // all share null band keys and one bucket expands O(m²) pairs
       .filter(size(col("sh")) > 0)
+  }
+
+  /** The (id, band_idx, band_key) LSH band projection over a (id, sh)
+    * shingle table — the INDEX rows an incremental near-dup pipeline
+    * persists and probes. The signature evaluates once behind a
+    * generator barrier (inlined, it would recompute per band). */
+  def bandProjection(base: DataFrame, k: Int = 12,
+                     bands: Int = 6): DataFrame = {
+    import graft.functions.Native
+    import graft.ops.Ops.materializedColumn
+    Native.register(base.sparkSession)
+    materializedColumn(base, "sig", Native.minHashSig(col("sh"), k))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), k, bands))
+          .as(Seq("band_idx", "band_key")))
+  }
+
+  def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int = 3, k: Int = 12, bands: Int = 6,
+                          minJaccard: Double = 0.5,
+                          maxBucket: Int = DefaultMaxBucket,
+                          persistShingles: Boolean = true): DataFrame = {
+    val base0 = shingleProjection(docs, idCol, textCol, shingleLen)
     val base =
       if (persistShingles)
         base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else base0
-    val withSig = materializedColumn(base, "sig",
-      Native.minHashSig(col("sh"), k))
-    val bandsDf = withSig.select(col("id"),
-      posexplode(lshBandKeys(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
+    val bandsDf = bandProjection(base, k, bands)
     // Candidate pairs via ONE pass: group ids per bucket and expand i<j
     // pairs locally (the self-join alternative scans the corpus twice).
     // Buckets above `maxBucket` are dropped before expansion (capBuckets)

@@ -60,9 +60,28 @@ object DedupQueries {
     path
   }
 
+  /** The persisted MinHash band-bucket index dedup_incremental_near
+    * probes: the accepted corpus's (id, sh) shingle projection and its
+    * (id, band_idx, band_key) LSH band rows, both parquet. Bands are
+    * derived FROM the written shingles so the text tokenizes once. */
+  private def nearIndexPath(s: SparkSession, dir: String): String = {
+    val path = scratchDir("dedup_near_index", dir)
+    ensureSetup(path) {
+      val idx = table(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.shingleProjection(idx, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$path/shingles")
+      Dedup.bandProjection(s.read.parquet(s"$path/shingles"))
+        .write.mode("overwrite").parquet(s"$path/bands")
+    }
+    path
+  }
+
   /** Bench runs these untimed before timing the query bodies. */
   val prepares: Map[String, (SparkSession, String) => Unit] = Map(
-    "dedup_incremental" -> ((s, d) => { fpIndexPath(s, d); () }))
+    "dedup_incremental" -> ((s, d) => { fpIndexPath(s, d); () }),
+    "dedup_incremental_near" -> ((s, d) => { nearIndexPath(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // Exact dedup by content fingerprint: deterministic keeper (min id)
@@ -103,6 +122,54 @@ object DedupQueries {
         .select(col("doc_id"), col("fp"), col("owner"),
           col("owner").isNotNull.as("is_dup"))
         .orderBy(col("doc_id"))
+    },
+
+    // INCREMENTAL near-dup — dedup_incremental's LSH sibling: the
+    // persisted MinHash band-bucket index over the accepted corpus is
+    // PROBED by each new batch's band keys (one signature pass over the
+    // batch + one join against the index — O(batch + hits), never a
+    // rescan of corpus history), candidates verified by exact Jaccard
+    // against the indexed shingles. Hot index buckets above the cap are
+    // excluded from probing (the capBuckets rule, here as a census
+    // semi-join, mirrored in the oracle). Batch = the unindexed split ∪
+    // padded near-copies of every 7th indexed doc (re-crawled pages
+    // with boilerplate drift — the hits LSH exists to catch where exact
+    // fingerprints miss).
+    "dedup_incremental_near" -> { (s, dir) =>
+      val path = nearIndexPath(s, dir)
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(5L)) =!= 0 &&
+            pmod(col("doc_id"), lit(7L)) === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" xtra token pad")).as("text")))
+      val bBase = Dedup.shingleProjection(batch, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val iBands = s.read.parquet(s"$path/bands")
+      val okb = iBands.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("__m"))
+        .filter(col("__m") <= lit(Dedup.DefaultMaxBucket))
+        .select(col("band_idx"), col("band_key"))
+      // the cap prunes the INDEX side BEFORE the probe join — a hot
+      // bucket must never reach the pair-producing join
+      val iOk = iBands.withColumnRenamed("id", "iid")
+        .join(okb, Seq("band_idx", "band_key"), "left_semi")
+      val cand = Dedup.bandProjection(bBase)
+        .withColumnRenamed("id", "bid")
+        .join(iOk, Seq("band_idx", "band_key"))
+        .select(col("bid"), col("iid")).distinct()
+      cand
+        .join(bBase.select(col("id").as("bid"), col("sh").as("sh1")),
+          Seq("bid"))
+        .join(s.read.parquet(s"$path/shingles")
+          .select(col("id").as("iid"), col("sh").as("sh2")), Seq("iid"))
+        .withColumn("jaccard", Dedup.jaccard(col("sh1"), col("sh2")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("bid").as("batch_id"), col("iid").as("owner_id"),
+          col("jaccard"))
+        .orderBy(col("batch_id"), col("owner_id"))
     },
 
     // MinHash + banded LSH near-dup pairs with exact Jaccard verify.
@@ -577,6 +644,63 @@ object DedupQueries {
            |SELECT f.doc_id, f.fp, i.owner, i.owner IS NOT NULL AS is_dup
            |FROM fps f LEFT JOIN idx i USING (fp)
            |ORDER BY f.doc_id""".stripMargin,
+    "dedup_incremental_near" -> {
+      def shCte(th: String) =
+        s"""SELECT doc_id,
+           |    CASE WHEN len(th) >= 3
+           |      THEN list_transform(range(1, len(th)-1),
+           |             i -> (th[i]*961 + th[i+1]*31 + th[i+2]) % 1000000007)
+           |      ELSE [] END AS sh
+           |  FROM $th""".stripMargin
+      def sigCte(sh: String) =
+        s"""SELECT doc_id,
+           |    list_transform(range(0, 12), i ->
+           |      list_min(list_transform(sh,
+           |        h -> ((i*7919 + 1) * h + i*104729) % 1000000007))) AS sig
+           |  FROM $sh""".stripMargin
+      def bandsCte(sig: String) =
+        s"""SELECT doc_id, b.band_idx,
+           |    sig[b.band_idx*2+1] * 1000000007 + sig[b.band_idx*2+2] AS band_key
+           |  FROM $sig, (SELECT unnest(range(0, 6)) AS band_idx) b""".stripMargin
+      s"""WITH idxc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |batchc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' xtra token pad' AS text
+         |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1),
+         |thi AS (${thSql("idxc")}),
+         |shi AS (${shCte("thi")}),
+         |sigi AS (${sigCte("shi")}),
+         |bandsi AS (${bandsCte("sigi")}),
+         |thb AS (${thSql("batchc")}),
+         |shb AS (${shCte("thb")}),
+         |sigb AS (${sigCte("shb")}),
+         |bandsb AS (${bandsCte("sigb")}),
+         |okb AS (
+         |  SELECT band_idx, band_key FROM bandsi
+         |  GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+         |candids AS (
+         |  SELECT DISTINCT b.doc_id AS bid, a.doc_id AS iid
+         |  FROM bandsb b
+         |  JOIN bandsi a
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  JOIN okb o
+         |    ON o.band_idx = a.band_idx AND o.band_key = a.band_key),
+         |cand AS (
+         |  SELECT c.bid, c.iid, s1.sh AS sh1, s2.sh AS sh2
+         |  FROM candids c
+         |  JOIN shb s1 ON s1.doc_id = c.bid
+         |  JOIN shi s2 ON s2.doc_id = c.iid)
+         |SELECT batch_id, owner_id, jaccard FROM (
+         |  SELECT bid AS batch_id, iid AS owner_id,
+         |    CAST(len(list_filter(list_distinct(sh1), x -> list_contains(sh2, x))) AS DOUBLE)
+         |    / (len(list_distinct(sh1)) + len(list_distinct(sh2))
+         |       - len(list_filter(list_distinct(sh1), x -> list_contains(sh2, x)))) AS jaccard
+         |  FROM cand)
+         |WHERE jaccard >= 0.5
+         |ORDER BY batch_id, owner_id""".stripMargin
+    },
     "dedup_minhash" -> minhashSql,
     "dedup_clusters" -> clustersSql,
     "dedup_cluster_best" -> clusterBestSql,
