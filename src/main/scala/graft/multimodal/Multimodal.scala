@@ -350,6 +350,52 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** G.711 μ-law encode (the ITU telephony codec, public spec):
+    * pure-integer sign/segment/mantissa arithmetic — no tables, no
+    * floats — so `ulawDecode(ulawEncode(x))` is a deterministic
+    * quantization ANY engine can recompute exactly. Input is a 16-bit
+    * sample; output the complemented 8-bit code. */
+  def ulawEncode(sample: Int): Int = {
+    val sign = if (sample < 0) 0x80 else 0
+    var s = math.min(if (sample < 0) -sample else sample, 32635) + 0x84
+    var exp = 7
+    while (exp > 0 && (s & (0x80 << exp)) == 0) exp -= 1
+    val mant = (s >> (exp + 3)) & 0x0F
+    ~(sign | (exp << 4) | mant) & 0xFF
+  }
+
+  /** G.711 μ-law decode — the exact integer inverse expansion:
+    * magnitude = ((mant·8 + 132) << exp) − 132, negated on the sign
+    * bit. */
+  def ulawDecode(code: Int): Int = {
+    val c = ~code & 0xFF
+    val exp = (c >> 4) & 7
+    val mant = c & 0x0F
+    val t = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((c & 0x80) != 0) -t else t
+  }
+
+  /** Deterministic G.711 μ-law WAV (format tag 7) payload generator —
+    * the telephony-codec sibling of [[makeAdpcmWav]]: 8-bit μ-law
+    * codes in a standard RIFF/WAVE container. Encoding is
+    * [[ulawEncode]]'s exact integer arithmetic, so the decoded
+    * samples (and their quantization) are pure functions of the
+    * input, recomputable by a non-audio oracle. */
+  def makeUlawWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(7); bb.putShort(1)                // μ-law, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate)  // byte rate (8-bit)
+    bb.putShort(1); bb.putShort(8)                // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(s => bb.put(ulawEncode(s.toInt).toByte))
+    bb.array()
+  }
+
   /** Deterministic IMA-ADPCM WAV (format tag 0x11) payload generator —
     * the COMPRESSED-audio twin of [[makeWav]]: 4-bit adaptive delta
     * coding (~4:1 over 16-bit PCM) per the public IMA/DVI spec. One
@@ -520,6 +566,52 @@ object MediaCodec {
     * audio analogue of the JPEG round-trip, shrinking the "compressed
     * media is stubbed" gap to mp3/aac/h264 (which need native libs
     * this environment does not ship). */
+  /** REAL compressed-audio codec for G.711 μ-law WAV (format tag 7):
+    * RIFF chunk walk + the exact integer expansion of
+    * [[Multimodal.ulawDecode]]. Returns (rate, sample count, mean
+    * |decoded amplitude|) like [[wavPcm]] — the mean is over the
+    * DECODED samples, so the lossy codec's quantization is part of
+    * the oracle-checked value, not just a tolerance band. */
+  def wavUlaw: MediaCodec[(Int, Int, Long)] = () => new Session[(Int, Int, Long)] {
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "payload is not RIFF/WAVE")
+      var pos = 12
+      var rate = -1; var bits = -1; var channels = -1
+      var n = 0; var meanAbs = 0L; var sawData = false
+      while (pos + 8 <= bytes.length) {
+        val id = tag(pos)
+        val size = bb.getInt(pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " =>
+            require(bb.getShort(body) == 7, "only mu-law wav supported")
+            channels = bb.getShort(body + 2)
+            rate = bb.getInt(body + 4)
+            bits = bb.getShort(body + 14)
+          case "data" =>
+            require(rate > 0, "data chunk before fmt")
+            require(bits == 8 && channels == 1, "expect 8-bit mono mu-law")
+            n = size
+            var i = 0; var sum = 0L
+            while (i < n) {
+              sum += math.abs(Multimodal.ulawDecode(bytes(body + i) & 0xFF).toLong)
+              i += 1
+            }
+            meanAbs = if (n == 0) 0L else sum / n
+            sawData = true
+          case _ => () // LIST/INFO/fact/... — skip
+        }
+        pos = body + size + (size & 1)
+      }
+      require(sawData, "no data chunk")
+      (rate, n, meanAbs)
+    }
+  }
+
   def wavAdpcm: MediaCodec[(Int, Int, Array[Short])] =
     () => new Session[(Int, Int, Array[Short])] {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {

@@ -148,6 +148,31 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL telephony-codec audio: G.711 μ-law (format tag 7) encoded
+    // and decoded by the exact integer segment/mantissa arithmetic of
+    // the public ITU spec — the decoded mean |amplitude| INCLUDES the
+    // codec's quantization, and the oracle recomputes
+    // decode(encode(x)) per sample in pure SQL integer ops, so the
+    // lossy path is value-checked, not tolerance-banded.
+    "mm_audio_ulaw" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.wavUlaw.open()
+          it.map { id =>
+            val n = 64 + (id % 64).toInt
+            val rate = 8000 + (id % 8).toInt * 1000
+            val samples = Array.tabulate(n)(i =>
+              (((id + i.toLong * 37) % 2048) - 1024).toShort)
+            val (r, ns, meanAbs) =
+              codec.decode(Multimodal.makeUlawWav(rate, samples))
+            (id, r, ns, meanAbs)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "mean_abs")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_audio_decode" -> { (s, dir) =>
       import s.implicits._
       codecIds(s, dir)
@@ -299,6 +324,29 @@ object MmQueries {
         |    i -> abs((doc_id + i * 37) % 2048 - 1024)))
         |    // (64 + doc_id % 64) AS BIGINT) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // μ-law: per sample, the mirror recomputes decode(encode(x)) in
+    // pure integer SQL — biased magnitude m = min(|x|,32635)+132,
+    // segment e from m's leading bit, decoded |amplitude| =
+    // ((mant·8+132) << e) − 132. The lossy value itself is checked.
+    "mm_audio_ulaw" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(64 + doc_id % 64 AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(me, x ->
+        |      ((((x.m >> (x.e + 3)) & 15) * 8 + 132) << x.e) - 132))
+        |    // (64 + doc_id % 64) AS BIGINT) AS mean_abs
+        |FROM (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(0, 64 + doc_id % 64),
+        |        i -> LEAST(abs((doc_id + i * 37) % 2048 - 1024), 32635) + 132),
+        |      m -> {'m': m, 'e': CASE
+        |        WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+        |        WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+        |        WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+        |        WHEN m >= 256 THEN 1 ELSE 0 END}) AS me
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // Sampled frames are 0,3,6,... (< nf), i.e. i*3 for i in
     // [0, ceil(nf/3)); frame f's uniform luma is (id*13 + f*7) % 256,
     // so sampled frame i contributes (id*13 + i*21) % 256.

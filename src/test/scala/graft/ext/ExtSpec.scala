@@ -687,6 +687,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("G.711 mu-law: exhaustive exact integer round-trip properties") {
+    // canonical G.711 invariants over the FULL 16-bit input range:
+    // re-encoding the decoded value reproduces the code (decode∘encode
+    // is an idempotent quantization), quantization error stays under
+    // the top segment step (1024), zero is exact, and the codec is
+    // sign-symmetric.
+    var x = -33000
+    while (x <= 33000) {
+      val c = Multimodal.ulawEncode(x)
+      val d = Multimodal.ulawDecode(c)
+      // G.711 famously has two zeros (+0 → 0xFF, −0 → 0x7F): a small
+      // negative decodes to 0, which re-encodes as the POSITIVE zero.
+      // Idempotence holds everywhere else; at zero both codes decode
+      // to the same value, which is what the oracle consumes.
+      if (d != 0)
+        assert(Multimodal.ulawEncode(d) === c, s"non-idempotent at $x")
+      else assert(Set(0x7F, 0xFF)(c), s"zero from non-zero code at $x")
+      val clamped = math.max(-32635, math.min(32635, x))
+      assert(math.abs(d - clamped) < 1024, s"error too large at $x: $d")
+      x += 1
+    }
+    assert(Multimodal.ulawDecode(Multimodal.ulawEncode(0)) === 0)
+    (1 to 32635 by 97).foreach { v =>
+      assert(Multimodal.ulawDecode(Multimodal.ulawEncode(-v)) ===
+        -Multimodal.ulawDecode(Multimodal.ulawEncode(v)))
+    }
+    // WAV container round trip: codec mean equals the direct formula
+    val samples = Array[Short](0, 100, -100, 1023, -1024, 900)
+    val expected = samples.map(s =>
+      math.abs(Multimodal.ulawDecode(Multimodal.ulawEncode(s))).toLong)
+      .sum / samples.length
+    assert(MediaCodec.wavUlaw.open()
+      .decode(Multimodal.makeUlawWav(8000, samples)) ===
+      ((8000, samples.length, expected)))
+    // Non-mu-law WAVs are rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      MediaCodec.wavUlaw.open()
+        .decode(Multimodal.makeWav(8000, Array[Short](1, 2)))
+    }
+  }
+
   test("gif codec reads the JDK-written sequence and samples every k-th frame") {
     // 5 frames of grays 10,20,30,40,50; every=2 samples frames 0,2,4
     // -> mean (10+30+50)/3 = 30, through the JDK's multi-image GIF
