@@ -203,6 +203,7 @@ object Multimodal {
   private val pngWriter = threadWriter("png")
   private val jpgWriter = threadWriter("jpg")
   private val gifWriter = threadWriter("gif")
+  private val tiffWriter = threadWriter("tiff")
 
   private def encodeWith(writer: javax.imageio.ImageWriter,
                          img: java.awt.image.BufferedImage,
@@ -348,6 +349,89 @@ object Multimodal {
       writer.endWriteSequence()
     } finally ios.close()
     bos.toByteArray
+  }
+
+  /** Deterministic gradient TIFF — the second COMPRESSED-image payload
+    * generator (after [[makeJpeg]]): the JDK's own TIFF writer with
+    * explicit LZW compression. TIFF/LZW is LOSSLESS, so unlike the
+    * JPEG path the payload can be a full per-pixel gradient — pixel
+    * (x,y) is the gray `(base + 3x + 11y) mod 256` — and decoded
+    * dimensions AND the pixel mean stay exact integer arithmetic over
+    * a genuinely compressed container (strip layout, LZW codes,
+    * little/big-endian IFDs all exercised on the read side).
+    * Round-trip verified exhaustively over this query family's
+    * (width, height, base) grid before wiring. */
+  def makeTiff(width: Int, height: Int, base: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = (base + 3 * x + 11 * y) % 256
+        row(x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      img.setRGB(0, y, width, 1, row, 0, width)
+      y += 1
+    }
+    val writer = tiffWriter.get()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionType("LZW")
+    encodeWith(writer, img, params)
+  }
+
+  /** G.711 A-law encode (the ITU telephony codec's European half,
+    * public spec — same integer reference arithmetic as the classic
+    * public-domain g711.c): 16-bit sample → 13-bit magnitude
+    * (`>> 3`, negatives as one's-complement `-p-1`), segment by
+    * doubling thresholds, 4-bit mantissa, XOR with the 0x55 toggle
+    * mask (0xD5 when positive — A-law's even-bit inversion for line
+    * transmission). Pure integer arithmetic, no tables. */
+  def alawEncode(sample: Int): Int = {
+    val p = sample >> 3
+    val (mask, m0) = if (p >= 0) (0xD5, p) else (0x55, -p - 1)
+    val m = math.min(m0, 0xFFF) // clip out-of-16-bit inputs to the max code
+    val seg =
+      if (m < 0x20) 0 else if (m < 0x40) 1 else if (m < 0x80) 2
+      else if (m < 0x100) 3 else if (m < 0x200) 4 else if (m < 0x400) 5
+      else if (m < 0x800) 6 else 7
+    val mant = if (seg < 2) (m >> 1) & 0x0F else (m >> seg) & 0x0F
+    ((seg << 4) | mant) ^ mask
+  }
+
+  /** G.711 A-law decode — the exact integer inverse expansion:
+    * un-toggle with 0x55, then magnitude `(mant·16 + 8)` in segment 0
+    * and `(mant·16 + 264) << (seg−1)` above, sign from the (post-XOR)
+    * top bit (set = positive). `alawDecode(alawEncode(x))` is a
+    * deterministic quantization any engine recomputes exactly. */
+  def alawDecode(code: Int): Int = {
+    val c = (code ^ 0x55) & 0xFF
+    val mant = c & 0x0F
+    val seg = (c >> 4) & 7
+    val t = if (seg == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (seg - 1)
+    if ((c & 0x80) != 0) t else -t
+  }
+
+  /** Deterministic G.711 A-law WAV (format tag 6) payload generator —
+    * [[makeUlawWav]]'s European sibling: 8-bit A-law codes in a
+    * standard RIFF/WAVE container, encoded by [[alawEncode]]'s exact
+    * integer arithmetic. */
+  def makeAlawWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(6); bb.putShort(1)                // A-law, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate)  // byte rate (8-bit)
+    bb.putShort(1); bb.putShort(8)                // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(s => bb.put(alawEncode(s.toInt).toByte))
+    bb.array()
   }
 
   /** G.711 μ-law encode (the ITU telephony codec, public spec):
@@ -599,6 +683,51 @@ object MediaCodec {
             var i = 0; var sum = 0L
             while (i < n) {
               sum += math.abs(Multimodal.ulawDecode(bytes(body + i) & 0xFF).toLong)
+              i += 1
+            }
+            meanAbs = if (n == 0) 0L else sum / n
+            sawData = true
+          case _ => () // LIST/INFO/fact/... — skip
+        }
+        pos = body + size + (size & 1)
+      }
+      require(sawData, "no data chunk")
+      (rate, n, meanAbs)
+    }
+  }
+
+  /** REAL compressed-audio codec for G.711 A-law WAV (format tag 6):
+    * RIFF chunk walk + the exact integer expansion of
+    * [[Multimodal.alawDecode]] — [[wavUlaw]]'s European sibling. The
+    * mean is over the DECODED samples, so the lossy quantization is
+    * part of the oracle-checked value. */
+  def wavAlaw: MediaCodec[(Int, Int, Long)] = () => new Session[(Int, Int, Long)] {
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "payload is not RIFF/WAVE")
+      var pos = 12
+      var rate = -1; var bits = -1; var channels = -1
+      var n = 0; var meanAbs = 0L; var sawData = false
+      while (pos + 8 <= bytes.length) {
+        val id = tag(pos)
+        val size = bb.getInt(pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " =>
+            require(bb.getShort(body) == 6, "only A-law wav supported")
+            channels = bb.getShort(body + 2)
+            rate = bb.getInt(body + 4)
+            bits = bb.getShort(body + 14)
+          case "data" =>
+            require(rate > 0, "data chunk before fmt")
+            require(bits == 8 && channels == 1, "expect 8-bit mono A-law")
+            n = size
+            var i = 0; var sum = 0L
+            while (i < n) {
+              sum += math.abs(Multimodal.alawDecode(bytes(body + i) & 0xFF).toLong)
               i += 1
             }
             meanAbs = if (n == 0) 0L else sum / n

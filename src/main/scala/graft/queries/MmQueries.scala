@@ -85,6 +85,28 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Second COMPRESSED-image container: TIFF with explicit LZW
+    // compression through the JDK's own writer. TIFF/LZW is LOSSLESS,
+    // so the payload is a full per-pixel gradient (not the uniform
+    // field JPEG needs) — strip layout, LZW codes and IFD walking are
+    // all exercised and the pixel mean stays exact integer arithmetic.
+    "mm_image_tiff" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.imageIO.open()
+          it.map { id =>
+            val tif = Multimodal.makeTiff(
+              8 + (id % 16).toInt, 8 + ((id * 3) % 16).toInt,
+              ((id * 37) % 256).toInt)
+            val (w, h, meanGray) = codec.decode(tif)
+            (id, w, h, meanGray)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_gray")
+        .orderBy(col("doc_id"))
+    },
+
     // Decode→RESIZE→featurize, the image-normalization step of a
     // multimodal training pipeline, with a REAL nearest-neighbor
     // resample: gradient PNGs (row y = gray (g0+y)%256) are resized to
@@ -166,6 +188,30 @@ object MmQueries {
               (((id + i.toLong * 37) % 2048) - 1024).toShort)
             val (r, ns, meanAbs) =
               codec.decode(Multimodal.makeUlawWav(rate, samples))
+            (id, r, ns, meanAbs)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "mean_abs")
+        .orderBy(col("doc_id"))
+    },
+
+    // G.711 A-law (format tag 6), μ-law's European sibling: a second
+    // telephony codec whose LOSSY decoded value is hash-checked — the
+    // oracle recomputes decode(encode(x)) per sample in SQL from the
+    // same public integer arithmetic. The signal spans the full 16-bit
+    // range so all eight A-law segments are exercised.
+    "mm_audio_alaw" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.wavAlaw.open()
+          it.map { id =>
+            val n = 64 + (id % 64).toInt
+            val rate = 8000 + (id % 8).toInt * 1000
+            val samples = Array.tabulate(n)(i =>
+              (((id + i.toLong * 101) % 65536) - 32768).toShort)
+            val (r, ns, meanAbs) =
+              codec.decode(Multimodal.makeAlawWav(rate, samples))
             (id, r, ns, meanAbs)
           }
         }
@@ -286,6 +332,20 @@ object MmQueries {
         |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
         |  CAST((doc_id * 37) % 256 AS BIGINT) AS mean_gray
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // TIFF/LZW is lossless, so the oracle recomputes the gradient
+    // pixel mean exactly: pixel i (row-major) of a w×h image has gray
+    // (base + 3·(i mod w) + 11·(i div w)) mod 256.
+    "mm_image_tiff" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |  CAST(list_sum(list_transform(
+        |      range(0, (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)),
+        |      i -> ((doc_id * 37) % 256 + 3 * (i % (8 + doc_id % 16))
+        |            + 11 * (i // (8 + doc_id % 16))) % 256))
+        |    // ((8 + doc_id % 16) * (8 + (doc_id * 3) % 16)) AS BIGINT)
+        |    AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Same arithmetic as mm_image_decode: the uniform-JPEG round trip
     // is exact (DC-only blocks), so the lossy codec shares the
     // lossless oracle.
@@ -328,6 +388,33 @@ object MmQueries {
     // pure integer SQL — biased magnitude m = min(|x|,32635)+132,
     // segment e from m's leading bit, decoded |amplitude| =
     // ((mant·8+132) << e) − 132. The lossy value itself is checked.
+    // A-law decode(encode(x)) recomputed per sample in SQL: 13-bit
+    // magnitude m (negatives one's-complement), segment s by doubling
+    // thresholds, then magnitude (mant·16+8) in seg 0 /
+    // (mant·16+264)·2^(s−1) above — validated against the codec over
+    // 200 ids before wiring (tools-side sim, zero mismatches).
+    "mm_audio_alaw" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(64 + doc_id % 64 AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(
+        |      list_transform(
+        |        list_transform(
+        |          list_transform(range(0, 64 + doc_id % 64),
+        |            i -> (doc_id + i * 101) % 65536 - 32768),
+        |          v -> CASE WHEN v >= 0 THEN v // 8
+        |               ELSE ((-v + 7) // 8) - 1 END),
+        |      m -> {'m': m, 's': CASE WHEN m < 32 THEN 0
+        |            WHEN m < 64 THEN 1 WHEN m < 128 THEN 2
+        |            WHEN m < 256 THEN 3 WHEN m < 512 THEN 4
+        |            WHEN m < 1024 THEN 5 WHEN m < 2048 THEN 6
+        |            ELSE 7 END}),
+        |    x -> CASE WHEN x.s = 0 THEN ((x.m >> 1) & 15) * 16 + 8
+        |         ELSE ((CASE WHEN x.s < 2 THEN (x.m >> 1) & 15
+        |                ELSE (x.m >> x.s) & 15 END) * 16 + 264)
+        |              * (1 << (x.s - 1)) END))
+        |    // (64 + doc_id % 64) AS BIGINT) AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_audio_ulaw" ->
       """SELECT doc_id,
         |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,

@@ -728,6 +728,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("G.711 A-law: exhaustive exact integer round-trip properties") {
+    // A-law invariants over all codes and the full 16-bit input range:
+    // every 8-bit code is a fixed point of encode∘decode (the decoded
+    // level re-encodes to the same code — a perfect mid-rise
+    // quantizer, so unlike mu-law there is NO zero output and no
+    // two-zeros quirk), the negative axis mirrors via the
+    // one's-complement magnitude (decode(enc(−x−1)) = −decode(enc(x))),
+    // and quantization error stays under the top-segment step.
+    (0 until 256).foreach { c =>
+      assert(Multimodal.alawEncode(Multimodal.alawDecode(c)) === c,
+        s"code $c not a fixed point")
+    }
+    var x = -33000
+    while (x <= 33000) {
+      val d = Multimodal.alawDecode(Multimodal.alawEncode(x))
+      assert(d != 0, s"A-law has no zero level, got one at $x")
+      val clamped = math.max(-32768, math.min(32767, x))
+      assert(math.abs(d - clamped) <= 1024, s"error too large at $x: $d")
+      x += 1
+    }
+    (0 to 32767 by 89).foreach { v =>
+      assert(Multimodal.alawDecode(Multimodal.alawEncode(-v - 1)) ===
+        -Multimodal.alawDecode(Multimodal.alawEncode(v)))
+    }
+    // WAV container round trip: codec mean equals the direct formula
+    val samples = Array[Short](0, 100, -100, 5000, -17000, 32767)
+    val expected = samples.map(s =>
+      math.abs(Multimodal.alawDecode(Multimodal.alawEncode(s))).toLong)
+      .sum / samples.length
+    assert(MediaCodec.wavAlaw.open()
+      .decode(Multimodal.makeAlawWav(8000, samples)) ===
+      ((8000, samples.length, expected)))
+    // Non-A-law WAVs are rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      MediaCodec.wavAlaw.open()
+        .decode(Multimodal.makeUlawWav(8000, Array[Short](1, 2)))
+    }
+  }
+
+  test("tiff codec round-trips the LZW-compressed gradient exactly") {
+    // Exhaustive over the mm_image_tiff query family's (w, h, base)
+    // grid: TIFF/LZW is lossless, so the decoded mean must equal the
+    // direct gradient arithmetic for every id.
+    val codec = MediaCodec.imageIO.open()
+    (0L until 256L).foreach { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + ((id * 3) % 16).toInt
+      val base = ((id * 37) % 256).toInt
+      val sum = (0 until w * h).map(i =>
+        (base + 3 * (i % w) + 11 * (i / w)) % 256).map(_.toLong).sum
+      assert(codec.decode(Multimodal.makeTiff(w, h, base)) ===
+        ((w, h, sum / (w * h))), s"tiff mismatch at id=$id")
+    }
+  }
+
   test("gif codec reads the JDK-written sequence and samples every k-th frame") {
     // 5 frames of grays 10,20,30,40,50; every=2 samples frames 0,2,4
     // -> mean (10+30+50)/3 = 30, through the JDK's multi-image GIF
