@@ -129,6 +129,19 @@ object SimQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Fixed-radius (range) search: all corpus vectors with cosine
+    // >= 0.3 to each of the first 10 vectors — the ε-NN primitive
+    // next to top-k. Exact baseline: broadcast queries, one corpus
+    // scan, threshold filter before any exchange.
+    "ann_range_search" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.rangeSearch(queries, corpus, minCosine = 0.3)
+        .orderBy(col("qid"), col("id"))
+    },
+
     // IVF-flat ANN: deterministic centroid subset, nprobe=4 of the
     // inverted lists searched per query. The centroid BUDGET follows
     // the k ≈ √n IVF rule via the subset stride: stride = max(40,
@@ -594,6 +607,15 @@ object SimQueries {
     }
     Map(
       "ann_topk" -> annTopkSql,
+      "ann_range_search" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, $quantSql AS qq
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS id, $quantSql AS cq FROM embeddings)
+           |SELECT qid, id, cosine FROM (
+           |  SELECT qid, id, ${cosSql("qq", "cq")} AS cosine
+           |  FROM q, c WHERE qid <> id)
+           |WHERE cosine >= 0.3 ORDER BY qid, id""".stripMargin,
       "ann_ivf_topk" -> annIvfSql,
       "ann_lsh_neardup" -> annLshSql
     ) ++ dyn

@@ -57,6 +57,28 @@ object Similarity {
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
   }
 
+  /** Brute-force cosine RANGE (radius) search: every corpus vector
+    * with cosine ≥ `minCosine` to a query — top-k's fixed-radius
+    * sibling (the ε-NN primitive retrieval and dedup candidate
+    * generation build on). Same shape as [[bruteForceTopK]]: queries
+    * broadcast, corpus scanned ONCE, and the threshold filter runs
+    * BEFORE any exchange, so the shuffle carries only the (sparse)
+    * matches — at 100 TB the scan is embarrassingly parallel and the
+    * output is bounded by the radius selectivity, not the corpus. The
+    * scale path for huge query sets is the IVF variant (probe only
+    * lists whose centroid can beat `minCosine`); this exact form is
+    * the baseline the approximate one is judged against. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+                  minCosine: Double): DataFrame = {
+    graft.functions.Native.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq")))
+    val c = corpus.select(col("id"), quantize(col("vec")).as("cq"))
+    c.join(q, col("qid") =!= col("id"))
+      .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
+      .filter(col("cosine") >= lit(minCosine))
+      .select(col("qid"), col("id"), col("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * 1-based dim i): an integer in [-999, 999]. Pure non-negative int
     * arithmetic so any engine reproduces it bit-for-bit.
