@@ -33,6 +33,48 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Passage-level exact dedup — the sub-document pass of published
+    * training-data dedup pipelines (remove repeated boilerplate
+    * passages ACROSS documents, not whole-document copies): split each
+    * document's token stream into consecutive `chunkTokens`-token
+    * passages, keep only the globally FIRST occurrence of each
+    * distinct passage (total order: (doc_id, position) — order-free
+    * and deterministic, no sequential sweep), and report per-document
+    * retention: (doc_id, n_chunks, n_dup_chunks, kept_tokens).
+    *
+    * Scale shape: one shuffle partitioned by the passage text for the
+    * first-occurrence window (pure map-side work before it; passage
+    * cardinality ≈ corpus size so no hot key — a duplicated passage's
+    * occurrences all land in one partition, which is exactly the
+    * locality the window needs), then one partial-agg shuffle back to
+    * doc_id for the stats. No cross join, no driver state; at 100 TB
+    * both exchanges carry O(corpus) skinny rows.
+    */
+  def passageDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val chunks = transform(
+      sequence(lit(0), floor((size(toks) - 1) / chunkTokens).cast("int")),
+      i => struct(
+        i.as("idx"),
+        array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+          .as("chunk"),
+        least(size(toks) - i * chunkTokens, lit(chunkTokens)).as("ctoks")))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"),
+        col("c.chunk").as("chunk"), col("c.ctoks").as("ctoks"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+    exploded.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("rn") === 1, 0).otherwise(1)).cast("int")
+          .as("n_dup_chunks"),
+        sum(when(col("rn") === 1, col("ctoks")).otherwise(0)).cast("bigint")
+          .as("kept_tokens"))
+  }
+
   /** Modulus for the MinHash permutation family: fits every intermediate
     * in 63 bits (h < P, a ≤ 12·7919, so a·h + b < 2^63) — no overflow in
     * Spark OR an overflow-checking oracle engine. */

@@ -93,6 +93,17 @@ object DedupQueries {
         .orderBy(col("keep_id"))
     },
 
+    // Passage-level exact dedup over the near-dup corpus: planted
+    // near-copies share every full 16-token passage with their source
+    // (the perturbation appends tokens at the end), so the dup counts
+    // show the SUB-document dedup firing where whole-doc exact dedup
+    // would not.
+    "dedup_paragraph" -> { (s, dir) =>
+      Dedup.passageDedupStats(corpusNear(s, dir), "doc_id", "text",
+        chunkTokens = 16)
+        .orderBy(col("doc_id"))
+    },
+
     // INCREMENTAL exact dedup — the daily-crawl shape: a persisted KV
     // fingerprint index (the classic content-addressed dedup index a
     // log-structured store serves) holds every already-accepted
@@ -627,6 +638,24 @@ object DedupQueries {
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_paragraph" ->
+      s"""WITH corpus AS ($corpusNearSql),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |chunks AS (
+         |  SELECT doc_id, i AS idx,
+         |    array_to_string(
+         |      list_slice(t, i*16+1, LEAST((i+1)*16, len(t))), ' ') AS chunk,
+         |    LEAST((i+1)*16, len(t)) - i*16 AS ctoks
+         |  FROM toks CROSS JOIN UNNEST(range(0, (len(t) + 15) // 16)) AS u(i)),
+         |marked AS (
+         |  SELECT doc_id, idx, ctoks,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+         |  FROM chunks)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN ctoks ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       raw"""WITH idx AS (
            |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

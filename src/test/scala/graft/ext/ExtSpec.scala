@@ -157,6 +157,26 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((1L, "x", "keep"), (3L, "y", "only")))
   }
 
+  test("passageDedupStats keeps first occurrences across and within docs") {
+    // chunk size 4: doc 1 = [abcd][efg], doc 2 repeats [abcd] then
+    // diverges, doc 3 is an exact copy of doc 1 — so doc 2 loses its
+    // first passage, doc 3 loses both, and the partial tail chunk
+    // counts 3 tokens, not 4.
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d x y z"),
+      (3L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = Dedup.passageDedupStats(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").as[(Long, Int, Int, Long)].collect()
+    assert(out === Array((1L, 2, 0, 7L), (2L, 2, 1, 3L), (3L, 2, 2, 0L)))
+    // within-doc repetition: the same passage twice in ONE doc keeps
+    // only the first (position is part of the total order)
+    val self = Seq((7L, "a b c d a b c d")).toDF("doc_id", "text")
+    val o2 = Dedup.passageDedupStats(self, "doc_id", "text", 4)
+      .as[(Long, Int, Int, Long)].head()
+    assert(o2 === ((7L, 2, 1, 4L)))
+  }
+
   test("jaccard is exact set similarity") {
     val df = Seq((Seq(1L, 2L, 3L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
     val j = df.select(Dedup.jaccard($"a", $"b")).as[Double].head()
