@@ -13,7 +13,66 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "is")
 
+  /** sf-dir of the most recent BPE train in this JVM — same dynamic-
+    * oracle mechanism as SimQueries' trained-ANN sidecars: Verify runs
+    * every query before dumping oracleSql, so by dump time the trained
+    * merges exist and ride into the mirror as literal replacements. */
+  @volatile private var lastDir: Option[String] = None
+
+  /** Train the BPE merge table once and persist it — the production
+    * split a tokenizer assumes: fit OFFLINE on the corpus, tokenize
+    * online. Bench trains untimed via `prepares`; Verify rebuilds
+    * every run (no reuse marker), so the oracle gate covers training. */
+  private def bpeModel(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[(String, String)] = {
+    import java.nio.file.{Files, Paths}
+    val path = scratchDir("bpe_model", dir)
+    val file = Paths.get(path, "merges.txt")
+    lastDir = Some(dir)
+    ensureSetup(path) {
+      val m = graft.text.Bpe.train(table(s, dir, "documents"), "text",
+        merges = 24, maxVocab = 100000)
+      Files.createDirectories(file.getParent)
+      Files.writeString(file,
+        m.map { case (l, r) => s"$l\t$r" }.mkString("\n"))
+    }
+    Files.readString(file).split('\n').toSeq.filter(_.nonEmpty).map { ln =>
+      val Array(l, r) = ln.split('\t'); (l, r)
+    }
+  }
+
+  private def readBpeSidecar(dir: String): Option[Seq[(String, String)]] = {
+    val f = java.nio.file.Paths.get(scratchDir("bpe_model", dir), "merges.txt")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(java.nio.file.Files.readString(f).split('\n').toSeq
+      .filter(_.nonEmpty).map { ln =>
+        val Array(l, r) = ln.split('\t'); (l, r)
+      })
+  }
+
+  val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
+    Map("text_bpe_train" -> ((s, d) => { bpeModel(s, d); () }))
+
   val defs: Map[String, Q] = Map(
+    // TRAINED tokenizer: learn a BPE merge table from the corpus
+    // (distributed word-count pass + driver merge loop over the
+    // bounded vocabulary — see graft.text.Bpe), then tokenize every
+    // document with it. The oracle re-applies the trained merges as
+    // nested literal replacements, so the APPLICATION is verified
+    // value-level at any scale while the merge table itself is pinned
+    // by hand-computed unit tests on the reference corpus.
+    "text_bpe_train" -> { (s, dir) =>
+      val merges = bpeModel(s, dir)
+      val toks = split(col("text"), " ")
+      table(s, dir, "documents")
+        .select(col("doc_id"), size(toks).cast("int").as("n_words"),
+          graft.text.Bpe.applyMerges(
+            graft.text.Bpe.canonical(col("text")), merges).as("m"))
+        .select(col("doc_id"), col("n_words"),
+          graft.text.Bpe.tokenCount(col("m"), col("n_words"))
+            .as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
     // Token statistics: counts + average token length. The token array
     // is pinned behind a generator barrier (materializedColumn) so the
     // tokenize runs ONCE per row — inlined, each of the four projections
@@ -426,7 +485,38 @@ object TextQueries {
 
   private val toks = raw"string_split_regex(trim(text), '\s+')"
 
-  val oracles: Map[String, String] = Map(
+  /** Mirror of the trained-BPE application: the same canonical form
+    * and the same rank-ordered literal replacements, with the trained
+    * merges embedded from the sidecar. */
+  private def bpeSql(merges: Seq[(String, String)]): String = {
+    val applied = merges.foldLeft("c") { case (e, (l, r)) =>
+      s"replace($e, '/$l/$r/', '/$l$r/')"
+    }
+    s"""WITH canon AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       |    array_to_string(list_transform(string_split(text, ' '),
+       |      w -> '/' || regexp_replace(w || '_', '(.)', '\\1/', 'g')),
+       |      ' ') AS c
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       |  CAST(length(m) - length(replace(m, '/', '')) - n_words AS INT)
+       |    AS n_bpe_tokens
+       |FROM (SELECT doc_id, n_words, $applied AS m FROM canon)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Static mirrors + (when the trained-merge sidecar for the current
+    * sf-dir exists) the exact mirror of the trained-BPE path. */
+  def oracles: Map[String, String] = {
+    val dyn: Map[String, String] = lastDir match {
+      case None => Map.empty
+      case Some(dir) =>
+        readBpeSidecar(dir).map(m => "text_bpe_train" -> bpeSql(m)).toMap
+    }
+    staticOracles ++ dyn
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "pipeline_corpus" ->
       raw"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents

@@ -43,5 +43,6 @@ package object queries {
     * not scratch-table construction. */
   lazy val prepares: Map[String, (SparkSession, String) => Unit] =
     KvQueries.prepares ++ StreamQueries.prepares ++ SimQueries.prepares ++
-      RelationalQueries.prepares ++ DedupQueries.prepares
+      RelationalQueries.prepares ++ DedupQueries.prepares ++
+      TextQueries.prepares
 }
