@@ -142,6 +142,22 @@ object SimQueries {
         .orderBy(col("qid"), col("id"))
     },
 
+    // IVF-pruned EXACT range search — ann_range_search's scale path:
+    // trained k-means lists + the spherical-triangle-inequality bound
+    // prune lists that cannot contain a cosine >= 0.3 match. Pruning
+    // is exact, so the oracle is the BRUTE-FORCE range mirror: any
+    // pruning bug loses rows and the value-level gate goes red.
+    "ann_ivf_range" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val k = math.max(16, math.sqrt(e.count() / 8.0).toInt)
+      val cents = Similarity.kmeansCentroids(corpus, k = k, iters = 3)
+      Similarity.ivfRangeSearch(queries, corpus, cents, minCosine = 0.3)
+        .orderBy(col("qid"), col("id"))
+    },
+
     // IVF-flat ANN: deterministic centroid subset, nprobe=4 of the
     // inverted lists searched per query. The centroid BUDGET follows
     // the k ≈ √n IVF rule via the subset stride: stride = max(40,
@@ -607,6 +623,19 @@ object SimQueries {
     }
     Map(
       "ann_topk" -> annTopkSql,
+      // exact pruning ⇒ the IVF-pruned range search must reproduce the
+      // brute-force answer row-for-row; sharing the mirror makes the
+      // gate assert exactly that (lost rows OR duplicated list
+      // membership both go red)
+      "ann_ivf_range" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, $quantSql AS qq
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS id, $quantSql AS cq FROM embeddings)
+           |SELECT qid, id, cosine FROM (
+           |  SELECT qid, id, ${cosSql("qq", "cq")} AS cosine
+           |  FROM q, c WHERE qid <> id)
+           |WHERE cosine >= 0.3 ORDER BY qid, id""".stripMargin,
       "ann_range_search" ->
         s"""WITH q AS (
            |  SELECT vec_id AS qid, $quantSql AS qq

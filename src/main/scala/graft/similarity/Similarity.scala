@@ -147,6 +147,53 @@ object Similarity {
       .drop("__ccos", "__crank", "cq")
   }
 
+  /** IVF-pruned EXACT range search — [[rangeSearch]]'s scale path:
+    * instead of scanning the whole corpus per query, scan only the
+    * inverted lists that CAN contain a match. List pruning uses the
+    * spherical triangle inequality: with cqc = cos(query, centroid)
+    * and r = the list's cosine radius (MIN member cosine to its own
+    * centroid), every member x satisfies
+    *   cos(q, x) ≤ 1                          if cqc ≥ r
+    *   cos(q, x) ≤ cqc·r + √((1−cqc²)(1−r²))  otherwise (= cos(θqc−θmax))
+    * so a list whose bound is below `minCosine` is never scanned. The
+    * bound uses only IEEE-exact ops (·, −, √) on values both engines
+    * derive from the same integer dot products, and r/cqc are clamped
+    * to 1 before the √ (quantized self-cosines can exceed 1 by an
+    * ulp). Pruning is EXACT — the result equals [[rangeSearch]]
+    * row-for-row (spec-pinned), which is exactly what the oracle gate
+    * checks it against: a pruning bug LOSES rows and goes red.
+    *
+    * At 100 TB the assignment table is persisted
+    * `write.partitionBy("cid")` (see [[ivfAssign]]) and the broadcast
+    * probe join partition-prunes to the probed lists — the range-query
+    * analogue of [[ivfSearchAssigned]]'s DPP path. */
+  def ivfRangeSearch(queries: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, minCosine: Double): DataFrame = {
+    graft.functions.Native.register(corpus.sparkSession)
+    val cosine = graft.functions.Native.cosineQ _
+    val assigned = ivfAssign(corpus, centroids)
+    val cq = quantCentroids(centroids)
+    // per-list cosine radius: one skinny partial-agg pass
+    val radii = assigned.join(cq, Seq("cid"))
+      .select(col("cid"), cosine(col("vq"), col("cq")).as("cc"))
+      .groupBy(col("cid")).agg(least(min(col("cc")), lit(1.0)).as("r"))
+    val qq = broadcast(
+      queries.select(col("qid"), quantize(col("qvec")).as("qq")))
+    val probes = qq.crossJoin(cq.join(radii, Seq("cid")))
+      .withColumn("cqc", least(cosine(col("qq"), col("cq")), lit(1.0)))
+      .withColumn("bound", when(col("cqc") >= col("r"), lit(1.0))
+        .otherwise(col("cqc") * col("r") +
+          sqrt((lit(1.0) - col("cqc") * col("cqc")) *
+            (lit(1.0) - col("r") * col("r")))))
+      .filter(col("bound") >= lit(minCosine))
+      .select(col("qid"), col("qq"), col("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cosine", cosine(col("qq"), col("vq")))
+      .filter(col("cosine") >= lit(minCosine))
+      .select(col("qid"), col("id"), col("cosine"))
+  }
+
   /** Build the IVF inverted lists: one corpus pass assigning each vector
     * to its nearest centroid → (cid, id, vq). At 100 TB this is the
     * table you PERSIST, `write.partitionBy("cid")`, so that searches

@@ -362,6 +362,31 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._4).toSeq === Seq(1, 2))
   }
 
+  test("ivfRangeSearch equals brute-force rangeSearch at every radius") {
+    // pseudo-random 8-dim vectors + planted near-duplicates: the
+    // pruning bound is exact, so the IVF-pruned result must match the
+    // brute-force result ROW-FOR-ROW at any threshold and any k.
+    def prng(i: Long, d: Int): Double = {
+      val x = i * 2654435761L + d * 40503L
+      ((x ^ (x >> 16)) % 1000).toDouble / 100.0 - 4.5
+    }
+    val base = (0L until 120L).map(i => (i, (0 until 8).map(d => prng(i, d))))
+    val dups = base.filter(_._1 % 11 == 0).map { case (i, v) =>
+      (i + 1000L, v.updated(0, v.head + 0.01)) }
+    val corpus = (base ++ dups).toDF("id", "vec")
+    val queries = corpus.filter($"id" < 8)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    for (k <- Seq(4, 9); tau <- Seq(0.2, 0.5, 0.9)) {
+      val cents = Similarity.kmeansCentroids(corpus, k = k, iters = 3)
+      val exact = Similarity.rangeSearch(queries, corpus, tau)
+        .orderBy("qid", "id").as[(Long, Long, Double)].collect().toSeq
+      val pruned = Similarity.ivfRangeSearch(queries, corpus, cents, tau)
+        .orderBy("qid", "id").as[(Long, Long, Double)].collect().toSeq
+      assert(pruned === exact, s"k=$k tau=$tau")
+      assert(exact.nonEmpty || tau > 0.5) // low radii must find matches
+    }
+  }
+
   test("kmeansCentroids recovers well-separated clusters " +
     "deterministically; trained centroids drive ivfTopK") {
     // 3 angularly-separated clusters of 10 vectors each (tight jitter)
