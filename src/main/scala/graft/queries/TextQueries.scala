@@ -50,8 +50,51 @@ object TextQueries {
       })
   }
 
+  /** Train the perplexity-filter bigram LM once on the REFERENCE slice
+    * (doc_id % 5 != 0 — the CCNet shape: fit on curated data, score
+    * the crawl) and persist it; held-out docs then exercise the
+    * backoff path value-level. Same train/serve split as bpeModel. */
+  private def lmModel(s: org.apache.spark.sql.SparkSession,
+                      dir: String): graft.text.Lm.BigramModel = {
+    import java.nio.file.{Files, Paths}
+    val path = scratchDir("lm_model", dir)
+    val file = Paths.get(path, "lm.txt")
+    lastDir = Some(dir)
+    ensureSetup(path) {
+      val ref = table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+      val m = graft.text.Lm.train(ref, "text", maxBigrams = 200000)
+      Files.createDirectories(file.getParent)
+      val lines =
+        Seq(s"V\t${m.floorLp}") ++
+          m.bigrams.map { case (a, b, lp) => s"B\t$a\t$b\t$lp" } ++
+          m.histories.map { case (a, lp) => s"H\t$a\t$lp" }
+      Files.writeString(file, lines.mkString("\n"))
+    }
+    readLmSidecar(dir).get
+  }
+
+  private def readLmSidecar(dir: String): Option[graft.text.Lm.BigramModel] = {
+    val f = java.nio.file.Paths.get(scratchDir("lm_model", dir), "lm.txt")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val lines = java.nio.file.Files.readString(f).split('\n')
+        .filter(_.nonEmpty).toSeq
+      val floor = lines.collectFirst {
+        case l if l.startsWith("V\t") => l.split('\t')(1).toLong
+      }.get
+      val bgs = lines.collect { case l if l.startsWith("B\t") =>
+        val Array(_, a, b, lp) = l.split('\t'); (a, b, lp.toLong)
+      }
+      val hs = lines.collect { case l if l.startsWith("H\t") =>
+        val Array(_, a, lp) = l.split('\t'); (a, lp.toLong)
+      }
+      Some(graft.text.Lm.BigramModel(bgs, hs, floor))
+    }
+  }
+
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
-    Map("text_bpe_train" -> ((s, d) => { bpeModel(s, d); () }))
+    Map("text_bpe_train" -> ((s, d) => { bpeModel(s, d); () }),
+      "text_perplexity" -> ((s, d) => { lmModel(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // TRAINED tokenizer: learn a BPE merge table from the corpus
@@ -61,6 +104,17 @@ object TextQueries {
     // nested literal replacements, so the APPLICATION is verified
     // value-level at any scale while the merge table itself is pinned
     // by hand-computed unit tests on the reference corpus.
+    // Perplexity filter (the published reference-LM curation step):
+    // score every document with a pruned bigram LM trained on the
+    // reference slice. All logs are quantized to integer micro-nats at
+    // train time, so the statistical score is hash-gate exact; the
+    // held-out docs (doc_id % 5 = 0) exercise the backoff path.
+    "text_perplexity" -> { (s, dir) =>
+      val model = lmModel(s, dir)
+      graft.text.Lm.score(table(s, dir, "documents"), "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+
     "text_bpe_train" -> { (s, dir) =>
       val merges = bpeModel(s, dir)
       val toks = split(col("text"), " ")
@@ -505,13 +559,40 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Static mirrors + (when the trained-merge sidecar for the current
-    * sf-dir exists) the exact mirror of the trained-BPE path. */
+  /** Mirror of trained-LM scoring: the model tables ride in as VALUES
+    * literals; scoring is integer join+sum, so the mirror is exact. */
+  private def lmSql(m: graft.text.Lm.BigramModel): String = {
+    val bgv = m.bigrams
+      .map { case (a, b, lp) => s"('$a','$b',CAST($lp AS BIGINT))" }
+      .mkString(", ")
+    val hv = m.histories
+      .map { case (a, lp) => s"('$a',CAST($lp AS BIGINT))" }.mkString(", ")
+    s"""WITH bgm(w1, w2, lp) AS (VALUES $bgv),
+       |hm(w1, lp0) AS (VALUES $hv),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS u(i)),
+       |scored AS (
+       |  SELECT bg.doc_id, COALESCE(m.lp, h.lp0, ${m.floorLp}) AS lp
+       |  FROM bg LEFT JOIN bgm m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+       |  LEFT JOIN hm h ON bg.w1 = h.w1),
+       |agg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS s
+       |  FROM scored GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(COALESCE(nb, 0) AS INT) AS n_bigrams,
+       |  CAST(COALESCE(s, 0) AS BIGINT) AS lp_micro
+       |FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Static mirrors + (when the trained-model sidecars for the current
+    * sf-dir exist) the exact mirrors of the trained-BPE and trained-LM
+    * paths. */
   def oracles: Map[String, String] = {
     val dyn: Map[String, String] = lastDir match {
       case None => Map.empty
       case Some(dir) =>
-        readBpeSidecar(dir).map(m => "text_bpe_train" -> bpeSql(m)).toMap
+        readBpeSidecar(dir).map(m => "text_bpe_train" -> bpeSql(m)).toMap ++
+          readLmSidecar(dir).map(m => "text_perplexity" -> lmSql(m)).toMap
     }
     staticOracles ++ dyn
   }

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pruned bigram language model — the perplexity-filter step of
+  * published web-corpus curation pipelines (train a small LM on a
+  * reference corpus, score candidate documents, filter by per-token
+  * log-probability), built so the hash-level oracle gate can check the
+  * LOSSY statistical score exactly:
+  *
+  *  - The corpus-sized work is distributed: one bigram-count pass and
+  *    one history-count pass, both partial-agg shuffles that collapse
+  *    to (observed-bigram, vocabulary) cardinality map-side.
+  *  - The model is BOUNDED driver state: top `maxBigrams` bigrams by
+  *    frequency (deterministic lexicographic tiebreak) — the classic
+  *    pruned-LM shape; everything pruned or unseen scores through the
+  *    per-history add-one backoff, identically on both engines because
+  *    absence from the model table IS the backoff trigger.
+  *  - Every logarithm is computed ONCE, driver-side, and quantized to
+  *    integer micro-nats. Scoring is then pure integer join+sum
+  *    arithmetic — no cross-engine float divergence is possible, which
+  *    is what lets a statistical score live under a hash gate.
+  */
+object Lm {
+
+  /** Trained model: bigram log-probs, per-history backoff log-probs,
+    * and the unseen-history floor — all integer micro-nats. */
+  case class BigramModel(bigrams: Seq[(String, String, Long)],
+                         histories: Seq[(String, Long)],
+                         floorLp: Long) {
+    def bigramMap: Map[(String, String), Long] =
+      bigrams.map { case (a, b, lp) => ((a, b), lp) }.toMap
+    def historyMap: Map[String, Long] = histories.map(h => (h._1, h._2)).toMap
+  }
+
+  /** Per-position bigram structs of a token array: (w1, w2) for every
+    * adjacent pair; empty when the document has fewer than 2 tokens
+    * (guarded — Spark's `sequence(1, 0)` would DESCEND, not empty). */
+  def bigramsCol(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Train on `docs.textCol`: add-one-smoothed bigram probabilities
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), quantized to micro-nats.
+    * Backoff for a pruned/unseen bigram with a known history is the
+    * same formula at c=0; an unseen history scores ln(1/V). */
+  def train(docs: DataFrame, textCol: String, maxBigrams: Int): BigramModel = {
+    val toks = split(col(textCol), " ")
+    val pairs = docs.select(explode(bigramsCol(toks)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // histories over the FULL bigram set (pruning must not shift the
+    // denominators), vocabulary over all tokens
+    val hist = pairs.groupBy("w1").agg(count(lit(1)).as("hn"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vocab = docs.select(explode(toks).as("w")).filter(col("w") =!= "")
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val kept = bg.orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(maxBigrams).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def q(p: Double): Long = math.round(1e6 * math.log(p))
+    val bigrams = kept.toSeq.map { case (w1, w2, n) =>
+      (w1, w2, q((n + 1).toDouble / (hist(w1) + vocab)))
+    }
+    val histories = hist.toSeq.sortBy(_._1).map { case (w1, hn) =>
+      (w1, q(1.0 / (hn + vocab)))
+    }
+    BigramModel(bigrams, histories, q(1.0 / vocab))
+  }
+
+  /** Score documents with a trained model: (doc_id, n_bigrams,
+    * lp_micro) where lp_micro is the summed micro-nat log-probability.
+    * One explode + per-doc partial agg, two broadcast joins against
+    * the bounded model — the shuffle carries per-doc DISTINCT bigram
+    * counts, not positions. Documents with < 2 tokens score (0, 0). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: BigramModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bgm = broadcast(model.bigrams.toDF("w1", "w2", "lp"))
+    val hm = broadcast(model.histories.toDF("w1", "lp0"))
+    val toks = split(col(textCol), " ")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(bigramsCol(toks)).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(bgm, Seq("w1", "w2"), "left")
+      .join(hm, Seq("w1"), "left")
+      .withColumn("lpx", coalesce(col("lp"), col("lp0"), lit(model.floorLp)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_bigrams"),
+        sum(col("cnt") * col("lpx")).cast("bigint").as("lp_micro"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0)).cast("int").as("n_bigrams"),
+        coalesce(col("lp_micro"), lit(0L)).cast("bigint").as("lp_micro"))
+  }
+}

@@ -38,6 +38,46 @@ class BpeSpec extends SparkSpec {
     assert(merges.head === (("a", "b")))
   }
 
+  test("bigram LM: hand-computed probabilities, backoff, and floor") {
+    import graft.text.Lm
+    // train corpus: "a b a b" ×2 and "a c" ×1 →
+    //   bigrams: (a,b)=4? no — per doc: "a b a b" has (a,b),(b,a),(a,b)
+    //   so counts: (a,b)=4, (b,a)=2, (a,c)=1; histories a=5, b=2;
+    //   vocab = {a,b,c} → V=3
+    val train = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val m = Lm.train(train, "text", maxBigrams = 100)
+    def q(p: Double): Long = math.round(1e6 * math.log(p))
+    assert(m.bigramMap === Map(
+      ("a", "b") -> q(5.0 / 8), // (4+1)/(5+3)
+      ("b", "a") -> q(3.0 / 5), // (2+1)/(2+3)
+      ("a", "c") -> q(2.0 / 8)))
+    assert(m.historyMap === Map("a" -> q(1.0 / 8), "b" -> q(1.0 / 5)))
+    assert(m.floorLp === q(1.0 / 3))
+    // scoring: seen bigram, backoff (unseen bigram with known
+    // history), floor (unseen history), and a <2-token doc
+    val docs = Seq(
+      (10L, "a b"),   // seen: lp(a,b)
+      (11L, "b b"),   // backoff: history b, lp0(b)
+      (12L, "z a"),   // floor: unseen history z
+      (13L, "a")      // no bigrams at all
+    ).toDF("doc_id", "text")
+    val got = Lm.score(docs, "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Int, Long)].collect()
+    assert(got === Array(
+      (10L, 1, q(5.0 / 8)),
+      (11L, 1, q(1.0 / 5)),
+      (12L, 1, q(1.0 / 3)),
+      (13L, 0, 0L)))
+    // pruning cap: keep only the top-1 bigram; the rest must score
+    // through backoff with UNCHANGED denominators
+    val pruned = Lm.train(train, "text", maxBigrams = 1)
+    assert(pruned.bigramMap === Map(("a", "b") -> q(5.0 / 8)))
+    val g2 = Lm.score(Seq((20L, "b a")).toDF("doc_id", "text"),
+      "doc_id", "text", pruned).as[(Long, Int, Long)].head()
+    assert(g2 === ((20L, 1, q(1.0 / 5)))) // backoff, not the pruned lp
+  }
+
   test("column replace-chain application equals the trainer's merge step") {
     // Apply the trained merges both ways on fresh text: symbol-level
     // mergePair folding (the trainer's ground truth) vs the nested
