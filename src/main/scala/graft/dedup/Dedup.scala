@@ -42,17 +42,19 @@ object Dedup {
     * and deterministic, no sequential sweep), and report per-document
     * retention: (doc_id, n_chunks, n_dup_chunks, kept_tokens).
     *
-    * Scale shape: one shuffle partitioned by the passage text for the
-    * first-occurrence window (pure map-side work before it; passage
-    * cardinality ≈ corpus size so no hot key — a duplicated passage's
-    * occurrences all land in one partition, which is exactly the
-    * locality the window needs), then one partial-agg shuffle back to
-    * doc_id for the stats. No cross join, no driver state; at 100 TB
-    * both exchanges carry O(corpus) skinny rows.
+    * Scale shape — deliberately NOT a window over the passage text: a
+    * boilerplate passage repeated millions of times (the very thing
+    * this operator removes) would land every occurrence in ONE window
+    * partition and serialize there. Instead the first occurrence per
+    * passage is a `min(struct(doc_id, idx, ctoks))` PARTIAL aggregate
+    * — a hot passage collapses to one row per map task before the
+    * exchange — and the per-doc stats come from two more partial aggs
+    * (total chunks by doc, winner chunks by doc) joined on doc_id.
+    * No window, no join keyed by passage text, no driver state; every
+    * exchange is skew-proof by map-side combine.
     */
   def passageDedupStats(docs: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = split(col(textCol), " ")
     val chunks = transform(
       sequence(lit(0), floor((size(toks) - 1) / chunkTokens).cast("int")),
@@ -65,13 +67,22 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.idx").as("idx"),
         col("c.chunk").as("chunk"), col("c.ctoks").as("ctoks"))
-    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
-    exploded.withColumn("rn", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_chunks"),
-        sum(when(col("rn") === 1, 0).otherwise(1)).cast("int")
+    val totals = exploded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"))
+    // first occurrence = lexicographic min of (doc_id, idx); ctoks
+    // rides in the struct's last slot and never influences the order
+    // because (doc_id, idx) is unique
+    val winners = exploded
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"), col("ctoks"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        sum(col("w.ctoks")).cast("bigint").as("kept_tokens"))
+    totals.join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0))).cast("int")
           .as("n_dup_chunks"),
-        sum(when(col("rn") === 1, col("ctoks")).otherwise(0)).cast("bigint")
+        coalesce(col("kept_tokens"), lit(0L)).cast("bigint")
           .as("kept_tokens"))
   }
 
