@@ -27,7 +27,11 @@ object Native {
 
   val P: Long = 1000000007L
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** The complete native-function registry — the single source both
+    * [[register]] (per-session temp functions) and
+    * [[graft.GraftExtensions]] (session-extension injection) consume,
+    * so the two surfaces can never drift. */
+  private[graft] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_token_hashes" -> (es => TokenHashes60(es.head)),
     "graft_token_hashes_raw" -> (es => TokenHashesRaw60(es.head)),
     "graft_shingle_hashes" -> (es => PolyShingleHashes(es(0), es(1))),
