@@ -92,9 +92,51 @@ object TextQueries {
     }
   }
 
+  /** Train the NB log-count-ratio language classifier once on the
+    * labeled slice (doc_id % 5 != 0; y = lang = 'en' — the fastText
+    * language-ID shape) and persist it. Same train/serve split and
+    * sidecar-to-oracle mechanism as bpeModel/lmModel. */
+  private def clsModel(s: org.apache.spark.sql.SparkSession,
+                       dir: String): graft.text.Classifier.NbModel = {
+    import java.nio.file.{Files, Paths}
+    val path = scratchDir("cls_model", dir)
+    val file = Paths.get(path, "cls.txt")
+    lastDir = Some(dir)
+    ensureSetup(path) {
+      val labeled = table(s, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0)
+        .withColumn("y", col("lang") === "en")
+      val m = graft.text.Classifier.train(labeled, "text", "y",
+        maxVocab = 50000)
+      Files.createDirectories(file.getParent)
+      val lines = Seq(s"B\t${m.bias}", s"D\t${m.defaultW}") ++
+        m.weights.map { case (t, w) => s"W\t$t\t$w" }
+      Files.writeString(file, lines.mkString("\n"))
+    }
+    readClsSidecar(dir).get
+  }
+
+  private def readClsSidecar(dir: String)
+      : Option[graft.text.Classifier.NbModel] = {
+    val f = java.nio.file.Paths.get(scratchDir("cls_model", dir), "cls.txt")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val lines = java.nio.file.Files.readString(f).split('\n')
+        .filter(_.nonEmpty).toSeq
+      def one(p: String): Long = lines.collectFirst {
+        case l if l.startsWith(p) => l.split('\t')(1).toLong
+      }.get
+      val ws = lines.collect { case l if l.startsWith("W\t") =>
+        val Array(_, t, w) = l.split('\t'); (t, w.toLong)
+      }
+      Some(graft.text.Classifier.NbModel(ws, one("D\t"), one("B\t")))
+    }
+  }
+
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     Map("text_bpe_train" -> ((s, d) => { bpeModel(s, d); () }),
-      "text_perplexity" -> ((s, d) => { lmModel(s, d); () }))
+      "text_perplexity" -> ((s, d) => { lmModel(s, d); () }),
+      "text_classify" -> ((s, d) => { clsModel(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // TRAINED tokenizer: learn a BPE merge table from the corpus
@@ -112,6 +154,19 @@ object TextQueries {
     "text_perplexity" -> { (s, dir) =>
       val model = lmModel(s, dir)
       graft.text.Lm.score(table(s, dir, "documents"), "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+
+    // TRAINED text classifier (fastText-style curation filter): NB
+    // log-count-ratio weights fit on the labeled slice, scoring every
+    // document — held-out docs (doc_id % 5 = 0) exercise generalization
+    // and the OOV default-weight path. Weights are integer micro-logits
+    // (see graft.text.Classifier), so the statistical score is pure
+    // integer join+sum on both engines and hash-gate exact.
+    "text_classify" -> { (s, dir) =>
+      val model = clsModel(s, dir)
+      graft.text.Classifier.score(table(s, dir, "documents"), "doc_id",
+          "text", model)
         .orderBy(col("doc_id"))
     },
 
@@ -584,15 +639,38 @@ object TextQueries {
        |FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Mirror of trained-classifier scoring: the weight table rides in
+    * as VALUES literals; scoring is integer join+sum, so the mirror is
+    * exact (same mechanism as [[lmSql]]). */
+  private def clsSql(m: graft.text.Classifier.NbModel): String = {
+    val wv = m.weights
+      .map { case (t, w) =>
+        s"('${t.replace("'", "''")}',CAST($w AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH w(t, wq) AS (VALUES $wv),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |sc AS (
+       |  SELECT tok.doc_id, count(*) AS n,
+       |    sum(COALESCE(w.wq, ${m.defaultW})) AS s
+       |  FROM tok LEFT JOIN w USING (t) GROUP BY tok.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(n, 0) AS INT) AS n_tokens,
+       |  CAST(COALESCE(s, 0) + ${m.bias} AS BIGINT) AS score_micro,
+       |  (COALESCE(s, 0) + ${m.bias}) >= 0 AS pred
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Static mirrors + (when the trained-model sidecars for the current
-    * sf-dir exist) the exact mirrors of the trained-BPE and trained-LM
-    * paths. */
+    * sf-dir exist) the exact mirrors of the trained-BPE, trained-LM
+    * and trained-classifier paths. */
   def oracles: Map[String, String] = {
     val dyn: Map[String, String] = lastDir match {
       case None => Map.empty
       case Some(dir) =>
         readBpeSidecar(dir).map(m => "text_bpe_train" -> bpeSql(m)).toMap ++
-          readLmSidecar(dir).map(m => "text_perplexity" -> lmSql(m)).toMap
+          readLmSidecar(dir).map(m => "text_perplexity" -> lmSql(m)).toMap ++
+          readClsSidecar(dir).map(m => "text_classify" -> clsSql(m)).toMap
     }
     staticOracles ++ dyn
   }
