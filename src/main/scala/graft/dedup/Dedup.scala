@@ -86,6 +86,59 @@ object Dedup {
           .as("kept_tokens"))
   }
 
+  /** ExactSubstr-style duplicated-substring statistics (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * every k-token window (stride 1) is fingerprinted; a window whose
+    * fingerprint occurs >= 2 times anywhere in the corpus — any doc,
+    * any position, including elsewhere in the same doc — is
+    * duplicated. Per doc: window totals, duplicated-window count, and
+    * the UNION length of the duplicated spans. Because all windows
+    * share length k, the union of sorted overlapping intervals needs
+    * no gaps-and-islands pass: each window past the first contributes
+    * min(k, pos - prev_pos) tokens, so one per-doc lag suffices.
+    *
+    * Scale shape: fingerprints come from the O(tokens) rolling
+    * Rabin-Karp native pass ([[graft.functions.Native.substrFingerprints]],
+    * 60-bit), the global occurrence count is a partial-agg shuffle of
+    * (fp) longs — the same order of bytes the published suffix-array
+    * formulation moves — and the per-doc lag window is bounded by
+    * document length. A 60-bit fingerprint pair-collides at ~2^30
+    * windows; a collision marks one extra window duplicated (never
+    * drops one), the accepted trade of published fingerprint dedup.
+    * Requires [[graft.functions.Native.register]] on the session. */
+  def substrDupStats(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+      graft.functions.Native.tokenHashes(toks).as("th"))
+    val win = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.Native.substrFingerprints(col("th"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("fp"))
+    val dupFp = win.groupBy(col("fp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val lagW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc = win.join(dupFp.select("fp"), Seq("fp"))
+      .withColumn("prev", lag(col("pos"), 1).over(lagW))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_dup_windows"),
+        sum(when(col("prev").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("pos") - col("prev"))))
+          .cast("bigint").as("n_dup_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"), size(toks).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0)).cast("int")
+          .as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0)).cast("int")
+          .as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).cast("bigint")
+          .as("n_dup_tokens"))
+      .withColumn("keep", col("n_dup_tokens") * 2 < col("n_tokens"))
+  }
+
   /** Modulus for the MinHash permutation family: fits every intermediate
     * in 63 bits (h < P, a ≤ 12·7919, so a·h + b < 2^63) — no overflow in
     * Spark OR an overflow-checking oracle engine. */

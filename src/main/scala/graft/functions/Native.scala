@@ -35,6 +35,7 @@ object Native {
     "graft_token_hashes" -> (es => TokenHashes60(es.head)),
     "graft_token_hashes_raw" -> (es => TokenHashesRaw60(es.head)),
     "graft_shingle_hashes" -> (es => PolyShingleHashes(es(0), es(1))),
+    "graft_substr_fps" -> (es => SubstrFingerprints(es(0), es(1))),
     "graft_minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_hyperplane_sig" -> (es =>
@@ -64,6 +65,8 @@ object Native {
     call_function("graft_token_hashes_raw", toks)
   def shingleHashes(th: Column, n: Int): Column =
     call_function("graft_shingle_hashes", th, org.apache.spark.sql.functions.lit(n))
+  def substrFingerprints(th: Column, k: Int): Column =
+    call_function("graft_substr_fps", th, org.apache.spark.sql.functions.lit(k))
   def minHashSig(sh: Column, k: Int): Column =
     call_function("graft_minhash_sig", sh, org.apache.spark.sql.functions.lit(k))
   def simHash64(hashes: Column): Column =
@@ -647,6 +650,94 @@ case class PolyShingleHashes(child: Expression, nExpr: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, nExpr = r)
+}
+
+/** array<long> -> array<long>: 60-bit window fingerprints for the
+  * ExactSubstr-style duplicated-substring pass (Lee et al. 2021) —
+  * fp(i) = h31(i) * P + h37(i), where h_b(i) is the base-b polynomial
+  * of the k token hashes starting at i, mod P. Two independent bases
+  * lift the collision space from P (~2^30) to ~2^60 while every
+  * intermediate stays in 63 bits. Computed as a TRUE rolling
+  * Rabin-Karp — O(tokens) per document, not O(tokens × k): the first
+  * window is a Horner fold, each subsequent one drops the leading
+  * term (h + P - th*b^(k-1) mod P keeps the accumulator nonnegative)
+  * and shifts. The oracle mirrors the mathematically-equal nested
+  * Horner form; RollingFpSpec pins rolling == Horner. Docs shorter
+  * than k yield an empty array. */
+case class SubstrFingerprints(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  private lazy val pow31: Long =
+    BigInt(31).modPow(k - 1, Native.P).toLong
+  private lazy val pow37: Long =
+    BigInt(37).modPow(k - 1, Native.P).toLong
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val v = ctx.freshName("v")
+      val drop = ctx.freshName("drop")
+      val P = Native.P
+      s"""
+         |final int $len = $a.numElements();
+         |final int $m = $len < $k ? 0 : $len - $k + 1;
+         |final long[] $out = new long[$m];
+         |if ($m > 0) {
+         |  long $h1 = 0L, $h2 = 0L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final long $v = $a.getLong($j);
+         |    $h1 = ($h1 * 31L + $v) % ${P}L;
+         |    $h2 = ($h2 * 37L + $v) % ${P}L;
+         |  }
+         |  $out[0] = $h1 * ${P}L + $h2;
+         |  for (int $i = 1; $i < $m; $i++) {
+         |    final long $drop = $a.getLong($i - 1);
+         |    final long $v = $a.getLong($i + $k - 1);
+         |    $h1 = (($h1 + ${P}L - $drop * ${pow31}L % ${P}L) * 31L + $v) % ${P}L;
+         |    $h2 = (($h2 + ${P}L - $drop * ${pow37}L % ${P}L) * 37L + $v) % ${P}L;
+         |    $out[$i] = $h1 * ${P}L + $h2;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override def nullSafeEval(thv: Any, ignored: Any): Any = {
+    val th = thv.asInstanceOf[ArrayData]
+    val len = th.numElements()
+    if (len < k) return new GenericArrayData(Array.emptyLongArray)
+    val P = Native.P
+    val out = new Array[Long](len - k + 1)
+    var h1 = 0L; var h2 = 0L
+    var j = 0
+    while (j < k) {
+      val v = th.getLong(j)
+      h1 = (h1 * 31L + v) % P
+      h2 = (h2 * 37L + v) % P
+      j += 1
+    }
+    out(0) = h1 * P + h2
+    var i = 1
+    while (i < out.length) {
+      val drop = th.getLong(i - 1)
+      val v = th.getLong(i + k - 1)
+      h1 = ((h1 + P - drop * pow31 % P) * 31L + v) % P
+      h2 = ((h2 + P - drop * pow37 % P) * 37L + v) % P
+      out(i) = h1 * P + h2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(child = l, kExpr = r)
 }
 
 /** array<long> -> array<long>(k): MinHash signature under

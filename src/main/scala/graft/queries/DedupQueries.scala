@@ -104,6 +104,21 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ExactSubstr-style duplicated-substring detection (Lee et al.
+    // 2021): EVERY 16-token window, stride 1 — the sub-passage dedup
+    // mode dedup_paragraph's aligned chunks cannot see (a duplicated
+    // span straddling a chunk boundary). The near-copy corpus
+    // exercises the union-span math: planted copies share all windows
+    // with their original except the padded tail, so overlapping
+    // duplicated windows must merge, not double-count. Fingerprints
+    // are the O(tokens) rolling Rabin-Karp native pass; the oracle
+    // mirrors the nested-Horner equal form.
+    "dedup_exact_substr" -> { (s, dir) =>
+      graft.functions.Native.register(s)
+      Dedup.substrDupStats(corpusNear(s, dir), "doc_id", "text", k = 16)
+        .orderBy(col("doc_id"))
+    },
+
     // INCREMENTAL exact dedup — the daily-crawl shape: a persisted KV
     // fingerprint index (the classic content-addressed dedup index a
     // log-structured store serves) holds every already-accepted
@@ -656,6 +671,37 @@ object DedupQueries {
          |  CAST(sum(CASE WHEN rn = 1 THEN ctoks ELSE 0 END) AS BIGINT)
          |    AS kept_tokens
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_exact_substr" -> {
+      // nested-Horner mirror of the rolling Rabin-Karp fingerprint:
+      // mathematically equal mod P, every intermediate < 2^36
+      def horner(base: Int): String =
+        (1 until 16).foldLeft("th[i]") { (e, j) =>
+          s"(($e) * $base + th[i+$j]) % 1000000007"
+        }
+      s"""WITH corpus AS ($corpusNearSql),
+         |th AS (${thSql("corpus")}),
+         |win AS (
+         |  SELECT doc_id, i AS pos,
+         |    (${horner(31)}) * 1000000007 + (${horner(37)}) AS fp
+         |  FROM th CROSS JOIN UNNEST(range(1, len(th) - 14)) AS u(i)),
+         |dup AS (SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+         |sp AS (
+         |  SELECT w.doc_id, w.pos,
+         |    lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS pp
+         |  FROM win w JOIN dup USING (fp)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS ndw,
+         |    sum(CASE WHEN pp IS NULL THEN 16
+         |             ELSE least(16, pos - pp) END) AS ndt
+         |  FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(th) AS INT) AS n_tokens,
+         |  CAST(greatest(len(th) - 15, 0) AS INT) AS n_windows,
+         |  CAST(COALESCE(ndw, 0) AS INT) AS n_dup_windows,
+         |  CAST(COALESCE(ndt, 0) AS BIGINT) AS n_dup_tokens,
+         |  COALESCE(ndt, 0) * 2 < len(th) AS keep
+         |FROM th t LEFT JOIN agg USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
     "dedup_incremental" ->
       raw"""WITH idx AS (
            |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
