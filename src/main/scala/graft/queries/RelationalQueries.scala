@@ -884,6 +884,48 @@ object RelationalQueries {
     // out to a row per column by the stack() generator. Exact
     // COUNT(DISTINCT) keeps the oracle value-level (at 100 TB swap in
     // approx_count_distinct; the one-scan shape is the point).
+    // Graph rank (PageRank, 3 unrolled iterations) — the host-quality
+    // signal published corpus curation uses (Common-Crawl-style host
+    // ranking feeding quality filters), over the co-supply graph:
+    // suppliers sharing an order, symmetric distinct edges, so every
+    // graph node has outdeg >= 1 and receives >= 1 in-edge (no
+    // dangling-mass terms). INTEGER fixed-point throughout:
+    // r_0 = 1e6, r_{t+1}(v) = 150000 + Σ_u (r_t(u)*850000) DIV
+    // (1e6*deg(u)) — floor division and long sums are deterministic
+    // and order-independent on both engines, which is what lets an
+    // iterative float algorithm live under a hash gate (same move as
+    // the LM's micro-nats). Scale shape: per iteration one shuffle
+    // join of ranks against edges on the source key + one partial agg
+    // by destination — the standard distributed PR step; deg and
+    // ranks stay O(nodes), edges derive once and are checkpointed.
+    // Mass bound: Σr ≈ N·1e6 stays < 2^63/850000 up to ~10^7 nodes;
+    // larger graphs rescale r_0 down (documented, not hit here).
+    "q_pagerank" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"), Seq("ok"))
+        .filter(col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .distinct()
+        .localCheckpoint() // used by deg + all 3 iterations
+      val deg = edges.groupBy(col("src").as("u"))
+        .agg(count(lit(1)).as("deg"))
+      val r0 = deg.select(col("u"), lit(1000000L).as("r"))
+      val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
+        r.join(deg, Seq("u"))
+          .join(edges.withColumnRenamed("src", "u"), Seq("u"))
+          .select(col("dst").as("u"),
+            expr("(r * 850000) DIV (1000000 * deg)").as("c"))
+          .groupBy(col("u"))
+          .agg((lit(150000L) + sum(col("c"))).as("r"))
+      }
+      deg.join(rFinal, Seq("u"))
+        .select(col("u").as("suppkey"), col("deg").cast("int").as("outdeg"),
+          col("r").cast("bigint").as("rank_micro"))
+        .orderBy(col("suppkey"))
+    },
+
     "q_profile" -> { (s, dir) =>
       val c = table(s, dir, "customer")
       def stats(cl: String, p: String) = Seq(
@@ -1164,6 +1206,31 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pagerank" -> {
+      // unrolled integer-PR step: rank table rt -> the next one
+      def step(rt: String): String =
+        s"""SELECT e.dst AS u,
+           |    150000 + sum((r.r * 850000) // (1000000 * d.deg)) AS r
+           |  FROM $rt r
+           |  JOIN deg d ON d.u = r.u
+           |  JOIN edges e ON e.src = r.u
+           |  GROUP BY e.dst""".stripMargin
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |edges AS (
+         |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk),
+         |deg AS (SELECT src AS u, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |r1 AS (${step("r0")}),
+         |r2 AS (${step("r1")}),
+         |r3 AS (${step("r2")})
+         |SELECT d.u AS suppkey, CAST(d.deg AS INT) AS outdeg,
+         |  CAST(r3.r AS BIGINT) AS rank_micro
+         |FROM deg d JOIN r3 ON r3.u = d.u
+         |ORDER BY suppkey""".stripMargin
+    },
+
     "q_profile" ->
       """SELECT col_name, n_nonnull, n_distinct, min_s, max_s FROM (
         |  SELECT 'c_custkey' AS col_name, COUNT(c_custkey) AS n_nonnull,
