@@ -900,21 +900,46 @@ object RelationalQueries {
     // ranks stay O(nodes), edges derive once and are checkpointed.
     // Mass bound: Σr ≈ N·1e6 stays < 2^63/850000 up to ~10^7 nodes;
     // larger graphs rescale r_0 down (documented, not hit here).
+    // Join strategy: ranks and degrees are O(nodes) — BROADCAST them
+    // against the O(edges) table, so an iteration is one broadcast
+    // join + one partial agg by destination (collapses map-side to
+    // node cardinality). The hints matter: edges sits behind a
+    // localCheckpoint whose LogicalRDD has no stats, and the SMJ
+    // fallback full-sorts the edge table in EVERY iteration — 4.9 GB
+    // of sort spill at sf2 before the hint, zero after. (Web-scale
+    // graphs where O(nodes) outgrows the broadcast budget switch the
+    // rank side to a shuffle join keyed by src — the standard
+    // distributed-PR tradeoff; at 1e6-rank fixed point that crossover
+    // is ~1e8 nodes.)
     "q_pagerank" -> { (s, dir) =>
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // The pair stream duplicates each edge once per shared order
+      // (2.6x here), and a straight distinct() partial-aggregates it
+      // on the JOIN's order-keyed partitions — every task's hash map
+      // then holds nearly its whole input's distinct pairs, outgrows
+      // the per-core budget, and sort-spills (5.4 GB at sf2).
+      // Re-keying the exchange by the PAIR first co-locates all
+      // copies, so each task's map holds only its own partition's
+      // distinct edges (~45 MB here), and distinct() elides its own
+      // exchange because the partitioning already matches: one
+      // 0.7 GB shuffle replaces 5.4 GB of spill. The sizing rule at
+      // cluster scale: distinct-edge partitions must fit the
+      // per-core budget — grow shuffle partitions with the graph.
       val edges = li.as("a").join(li.as("b"), Seq("ok"))
         .filter(col("a.sk") =!= col("b.sk"))
         .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .repartition(col("src"), col("dst"))
         .distinct()
         .localCheckpoint() // used by deg + all 3 iterations
       val deg = edges.groupBy(col("src").as("u"))
         .agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // O(nodes); broadcast into every iteration
       val r0 = deg.select(col("u"), lit(1000000L).as("r"))
       val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
-        r.join(deg, Seq("u"))
-          .join(edges.withColumnRenamed("src", "u"), Seq("u"))
+        edges.join(broadcast(r.join(broadcast(deg), Seq("u"))
+            .withColumnRenamed("u", "src")), Seq("src"))
           .select(col("dst").as("u"),
             expr("(r * 850000) DIV (1000000 * deg)").as("c"))
           .groupBy(col("u"))
