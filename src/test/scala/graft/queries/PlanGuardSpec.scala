@@ -162,6 +162,21 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_pagerank broadcasts the O(nodes) rank side and co-locates " +
+      "the edge dedup (the r7 spill fix)") {
+    val p = plan("q_pagerank")
+    // every iteration joins edges against a broadcast rank⋈deg side —
+    // a regression to sort-merge here re-sorts the edge table three
+    // times and spilled 4.9 GB at sf2 before the hints
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_pagerank lost its broadcast iterations:\n$p")
+    // the pair dedup must run on pair-keyed partitions — dropping the
+    // repartition(src, dst) re-creates input-proportional partial-agg
+    // hash maps (the spill source)
+    assert("hashpartitioning\\(src[^)]*dst".r.findFirstIn(p).isDefined,
+      s"q_pagerank lost the pair-keyed dedup exchange:\n$p")
+  }
+
   test("semanticDedup plans broadcast centroid joins and no cartesian; " +
       "pair expansion shuffles ids only") {
     import spark.implicits._
