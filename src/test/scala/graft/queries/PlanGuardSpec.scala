@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Scale regression guard: mechanical assertions over the PHYSICAL
   * plans of every side-effect-free query (relational, TPC-H, text,
@@ -164,17 +165,34 @@ class PlanGuardSpec extends SparkSpec {
 
   test("q_pagerank broadcasts the O(nodes) rank side and co-locates " +
       "the edge dedup (the r7 spill fix)") {
-    val p = plan("q_pagerank")
     // every iteration joins edges against a broadcast rank⋈deg side —
     // a regression to sort-merge here re-sorts the edge table three
     // times and spilled 4.9 GB at sf2 before the hints
+    val p = plan("q_pagerank")
     assert(p.contains("BroadcastHashJoin"),
       s"q_pagerank lost its broadcast iterations:\n$p")
-    // the pair dedup must run on pair-keyed partitions — dropping the
-    // repartition(src, dst) re-creates input-proportional partial-agg
-    // hash maps (the spill source)
-    assert("hashpartitioning\\(src[^)]*dst".r.findFirstIn(p).isDefined,
-      s"q_pagerank lost the pair-keyed dedup exchange:\n$p")
+    // The edge-dedup shape hides behind the query's localCheckpoint
+    // (the full plan only shows Scan ExistingRDD), so pin it on the
+    // same sub-plan the query builds: the pair dedup must run on
+    // pair-keyed partitions (dropping repartition(src, dst) re-creates
+    // input-proportional partial-agg hash maps — the spill source) and
+    // distinct() must ELIDE its own exchange (matching partitioning):
+    // exactly one Exchange in the whole sub-plan.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      .repartition(col("src"), col("dst"))
+      .distinct()
+    val ep = edges.queryExecution.executedPlan.treeString
+    assert("hashpartitioning\\(src[^)]*dst".r.findFirstIn(ep).isDefined,
+      s"edge dedup lost the pair-keyed exchange:\n$ep")
+    val dedupExchanges = "Exchange hashpartitioning\\(src".r
+      .findAllIn(ep).length
+    assert(dedupExchanges === 1,
+      s"edge distinct() stopped eliding its exchange:\n$ep")
   }
 
   test("semanticDedup plans broadcast centroid joins and no cartesian; " +
