@@ -61,10 +61,21 @@ object Native {
 
   def tokenHashes(toks: Column): Column =
     call_function("graft_token_hashes", toks)
+  /** 60-bit raw token hashes — NOT reduced mod [[P]]. These are fine
+    * for direct equality keys but MUST NOT be fed to the modular
+    * pipeline ([[shingleHashes]]/[[substrFingerprints]]), whose
+    * arithmetic is only overflow-safe for inputs < [[P]] (~2^30):
+    * `drop * b^(k-1) mod P` on a 60-bit `drop` overflows a long
+    * SILENTLY and produces wrong fingerprints. Use [[tokenHashes]]
+    * for anything polynomial. */
   def tokenHashesRaw(toks: Column): Column =
     call_function("graft_token_hashes_raw", toks)
+  /** Input contract: elements of `th` must be < [[P]] — i.e. come from
+    * [[tokenHashes]], never [[tokenHashesRaw]] (see there). */
   def shingleHashes(th: Column, n: Int): Column =
     call_function("graft_shingle_hashes", th, org.apache.spark.sql.functions.lit(n))
+  /** Input contract: elements of `th` must be < [[P]] — i.e. come from
+    * [[tokenHashes]], never [[tokenHashesRaw]] (see there). */
   def substrFingerprints(th: Column, k: Int): Column =
     call_function("graft_substr_fps", th, org.apache.spark.sql.functions.lit(k))
   def minHashSig(sh: Column, k: Int): Column =
@@ -663,7 +674,13 @@ case class PolyShingleHashes(child: Expression, nExpr: Expression)
   * term (h + P - th*b^(k-1) mod P keeps the accumulator nonnegative)
   * and shifts. The oracle mirrors the mathematically-equal nested
   * Horner form; RollingFpSpec pins rolling == Horner. Docs shorter
-  * than k yield an empty array. */
+  * than k yield an empty array.
+  *
+  * INPUT CONTRACT: elements must be < P (~2^30), i.e. produced by
+  * [[TokenHashes60]] — the rolling drop term `drop * b^(k-1) mod P`
+  * overflows a long silently on [[TokenHashesRaw60]]'s 60-bit values.
+  * The interpreted eval path (tests, codegen fallback) enforces the
+  * contract; the codegen hot path trusts it. */
 case class SubstrFingerprints(child: Expression, kExpr: Expression)
     extends BinaryExpression {
   override def left: Expression = child
@@ -715,6 +732,13 @@ case class SubstrFingerprints(child: Expression, kExpr: Expression)
     val len = th.numElements()
     if (len < k) return new GenericArrayData(Array.emptyLongArray)
     val P = Native.P
+    var ci = 0
+    while (ci < len) {
+      require(th.getLong(ci) < P,
+        s"graft_substr_fps input ${th.getLong(ci)} >= $P — feed " +
+          "graft_token_hashes (mod-P), not graft_token_hashes_raw")
+      ci += 1
+    }
     val out = new Array[Long](len - k + 1)
     var h1 = 0L; var h2 = 0L
     var j = 0

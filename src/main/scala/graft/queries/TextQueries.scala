@@ -19,6 +19,18 @@ object TextQueries {
     * merges exist and ride into the mirror as literal replacements. */
   @volatile private var lastDir: Option[String] = None
 
+  /** The model sidecars are tab-separated, newline-delimited text: a
+    * trained token containing either separator would round-trip
+    * corrupt (and a quote is handled by [[esc]] at SQL-embed time, not
+    * here). Reject LOUDLY at write time — the `Bpe.train` overflow-
+    * guard discipline — rather than persist a silently-broken model. */
+  private def sidecarSafe(what: String, t: String): String = {
+    require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"$what token '${t.take(40)}' contains a tab/newline — " +
+        "unrepresentable in the TSV model sidecar")
+    t
+  }
+
   /** Train the BPE merge table once and persist it — the production
     * split a tokenizer assumes: fit OFFLINE on the corpus, tokenize
     * online. Bench trains untimed via `prepares`; Verify rebuilds
@@ -34,7 +46,9 @@ object TextQueries {
         merges = 24, maxVocab = 100000)
       Files.createDirectories(file.getParent)
       Files.writeString(file,
-        m.map { case (l, r) => s"$l\t$r" }.mkString("\n"))
+        m.map { case (l, r) =>
+          s"${sidecarSafe("bpe", l)}\t${sidecarSafe("bpe", r)}"
+        }.mkString("\n"))
     }
     Files.readString(file).split('\n').toSeq.filter(_.nonEmpty).map { ln =>
       val Array(l, r) = ln.split('\t'); (l, r)
@@ -66,8 +80,10 @@ object TextQueries {
       Files.createDirectories(file.getParent)
       val lines =
         Seq(s"V\t${m.floorLp}") ++
-          m.bigrams.map { case (a, b, lp) => s"B\t$a\t$b\t$lp" } ++
-          m.histories.map { case (a, lp) => s"H\t$a\t$lp" }
+          m.bigrams.map { case (a, b, lp) =>
+            s"B\t${sidecarSafe("lm", a)}\t${sidecarSafe("lm", b)}\t$lp" } ++
+          m.histories.map { case (a, lp) =>
+            s"H\t${sidecarSafe("lm", a)}\t$lp" }
       Files.writeString(file, lines.mkString("\n"))
     }
     readLmSidecar(dir).get
@@ -110,7 +126,7 @@ object TextQueries {
         maxVocab = 50000)
       Files.createDirectories(file.getParent)
       val lines = Seq(s"B\t${m.bias}", s"D\t${m.defaultW}") ++
-        m.weights.map { case (t, w) => s"W\t$t\t$w" }
+        m.weights.map { case (t, w) => s"W\t${sidecarSafe("cls", t)}\t$w" }
       Files.writeString(file, lines.mkString("\n"))
     }
     readClsSidecar(dir).get
@@ -597,9 +613,15 @@ object TextQueries {
   /** Mirror of the trained-BPE application: the same canonical form
     * and the same rank-ordered literal replacements, with the trained
     * merges embedded from the sidecar. */
+  /** Single-quote-escape a trained token for embedding in oracle SQL —
+    * every trained literal (BPE merges, LM tokens, classifier weights)
+    * goes through this, so a corpus token containing `'` cannot break
+    * or inject the generated DuckDB query. */
+  private def esc(t: String): String = t.replace("'", "''")
+
   private def bpeSql(merges: Seq[(String, String)]): String = {
     val applied = merges.foldLeft("c") { case (e, (l, r)) =>
-      s"replace($e, '/$l/$r/', '/$l$r/')"
+      s"replace($e, '/${esc(l)}/${esc(r)}/', '/${esc(l)}${esc(r)}/')"
     }
     s"""WITH canon AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
@@ -618,10 +640,10 @@ object TextQueries {
     * literals; scoring is integer join+sum, so the mirror is exact. */
   private def lmSql(m: graft.text.Lm.BigramModel): String = {
     val bgv = m.bigrams
-      .map { case (a, b, lp) => s"('$a','$b',CAST($lp AS BIGINT))" }
+      .map { case (a, b, lp) => s"('${esc(a)}','${esc(b)}',CAST($lp AS BIGINT))" }
       .mkString(", ")
     val hv = m.histories
-      .map { case (a, lp) => s"('$a',CAST($lp AS BIGINT))" }.mkString(", ")
+      .map { case (a, lp) => s"('${esc(a)}',CAST($lp AS BIGINT))" }.mkString(", ")
     s"""WITH bgm(w1, w2, lp) AS (VALUES $bgv),
        |hm(w1, lp0) AS (VALUES $hv),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -644,12 +666,12 @@ object TextQueries {
     * exact (same mechanism as [[lmSql]]). */
   private def clsSql(m: graft.text.Classifier.NbModel): String = {
     val wv = m.weights
-      .map { case (t, w) =>
-        s"('${t.replace("'", "''")}',CAST($w AS BIGINT))" }
+      .map { case (t, w) => s"('${esc(t)}',CAST($w AS BIGINT))" }
       .mkString(", ")
     s"""WITH w(t, wq) AS (VALUES $wv),
-       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |  FROM documents),
+       |tok AS (SELECT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |    FROM documents) WHERE t <> ''),
        |sc AS (
        |  SELECT tok.doc_id, count(*) AS n,
        |    sum(COALESCE(w.wq, ${m.defaultW})) AS s

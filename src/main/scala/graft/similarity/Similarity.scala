@@ -158,8 +158,8 @@ object Similarity {
     * so a list whose bound is below `minCosine` is never scanned. The
     * bound uses only IEEE-exact ops (·, −, √) on values both engines
     * derive from the same integer dot products, and r/cqc are clamped
-    * to 1 before the √ (quantized self-cosines can exceed 1 by an
-    * ulp). Pruning is EXACT — the result equals [[rangeSearch]]
+    * to [-1, 1] before the √ (a quantized cosine can land an ulp past
+    * either end, and a NaN bound would silently prune the list). Pruning is EXACT — the result equals [[rangeSearch]]
     * row-for-row (spec-pinned), which is exactly what the oracle gate
     * checks it against: a pruning bug LOSES rows and goes red.
     *
@@ -174,13 +174,18 @@ object Similarity {
     val assigned = ivfAssign(corpus, centroids)
     val cq = quantCentroids(centroids)
     // per-list cosine radius: one skinny partial-agg pass
+    // clamp BOTH ends: an ulp past +1 would NaN the sqrt (and silently
+    // prune a list — losing rows from an exact search), and an ulp past
+    // -1 does the same through the (1 - x²) < 0 path
+    def clamp(c: Column): Column =
+      greatest(least(c, lit(1.0)), lit(-1.0))
     val radii = assigned.join(cq, Seq("cid"))
       .select(col("cid"), cosine(col("vq"), col("cq")).as("cc"))
-      .groupBy(col("cid")).agg(least(min(col("cc")), lit(1.0)).as("r"))
+      .groupBy(col("cid")).agg(clamp(min(col("cc"))).as("r"))
     val qq = broadcast(
       queries.select(col("qid"), quantize(col("qvec")).as("qq")))
     val probes = qq.crossJoin(cq.join(radii, Seq("cid")))
-      .withColumn("cqc", least(cosine(col("qq"), col("cq")), lit(1.0)))
+      .withColumn("cqc", clamp(cosine(col("qq"), col("cq"))))
       .withColumn("bound", when(col("cqc") >= col("r"), lit(1.0))
         .otherwise(col("cqc") * col("r") +
           sqrt((lit(1.0) - col("cqc") * col("cqc")) *

@@ -79,8 +79,10 @@ object Classifier {
     * score_micro >= 0. One explode + per-doc partial agg over distinct
     * (doc, token) counts, one broadcast join against the bounded
     * weight table — the shuffle carries per-doc DISTINCT token counts,
-    * not token positions, and the corpus scans once. Empty documents
-    * score (0, bias). */
+    * not token positions, and the corpus scans once. Empty tokens are
+    * dropped, matching [[train]]'s tokenization exactly (train/score
+    * disagreeing on `""` would score a weight no training count ever
+    * produced), so an all-whitespace document scores (0, bias). */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: NbModel): DataFrame = {
     val spark = docs.sparkSession
@@ -88,6 +90,7 @@ object Classifier {
     val wtab = broadcast(model.weights.toDF("t", "w"))
     val perDoc = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("cnt"))
       .join(wtab, Seq("t"), "left")

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   *  - The corpus-sized work is distributed: one bigram-count pass and
   *    one history-count pass, both partial-agg shuffles that collapse
   *    to (observed-bigram, vocabulary) cardinality map-side.
-  *  - The model is BOUNDED driver state: top `maxBigrams` bigrams by
-  *    frequency (deterministic lexicographic tiebreak) — the classic
+  *  - The model is BOUNDED driver state in BOTH tables: top
+  *    `maxBigrams` bigrams and top `maxHistories` histories by
+  *    frequency (deterministic lexicographic tiebreaks) — the classic
   *    pruned-LM shape; everything pruned or unseen scores through the
-  *    per-history add-one backoff, identically on both engines because
-  *    absence from the model table IS the backoff trigger.
+  *    per-history add-one backoff (or, for a pruned history, the
+  *    ln(1/V) floor), identically on both engines because absence
+  *    from the model table IS the backoff trigger.
   *  - Every logarithm is computed ONCE, driver-side, and quantized to
   *    integer micro-nats. Scoring is then pure integer join+sum
   *    arithmetic — no cross-engine float divergence is possible, which
@@ -56,27 +58,50 @@ object Lm {
   /** Train on `docs.textCol`: add-one-smoothed bigram probabilities
     * p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), quantized to micro-nats.
     * Backoff for a pruned/unseen bigram with a known history is the
-    * same formula at c=0; an unseen history scores ln(1/V). */
-  def train(docs: DataFrame, textCol: String, maxBigrams: Int): BigramModel = {
+    * same formula at c=0; an unseen OR PRUNED history scores ln(1/V).
+    *
+    * BOTH model tables are bounded driver state. Bigrams: top
+    * `maxBigrams` by frequency. Histories: top `maxHistories` by
+    * frequency (lexicographic tiebreak) — on a real web corpus the
+    * history table is the Heaps-law vocabulary (10⁸+ types at 100 TB),
+    * so an uncapped collect is a driver OOM waiting at scale. A pruned
+    * history scores through the unseen-history floor ln(1/V) — the
+    * standard pruned-backoff trade: rare histories carry little
+    * probability mass, and the floor 1/V differs from a rare pruned
+    * history's true backoff 1/(hn+V) by at most the (tiny, bounded by
+    * the pruning frequency threshold) hn of a history that did not
+    * make the top-N cut. The bigram denominators c(w1·) are computed
+    * DISTRIBUTED (a join against the full history-count table, never
+    * collected), so history pruning cannot shift any kept bigram's
+    * probability. LmSpec pins the pruned-history backoff value-level. */
+  def train(docs: DataFrame, textCol: String, maxBigrams: Int,
+            maxHistories: Int = 200000): BigramModel = {
     val toks = split(col(textCol), " ")
     val pairs = bigramRows(
       docs.select(lit(0L).as("__id"), col(textCol)), "__id", textCol)
       .select(col("w1"), col("w2"))
     val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    // histories over the FULL bigram set (pruning must not shift the
-    // denominators), vocabulary over all tokens
-    val hist = pairs.groupBy("w1").agg(count(lit(1)).as("hn"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // history counts over the FULL bigram set (pruning must not shift
+    // the kept bigrams' denominators) — stays a DataFrame; only
+    // bounded tops are ever collected
+    val histDf = pairs.groupBy("w1").agg(count(lit(1)).as("hn"))
     val vocab = docs.select(explode(toks).as("w")).filter(col("w") =!= "")
       .agg(countDistinct(col("w"))).head().getLong(0)
-    val kept = bg.orderBy(col("n").desc, col("w1"), col("w2"))
+    // each kept bigram rides with its own history total via the join —
+    // O(maxBigrams) driver rows, full denominators
+    val kept = bg.join(histDf, Seq("w1"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(maxBigrams).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val keptHist = histDf.orderBy(col("hn").desc, col("w1"))
+      .limit(maxHistories).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     def q(p: Double): Long = math.round(1e6 * math.log(p))
-    val bigrams = kept.toSeq.map { case (w1, w2, n) =>
-      (w1, w2, q((n + 1).toDouble / (hist(w1) + vocab)))
+    val bigrams = kept.toSeq.map { case (w1, w2, n, hn) =>
+      (w1, w2, q((n + 1).toDouble / (hn + vocab)))
     }
-    val histories = hist.toSeq.sortBy(_._1).map { case (w1, hn) =>
+    val histories = keptHist.toSeq.sortBy(_._1).map { case (w1, hn) =>
       (w1, q(1.0 / (hn + vocab)))
     }
     BigramModel(bigrams, histories, q(1.0 / vocab))

@@ -76,6 +76,22 @@ class BpeSpec extends SparkSpec {
     val g2 = Lm.score(Seq((20L, "b a")).toDF("doc_id", "text"),
       "doc_id", "text", pruned).as[(Long, Int, Long)].head()
     assert(g2 === ((20L, 1, q(1.0 / 5)))) // backoff, not the pruned lp
+    // history cap: keep only the top-1 history (a, hn=5). A PRUNED
+    // history (b) scores through the ln(1/V) floor — and kept bigrams
+    // keep their FULL denominators, because those come from the
+    // distributed join against the uncollected history table, not from
+    // the capped broadcast set.
+    val hCapped = Lm.train(train, "text", maxBigrams = 100,
+      maxHistories = 1)
+    assert(hCapped.historyMap === Map("a" -> q(1.0 / 8)))
+    assert(hCapped.bigramMap(("b", "a")) === q(3.0 / 5)) // (2+1)/(2+3)
+    val g3 = Lm.score(
+      Seq((30L, "b b"), (31L, "b a")).toDF("doc_id", "text"),
+      "doc_id", "text", hCapped).orderBy("doc_id")
+      .as[(Long, Int, Long)].collect()
+    assert(g3 === Array(
+      (30L, 1, q(1.0 / 3)),  // pruned history → floor, not lp0(b)
+      (31L, 1, q(3.0 / 5)))) // kept bigram unchanged by the cap
   }
 
   test("column replace-chain application equals the trainer's merge step") {

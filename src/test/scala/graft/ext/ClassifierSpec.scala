@@ -61,8 +61,9 @@ class ClassifierSpec extends SparkSpec {
     assert(out(0).getBoolean(3)) // positive evidence → pred true
     assert(out(1).getLong(2) === wTbl("le") + m.defaultW)
     assert(!out(1).getBoolean(3)) // negative evidence → pred false
-    // empty text splits to [""], an OOV token: n=1, score = bias
-    assert(out(2).getInt(1) === 1)
+    // empty text splits to [""], which scoring drops exactly like
+    // training does: n=0, score = bias alone
+    assert(out(2).getInt(1) === 0)
     assert(out(2).getLong(2) === m.bias)
   }
 
