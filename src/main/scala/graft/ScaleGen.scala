@@ -23,21 +23,33 @@ import org.apache.spark.sql.functions._
   *    noise (±0.2), decorrelating cross-copy cosine while keeping
   *    within-copy neighborhoods.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> <factor> [skew]
+  * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> <factor> [skew|skeworder]
   *
   * The optional `skew` mode replaces uniform replication with a zipf-ish
   * shape (hot join/group keys, one dominant text block, a hot embedding
   * cluster — see the skew-mode comment in `main`) for the degradation
   * campaigns; copy 0 stays pristine and keyspaces stay disjoint.
+  *
+  * The `skeworder` mode heats GROUP SIZE instead of value frequency:
+  * 30% of each replicated copy's lineitem rows collapse onto copy-0's
+  * first orderkey — one mega-order holding ~27% of the fact table, the
+  * per-group-expansion killer (q_pagerank's co-occurrence derivation,
+  * any per-order clique) that `skew` mode never makes because it heats
+  * l_partkey/l_suppkey under unchanged orderkeys. FK joins still
+  * resolve (the hot order exists in copy-0's orders).
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
-    val (srcDir, dstDir, fStr, skew) = args match {
-      case Array(s, d, f)         => (s, d, f, false)
-      case Array(s, d, f, "skew") => (s, d, f, true)
-      case _ => sys.error("usage: ScaleGen <srcSfDir> <dstDir> <factor> [skew]")
+    val (srcDir, dstDir, fStr, mode) = args match {
+      case Array(s, d, f)    => (s, d, f, "")
+      case Array(s, d, f, m) if m == "skew" || m == "skeworder" =>
+        (s, d, f, m)
+      case _ =>
+        sys.error("usage: ScaleGen <srcSfDir> <dstDir> <factor> [skew|skeworder]")
     }
+    val skew = mode == "skew"
+    val orderSkew = mode == "skeworder"
     val factor = fStr.toInt
     require(factor >= 1 && factor <= 26, "factor must be in [1,26]") // 26: alphabet rotations
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,6 +114,7 @@ object ScaleGen {
     def minOf(t: String, c: String): Long =
       src(t).agg(min(col(c)).cast("long")).head.getLong(0)
     lazy val hotPart = minOf("part", "p_partkey")
+    lazy val hotOrd = minOf("orders", "o_orderkey")
     lazy val hotSupp = minOf("supplier", "s_suppkey")
     lazy val hotCust = minOf("customer", "c_custkey")
     lazy val hotUser = minOf("events", "user_id")
@@ -132,8 +145,16 @@ object ScaleGen {
       "lineitem" -> replicate("lineitem") { (d, i) =>
         val base = shift(shift(shift(d, "l_orderkey", i * maxOrd),
           "l_partkey", i * maxPart), "l_suppkey", i * maxSupp)
-        hotIf(hotIf(base, "l_orderkey", "l_partkey", hotPart, i, role = 2),
-          "l_orderkey", "l_suppkey", hotSupp, i, role = 3)
+        val valueHot =
+          hotIf(hotIf(base, "l_orderkey", "l_partkey", hotPart, i, role = 2),
+            "l_orderkey", "l_suppkey", hotSupp, i, role = 3)
+        // skeworder: one mega-ORDER (group-size skew) — 30% of this
+        // copy's rows join the hot orderkey; sliced on l_partkey so
+        // the slice stays deterministic after l_orderkey moves
+        if (!orderSkew || i == 0) valueHot
+        else valueHot.withColumn("l_orderkey",
+          when(slice("l_partkey", i, role = 7, pct = 30), lit(hotOrd))
+            .otherwise(col("l_orderkey")))
       },
       "events" -> replicate("events") { (d, i) =>
         val base = shift(shift(d, "event_id", i * maxEvent), "user_id", i * maxUser)

@@ -19,6 +19,71 @@ object RelationalQueries {
 
   private val dec = DecimalType(18, 2)
 
+  /** q_pagerank's all-pairs-vs-star regime threshold: a co-occurrence
+    * group of up to this many members emits the full ordered-pair
+    * clique (m·(m-1) ≤ ~4k pairs); past it, star pairs around the
+    * group's min-member pivot (2·(m-1)). Shared with the oracle mirror
+    * and the plan guard so all three stay in lockstep. */
+  private[queries] val PrStarT = 64
+
+  /** Distinct co-occurrence edges of (ok, sk) membership rows, with
+    * GRADUATED per-group expansion (the NOTES r6 rule — any
+    * O(m²)-under-a-cap pipeline needs a middle regime — applied to
+    * edge derivation): groups up to `starT` members emit the full
+    * ordered-pair clique; a group past it (a mega-order / a URL shared
+    * by millions of docs — the one hot-group shape key-skew
+    * replication never makes) emits STAR pairs around its
+    * deterministic pivot (min sk), both directions, so the group stays
+    * connected, every member keeps outdeg >= 1 (no dangling mass) and
+    * the expansion is O(m) instead of O(m²). The regime switch is
+    * observe-metered (`pagerank_expansion`: star_groups / max_group /
+    * dropped_pairs — drops are REPORTED, never silent) and the oracle
+    * mirrors the same graduation, so a hot-group replica stays
+    * value-checkable. The final exchange is keyed by the PAIR so
+    * distinct() elides its own exchange (the r7 spill fix — see the
+    * q_pagerank comment). */
+  private[queries] def coSupplyEdges(liRaw: org.apache.spark.sql.DataFrame,
+                                     starT: Int)
+      : org.apache.spark.sql.DataFrame = {
+    // The membership table feeds FOUR consumers (group sizing, the
+    // anti-join, both self-join sides); physical exchange reuse does
+    // not dedupe across all the union legs, so materialize it once —
+    // O(distinct memberships) skinny rows, the same budget the edges
+    // checkpoint downstream already pays.
+    val li = liRaw.localCheckpoint()
+    val g = li.groupBy(col("ok"))
+      .agg(count(lit(1)).as("m"), min(col("sk")).as("pivot"))
+      .observe("pagerank_expansion",
+        coalesce(sum(when(col("m") > starT, 1L)), lit(0L))
+          .as("star_groups"),
+        max(col("m")).as("max_group"),
+        coalesce(sum(when(col("m") > starT,
+          (col("m") - 1) * (col("m") - 2))), lit(0L)).as("dropped_pairs"))
+    // Only the RARE big groups materialize as a table (structurally
+    // ≤ rows/(starT+1) entries, zero on uniform data), so the regime
+    // split costs one skinny partial-agg pass plus two joins against
+    // that near-empty set — AQE sees its runtime size and broadcasts,
+    // leaving the dominant all-pairs branch the exact self-join shape
+    // the r7 spill fix tuned. Anything else (attaching m to every
+    // membership row first) re-shuffles and re-sorts the full
+    // membership table and measured 1.7× slower at sf1.
+    val big = g.filter(col("m") > starT).select(col("ok"), col("pivot"))
+    val small = li.join(big, Seq("ok"), "left_anti")
+    val allPairs = small.as("a").join(small.as("b"), Seq("ok"))
+      .filter(col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+    val starHalf = li.join(big, Seq("ok"))
+      .filter(col("sk") =!= col("pivot"))
+      .select(col("sk"), col("pivot"))
+    allPairs
+      .unionByName(starHalf
+        .select(col("sk").as("src"), col("pivot").as("dst")))
+      .unionByName(starHalf
+        .select(col("pivot").as("src"), col("sk").as("dst")))
+      .repartition(col("src"), col("dst"))
+      .distinct()
+  }
+
   /** Two-phase chunked running window over `base` (o_custkey /
     * o_orderkey / o_orderdate / o_totalprice), engaged by q_window_funcs
     * when `hotKeys` is non-empty. Hot keys' order ranges are chunked by
@@ -915,23 +980,17 @@ object RelationalQueries {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-      // The pair stream duplicates each edge once per shared order
-      // (2.6x here), and a straight distinct() partial-aggregates it
-      // on the JOIN's order-keyed partitions — every task's hash map
-      // then holds nearly its whole input's distinct pairs, outgrows
-      // the per-core budget, and sort-spills (5.4 GB at sf2).
-      // Re-keying the exchange by the PAIR first co-locates all
-      // copies, so each task's map holds only its own partition's
-      // distinct edges (~45 MB here), and distinct() elides its own
-      // exchange because the partitioning already matches: one
-      // 0.7 GB shuffle replaces 5.4 GB of spill. The sizing rule at
-      // cluster scale: distinct-edge partitions must fit the
-      // per-core budget — grow shuffle partitions with the graph.
-      val edges = li.as("a").join(li.as("b"), Seq("ok"))
-        .filter(col("a.sk") =!= col("b.sk"))
-        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-        .repartition(col("src"), col("dst"))
-        .distinct()
+      // Graduated pair expansion + pair-keyed dedup: see coSupplyEdges
+      // (the star regime past PrStarT) and its scaladoc for the r7
+      // spill story — the pair stream duplicates each edge once per
+      // shared order (2.6x here); re-keying the exchange by the PAIR
+      // before distinct() co-locates the copies so each task's hash
+      // map holds only its own partition's distinct edges (~45 MB),
+      // and distinct() elides its own exchange: one 0.7 GB shuffle
+      // replaced 5.4 GB of spill at sf2. The sizing rule at cluster
+      // scale: distinct-edge partitions must fit the per-core budget —
+      // grow shuffle partitions with the graph.
+      val edges = coSupplyEdges(li, PrStarT)
         .localCheckpoint() // used by deg + all 3 iterations
       val deg = edges.groupBy(col("src").as("u"))
         .agg(count(lit(1)).as("deg"))
@@ -1242,9 +1301,21 @@ object RelationalQueries {
            |  GROUP BY e.dst""".stripMargin
       s"""WITH li AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-         |edges AS (
-         |  SELECT DISTINCT a.sk AS src, b.sk AS dst
-         |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk),
+         |grp AS (
+         |  SELECT ok, count(*) AS m, min(sk) AS pivot FROM li GROUP BY ok),
+         |pairs AS (
+         |  SELECT a.sk AS src, b.sk AS dst
+         |  FROM li a JOIN grp g ON g.ok = a.ok AND g.m <= $PrStarT
+         |  JOIN li b ON a.ok = b.ok AND a.sk <> b.sk
+         |  UNION ALL
+         |  SELECT li.sk, g.pivot FROM li
+         |  JOIN grp g ON g.ok = li.ok AND g.m > $PrStarT
+         |  WHERE li.sk <> g.pivot
+         |  UNION ALL
+         |  SELECT g.pivot, li.sk FROM li
+         |  JOIN grp g ON g.ok = li.ok AND g.m > $PrStarT
+         |  WHERE li.sk <> g.pivot),
+         |edges AS (SELECT DISTINCT src, dst FROM pairs),
          |deg AS (SELECT src AS u, count(*) AS deg FROM edges GROUP BY 1),
          |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
          |r1 AS (${step("r0")}),

@@ -178,14 +178,12 @@ class PlanGuardSpec extends SparkSpec {
     // input-proportional partial-agg hash maps — the spill source) and
     // distinct() must ELIDE its own exchange (matching partitioning):
     // exactly one Exchange in the whole sub-plan.
+    // the exact sub-plan the query builds (graduated star regime
+    // included since r8), shared via coSupplyEdges
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
-    val edges = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.sk") =!= col("b.sk"))
-      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-      .repartition(col("src"), col("dst"))
-      .distinct()
+    val edges = RelationalQueries.coSupplyEdges(li, starT = 64)
     val ep = edges.queryExecution.executedPlan.treeString
     assert("hashpartitioning\\(src[^)]*dst".r.findFirstIn(ep).isDefined,
       s"edge dedup lost the pair-keyed exchange:\n$ep")
