@@ -36,6 +36,7 @@ object Native {
     "graft_token_hashes_raw" -> (es => TokenHashesRaw60(es.head)),
     "graft_shingle_hashes" -> (es => PolyShingleHashes(es(0), es(1))),
     "graft_substr_fps" -> (es => SubstrFingerprints(es(0), es(1))),
+    "graft_chunk_fps" -> (es => AlignedChunkFingerprints(es(0), es(1))),
     "graft_minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_hyperplane_sig" -> (es =>
@@ -78,6 +79,10 @@ object Native {
     * [[tokenHashes]], never [[tokenHashesRaw]] (see there). */
   def substrFingerprints(th: Column, k: Int): Column =
     call_function("graft_substr_fps", th, org.apache.spark.sql.functions.lit(k))
+  /** Input contract: elements of `th` must be < [[P]] — i.e. come from
+    * [[tokenHashes]], never [[tokenHashesRaw]] (see there). */
+  def chunkFingerprints(th: Column, k: Int): Column =
+    call_function("graft_chunk_fps", th, org.apache.spark.sql.functions.lit(k))
   def minHashSig(sh: Column, k: Int): Column =
     call_function("graft_minhash_sig", sh, org.apache.spark.sql.functions.lit(k))
   def simHash64(hashes: Column): Column =
@@ -757,6 +762,92 @@ case class SubstrFingerprints(child: Expression, kExpr: Expression)
       h2 = ((h2 + P - drop * pow37 % P) * 37L + v) % P
       out(i) = h1 * P + h2
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(child = l, kExpr = r)
+}
+
+/** array<long> -> array<long>: 60-bit fingerprints of the ALIGNED
+  * k-token chunks (stride k, the passage-dedup chunking — not
+  * [[SubstrFingerprints]]'s stride-1 windows): chunk j covers tokens
+  * [j·k, min((j+1)·k, n)), the last one short if k does not divide n.
+  * fp = h31 · P + h37, each base's plain Horner fold over the chunk
+  * mod P — the exact value `list_reduce(chunk, (a,x) -> (a·b+x) % P)`
+  * computes in the oracle (list_reduce seeds with the first element;
+  * Horner from 0 is identical because elements are already < P).
+  * Grouping passages by this 8-byte value instead of their text moves
+  * ~8 bytes per chunk through the winners exchange instead of the
+  * ~100-byte chunk string; a ~2^60 collision can only MERGE two
+  * distinct passages (over-dedup by one), the accepted fingerprint-
+  * dedup trade, identical on both engines because the oracle groups by
+  * the same value.
+  *
+  * INPUT CONTRACT: elements < P (use [[TokenHashes60]]), enforced on
+  * the interpreted path like [[SubstrFingerprints]]. */
+case class AlignedChunkFingerprints(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val e = ctx.freshName("e")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val v = ctx.freshName("v")
+      val P = Native.P
+      s"""
+         |final int $len = $a.numElements();
+         |final int $m = ($len + ${k - 1}) / $k;
+         |final long[] $out = new long[$m];
+         |for (int $c = 0; $c < $m; $c++) {
+         |  final int $e = Math.min(($c + 1) * $k, $len);
+         |  long $h1 = 0L, $h2 = 0L;
+         |  for (int $j = $c * $k; $j < $e; $j++) {
+         |    final long $v = $a.getLong($j);
+         |    $h1 = ($h1 * 31L + $v) % ${P}L;
+         |    $h2 = ($h2 * 37L + $v) % ${P}L;
+         |  }
+         |  $out[$c] = $h1 * ${P}L + $h2;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override def nullSafeEval(thv: Any, ignored: Any): Any = {
+    val th = thv.asInstanceOf[ArrayData]
+    val len = th.numElements()
+    val P = Native.P
+    var ci = 0
+    while (ci < len) {
+      require(th.getLong(ci) < P,
+        s"graft_chunk_fps input ${th.getLong(ci)} >= $P — feed " +
+          "graft_token_hashes (mod-P), not graft_token_hashes_raw")
+      ci += 1
+    }
+    val m = (len + k - 1) / k
+    val out = new Array[Long](m)
+    var c = 0
+    while (c < m) {
+      val e = math.min((c + 1) * k, len)
+      var h1 = 0L; var h2 = 0L
+      var j = c * k
+      while (j < e) {
+        val v = th.getLong(j)
+        h1 = (h1 * 31L + v) % P
+        h2 = (h2 * 37L + v) % P
+        j += 1
+      }
+      out(c) = h1 * P + h2
+      c += 1
     }
     new GenericArrayData(out)
   }

@@ -99,6 +99,7 @@ object DedupQueries {
     // show the SUB-document dedup firing where whole-doc exact dedup
     // would not.
     "dedup_paragraph" -> { (s, dir) =>
+      graft.functions.Native.register(s)
       Dedup.passageDedupStats(corpusNear(s, dir), "doc_id", "text",
         chunkTokens = 16)
         .orderBy(col("doc_id"))
@@ -653,24 +654,36 @@ object DedupQueries {
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
-    "dedup_paragraph" ->
+    "dedup_paragraph" -> {
+      // dual-base Horner mirror of AlignedChunkFingerprints:
+      // list_reduce seeds with the first element, which equals Horner
+      // from 0 because every element is already < P
+      def chunkFp(base: Int): String =
+        s"""list_reduce(list_slice(th, i*16+1, LEAST((i+1)*16, n)),
+           |      (a, b) -> (a*$base + b) % 1000000007)""".stripMargin
       s"""WITH corpus AS ($corpusNearSql),
-         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+         |           % 1000000007) AS th,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM corpus),
          |chunks AS (
          |  SELECT doc_id, i AS idx,
-         |    array_to_string(
-         |      list_slice(t, i*16+1, LEAST((i+1)*16, len(t))), ' ') AS chunk,
-         |    LEAST((i+1)*16, len(t)) - i*16 AS ctoks
-         |  FROM toks CROSS JOIN UNNEST(range(0, (len(t) + 15) // 16)) AS u(i)),
+         |    (${chunkFp(31)}) * 1000000007 + (${chunkFp(37)}) AS fp,
+         |    LEAST((i+1)*16, n) - i*16 AS ctoks
+         |  FROM th CROSS JOIN UNNEST(range(0, (n + 15) // 16)) AS u(i)),
          |marked AS (
          |  SELECT doc_id, idx, ctoks,
-         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
          |  FROM chunks)
          |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
          |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT) AS n_dup_chunks,
          |  CAST(sum(CASE WHEN rn = 1 THEN ctoks ELSE 0 END) AS BIGINT)
          |    AS kept_tokens
-         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "dedup_exact_substr" -> {
       // nested-Horner mirror of the rolling Rabin-Karp fingerprint:
       // mathematically equal mod P, every intermediate < 2^36

@@ -72,6 +72,52 @@ class RollingFpSpec extends SparkSpec {
     assert(out(2).toSeq === Seq(3L, 3, 1, 0, 0L, true))
   }
 
+  /** Aligned-chunk definition: plain Horner per stride-k chunk, the
+    * last chunk short. */
+  private def naiveChunks(th: Array[Long], k: Int): Array[Long] =
+    th.grouped(k).map { c =>
+      def horner(b: Long): Long = c.foldLeft(0L)((h, v) => (h * b + v) % P)
+      horner(31) * P + horner(37)
+    }.toArray
+
+  test("aligned chunk fps == per-chunk Horner, short tail included " +
+      "(codegen + interpreted)") {
+    val rnd = new scala.util.Random(11)
+    // lengths straddling the k boundary: 0-token arrays cannot occur
+    // (split always yields >= 1), but exact multiples and k-1/k+1 do
+    val arrays = Seq(1, 15, 16, 17, 31, 32, 33, 50).zipWithIndex.map {
+      case (len, i) => (i.toLong, Array.fill(len)(rnd.nextLong(P)))
+    }
+    val df = arrays.map { case (id, a) => (id, a.toSeq) }.toDF("id", "th")
+    val got = df.select(col("id"), Native.chunkFingerprints(col("th"), 16))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    arrays.foreach { case (id, a) =>
+      assert(got(id).toSeq === naiveChunks(a, 16).toSeq,
+        s"id=$id len=${a.length}")
+    }
+    val expr = graft.functions.AlignedChunkFingerprints(
+      Literal.create(arrays.last._2.toSeq,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      Literal(16))
+    assert(expr.eval().asInstanceOf[ArrayData].toLongArray().toSeq ===
+      naiveChunks(arrays.last._2, 16).toSeq)
+  }
+
+  test("passageDedupStats: first occurrence wins, stats by hand") {
+    // k=4 chunks; d2 repeats d1's first passage exactly; d3 is clean
+    val docs = Seq(
+      (1L, "a b c d e f"),      // chunks: [a b c d], [e f] (ctoks 2)
+      (2L, "a b c d x y z w"),  // chunk 1 duplicates d1's first
+      (3L, "q r s")).toDF("doc_id", "text")
+    val out = Dedup.passageDedupStats(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    // (doc_id, n_chunks, n_dup_chunks, kept_tokens)
+    assert(out(0).toSeq === Seq(1L, 2, 0, 6L))
+    assert(out(1).toSeq === Seq(2L, 2, 1, 4L))
+    assert(out(2).toSeq === Seq(3L, 1, 0, 3L))
+  }
+
   test("intra-document repeats count as duplicated windows") {
     // "a b a b a b": windows (k=3) = [aba, bab, aba, bab] — every
     // fingerprint occurs twice within the single doc
