@@ -31,4 +31,16 @@ class DppSpec extends SparkSpec {
       s"no DynamicPruningSubquery in plan:\n$plan")
     assert(df.as[(String, Long)].collect() === Array(("returned", 100L)))
   }
+
+  test("ann_ivf_served partition-prunes the persisted assignment to " +
+      "the probed lists (the 100 TB IVF serving layout)") {
+    val dir = "/root/testdata/sf0.001"
+    SimQueries.prepares("ann_ivf_served")(spark, dir)
+    val df = SimQueries.defs("ann_ivf_served")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"served IVF scan lost its DynamicPruningSubquery — every list " +
+        s"would be read:\n$plan")
+    assert(df.count() > 0)
+  }
 }
