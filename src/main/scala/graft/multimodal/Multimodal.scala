@@ -741,6 +741,16 @@ object MediaCodec {
     }
   }
 
+  /** REAL lossless compressed audio: FLAC (RFC 9639 subset — see
+    * [[Flac]] for the spec coverage). Returns (rate, decoded samples);
+    * `Flac.decode` verifies sync, header CRC-8, frame CRC-16 and the
+    * STREAMINFO audio MD5, so a successful return IS the bit-exact
+    * lossless proof, not a tolerance band. */
+  def flac: MediaCodec[(Int, Array[Int])] =
+    () => new Session[(Int, Array[Int])] {
+      def decode(bytes: Array[Byte]): (Int, Array[Int]) = Flac.decode(bytes)
+    }
+
   def wavAdpcm: MediaCodec[(Int, Int, Array[Short])] =
     () => new Session[(Int, Int, Array[Short])] {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {

@@ -219,6 +219,40 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL lossless compressed audio: FLAC (RFC 9639 subset — fixed
+    // predictors, rice residuals, CRC-8/16 + audio MD5, see
+    // graft.multimodal.Flac). The signal mixes a constant head (every
+    // 4th id) with a wrapped quadratic, so frames exercise CONSTANT
+    // and FIXED(0-2) subframes plus the rice/escape split; `lossless`
+    // is decoded==source sample-for-sample ON TOP of the decoder's own
+    // MD5 check, and mean_abs is over the DECODED samples — since FLAC
+    // is lossless the oracle recomputes it from the source formula in
+    // pure SQL, so a single flipped sample goes red.
+    "mm_audio_flac" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.flac.open()
+          it.map { id =>
+            val n = 96 + (id % 64).toInt
+            val rate = 8000 + (id % 8).toInt * 1000
+            val src = Array.tabulate(n) { i =>
+              if (id % 4 == 0 && i < 64) 512.toShort
+              else (((id * 31 + i.toLong * i * 7) % 4096) - 2048).toShort
+            }
+            val (r, out) = codec.decode(graft.multimodal.Flac.encode(rate, src))
+            val lossless = r == rate && out.length == n &&
+              out.indices.forall(i => out(i) == src(i).toInt)
+            val meanAbs =
+              if (out.isEmpty) 0L
+              else out.foldLeft(0L)((a, v) => a + math.abs(v.toLong)) / out.length
+            (id, r, out.length, meanAbs, lossless)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "mean_abs", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_audio_decode" -> { (s, dir) =>
       import s.implicits._
       codecIds(s, dir)
@@ -383,6 +417,21 @@ object MmQueries {
         |  CAST(list_sum(list_transform(range(0, 64 + doc_id % 64),
         |    i -> abs((doc_id + i * 37) % 2048 - 1024)))
         |    // (64 + doc_id % 64) AS BIGINT) AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // FLAC is LOSSLESS, so the oracle recomputes the decoded mean from
+    // the SOURCE signal formula (constant-512 head on every 4th id,
+    // wrapped quadratic elsewhere); lossless mirrors TRUE — the Spark
+    // side computes it by sample-for-sample comparison after the
+    // decoder's CRC/MD5 checks, so any codec defect value-mismatches.
+    "mm_audio_flac" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(96 + doc_id % 64 AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, 96 + doc_id % 64),
+        |    i -> abs(CASE WHEN doc_id % 4 = 0 AND i < 64 THEN 512
+        |             ELSE (doc_id * 31 + i * i * 7) % 4096 - 2048 END)))
+        |    // (96 + doc_id % 64) AS BIGINT) AS mean_abs,
+        |  TRUE AS lossless
         |FROM documents ORDER BY doc_id""".stripMargin,
     // μ-law: per sample, the mirror recomputes decode(encode(x)) in
     // pure integer SQL — biased magnitude m = min(|x|,32635)+132,
