@@ -59,29 +59,46 @@ object RelationalQueries {
         max(col("m")).as("max_group"),
         coalesce(sum(when(col("m") > starT,
           (col("m") - 1) * (col("m") - 2))), lit(0L)).as("dropped_pairs"))
-    // Only the RARE big groups materialize as a table (structurally
-    // ≤ rows/(starT+1) entries, zero on uniform data), so the regime
-    // split costs one skinny partial-agg pass plus two joins against
-    // that near-empty set — AQE sees its runtime size and broadcasts,
-    // leaving the dominant all-pairs branch the exact self-join shape
-    // the r7 spill fix tuned. Anything else (attaching m to every
-    // membership row first) re-shuffles and re-sorts the full
-    // membership table and measured 1.7× slower at sf1.
-    val big = g.filter(col("m") > starT).select(col("ok"), col("pivot"))
-    val small = li.join(big, Seq("ok"), "left_anti")
-    val allPairs = small.as("a").join(small.as("b"), Seq("ok"))
-      .filter(col("a.sk") =!= col("b.sk"))
-      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-    val starHalf = li.join(big, Seq("ok"))
-      .filter(col("sk") =!= col("pivot"))
-      .select(col("sk"), col("pivot"))
-    allPairs
-      .unionByName(starHalf
-        .select(col("sk").as("src"), col("pivot").as("dst")))
-      .unionByName(starHalf
-        .select(col("pivot").as("src"), col("sk").as("dst")))
-      .repartition(col("src"), col("dst"))
-      .distinct()
+    // Deterministic regime gate: one scalar aggregate over the
+    // materialized membership decides the PLAN (results are identical
+    // either way — the graduated plan with zero big groups degenerates
+    // to the clique branch). When no group crosses the threshold (every
+    // uniform and value-skew replica; TPC-H orders peak at 7) the
+    // query keeps the exact self-join shape the r7 spill fix tuned —
+    // measured 15.4s → ~12s at sf1 vs running the graduated plan's
+    // probe joins against a provably-empty big set. The gate's agg
+    // reads the checkpointed rows once and collapses map-side.
+    val maxM = g.agg(max(col("m"))).head().getLong(0)
+    if (maxM <= starT) {
+      li.as("a").join(li.as("b"), Seq("ok"))
+        .filter(col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .repartition(col("src"), col("dst"))
+        .distinct()
+    } else {
+      // Only the RARE big groups materialize as a table (structurally
+      // ≤ rows/(starT+1) entries), so the regime split costs the two
+      // probe joins against that small set — AQE sees its runtime size
+      // and broadcasts — while the dominant all-pairs branch keeps the
+      // tuned self-join shape. Attaching m to every membership row
+      // instead re-shuffles and re-sorts the full membership table and
+      // measured 1.7× slower at sf1.
+      val big = g.filter(col("m") > starT).select(col("ok"), col("pivot"))
+      val small = li.join(big, Seq("ok"), "left_anti")
+      val allPairs = small.as("a").join(small.as("b"), Seq("ok"))
+        .filter(col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      val starHalf = li.join(big, Seq("ok"))
+        .filter(col("sk") =!= col("pivot"))
+        .select(col("sk"), col("pivot"))
+      allPairs
+        .unionByName(starHalf
+          .select(col("sk").as("src"), col("pivot").as("dst")))
+        .unionByName(starHalf
+          .select(col("pivot").as("src"), col("sk").as("dst")))
+        .repartition(col("src"), col("dst"))
+        .distinct()
+    }
   }
 
   /** Two-phase chunked running window over `base` (o_custkey /
