@@ -1316,9 +1316,16 @@ object RelationalQueries {
            |  JOIN deg d ON d.u = r.u
            |  JOIN edges e ON e.src = r.u
            |  GROUP BY e.dst""".stripMargin
-      s"""WITH li AS (
+      // The multiply-referenced CTEs are MATERIALIZED: DuckDB inlines
+      // plain CTEs per reference, and with edges referenced by deg +
+      // all three unrolled iterations (each inlining the pair join and
+      // its distinct), the evaluated tree grew combinatorially — at
+      // sf2 the un-materialized form spilled past 75 GB of temp and
+      // died. Materialization is a pure oracle-side evaluation hint;
+      // values are unchanged.
+      s"""WITH li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-         |grp AS (
+         |grp AS MATERIALIZED (
          |  SELECT ok, count(*) AS m, min(sk) AS pivot FROM li GROUP BY ok),
          |pairs AS (
          |  SELECT a.sk AS src, b.sk AS dst
@@ -1332,8 +1339,9 @@ object RelationalQueries {
          |  SELECT g.pivot, li.sk FROM li
          |  JOIN grp g ON g.ok = li.ok AND g.m > $PrStarT
          |  WHERE li.sk <> g.pivot),
-         |edges AS (SELECT DISTINCT src, dst FROM pairs),
-         |deg AS (SELECT src AS u, count(*) AS deg FROM edges GROUP BY 1),
+         |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS u, count(*) AS deg FROM edges GROUP BY 1),
          |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
          |r1 AS (${step("r0")}),
          |r2 AS (${step("r1")}),
