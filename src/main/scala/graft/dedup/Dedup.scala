@@ -501,6 +501,43 @@ object Dedup {
       .filter(col("id1") < col("id2"))
   }
 
+  /** Fuzzy (edit-distance) similarity join — the entity-resolution
+    * primitive Jaccard misses: two records whose KEY differs by a few
+    * character-level errors (OCR noise, typos, transliteration) share
+    * almost all their n-grams' positions but none of their exact
+    * shingles once a char shifts. Candidate pairs come from the same
+    * census-capped blocking skeleton as [[blockedJaccardPairs]]
+    * (block sizes are O(1) when `blockKey` carries a content prefix;
+    * hot blocks above `maxBlock` are dropped, observable via the
+    * `graft_editdist_blocks` observe metric), then each pair is
+    * verified with Levenshtein under Spark's THRESHOLD variant —
+    * the banded O(maxDist·n) DP that abandons a row the moment the
+    * distance provably exceeds `maxDist`, not the full O(n·m) matrix.
+    * A |length| pre-guard prunes most pairs before any DP runs (it
+    * rejects only pairs the threshold DP would reject, so results are
+    * unchanged and the SQL mirror needs no guard). Compare BOUNDED
+    * keys (a name/title/prefix), never whole documents — pair cost is
+    * O(maxDist·|key|) by design. Returns (id1, id2, dist), id1 < id2,
+    * dist ≤ maxDist. */
+  def blockedEditDistancePairs(docs: DataFrame, idCol: String, key: Column,
+                               blockKey: Column, maxDist: Int,
+                               maxBlock: Int = DefaultMaxBucket): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), blockKey.as("blk"), key.as("k"))
+    val okBlocks = broadcast(capBuckets(
+      base.groupBy(col("blk")).agg(count(lit(1)).cast("int").as("__bn")),
+      col("__bn"), "graft_editdist_blocks", maxBlock)
+      .select(col("blk")))
+    val capped = base.join(okBlocks, Seq("blk"))
+    val a = capped.select(col("blk"), col("id").as("id1"), col("k").as("k1"))
+    val b = capped.select(col("blk"), col("id").as("id2"), col("k").as("k2"))
+    a.join(b, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .filter(abs(length(col("k1")) - length(col("k2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("k1"), col("k2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** Connected components over an undirected pair list: returns one row
     * per node appearing in any pair, `(id, rep)` where `rep` is the
     * smallest id in the node's component — the duplicate-CLUSTER

@@ -399,6 +399,31 @@ object DedupQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // Fuzzy (edit-distance) join — entity resolution over a bounded
+    // key: corpus = documents ∪ OCR-noise copies of every 7th doc
+    // (one character substituted at position 24 — inside the 48-char
+    // comparison key, outside the 10-char blocking prefix, length-
+    // preserving so the copy stays in its source's length bucket).
+    // Same source|length-bucket|content-prefix blocking as
+    // dedup_ngram_jaccard; pairs verified with the THRESHOLD
+    // Levenshtein DP (O(maxDist·|key|), never the full matrix).
+    "dedup_fuzzy_join" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(substring(col("text"), 1, 23), lit("#"),
+              expr("substring(text, 25)")).as("text"),
+            col("source")))
+      Dedup.blockedEditDistancePairs(corpus, "doc_id",
+          substring(lower(col("text")), 1, 48),
+          concat(col("source"), lit("|"),
+            expr("length(text) DIV 20").cast("string"), lit("|"),
+            substring(lower(col("text")), 1, 10)),
+          maxDist = 2)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     // Embedding-cosine near-dup: exact all-pairs cosine over integer-
     // quantized vectors (the embedding analog of dedup_ngram_jaccard's
     // exact verify). Corpus = embeddings ∪ deterministically perturbed
@@ -613,6 +638,36 @@ object DedupQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // Mirrors blockedEditDistancePairs exactly: same planted corpus,
+  // same blocking key, same census window (2..10000), DuckDB's
+  // levenshtein for the verify (the engine's threshold DP returns the
+  // true distance whenever it is ≤ maxDist, so filtering the full
+  // distance at ≤ 2 selects the identical pairs; the engine-side
+  // |length| pre-guard rejects only pairs with dist > maxDist and
+  // needs no mirror).
+  private val fuzzyJoinSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |    substr(text, 1, 23) || '#' || substr(text, 25) AS text, source
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |base AS (
+       |  SELECT doc_id AS id,
+       |    source || '|' || CAST(length(text) // 20 AS VARCHAR)
+       |      || '|' || substr(lower(text), 1, 10) AS blk,
+       |    substr(lower(text), 1, 48) AS k
+       |  FROM corpus),
+       |okblk AS (
+       |  SELECT blk FROM base GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10000)
+       |SELECT id1, id2, dist FROM (
+       |  SELECT a.id AS id1, b.id AS id2,
+       |    CAST(levenshtein(a.k, b.k) AS INT) AS dist
+       |  FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+       |  JOIN okblk o ON o.blk = a.blk)
+       |WHERE dist <= 2
+       |ORDER BY id1, id2""".stripMargin
+
   /** Full SimHash mirror: raw 60-bit md5 token hashes, 64 bit-votes
     * (bit set iff 2·set-count ≥ token-count — exactly SimHash64Expr's
     * votes ≥ 0), 4×16-bit chunk banding with the bucket cap, hamming ≤ 3
@@ -825,6 +880,7 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_fuzzy_join" -> fuzzyJoinSql,
     "dedup_containment" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

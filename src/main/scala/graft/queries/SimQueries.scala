@@ -156,6 +156,21 @@ object SimQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Hard-negative mining for the first 10 query vectors: top-5
+    // most-similar DIFFERENT-label corpus vectors (contrastive-
+    // training negatives; same-label rows are positives and excluded
+    // inside the broadcast-join condition, before any exchange).
+    "ann_hard_negatives" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+      Similarity.hardNegatives(queries, corpus, 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Fixed-radius (range) search: all corpus vectors with cosine
     // >= 0.3 to each of the first 10 vectors — the ε-NN primitive
     // next to top-k. Exact baseline: broadcast queries, one corpus
@@ -351,6 +366,24 @@ object SimQueries {
        |  FROM q, c WHERE qid <> id)
        |SELECT qid, id, cosine, rank FROM (
        |  SELECT qid, id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id)
+       |      AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val annHardNegSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, $quantSql AS qq
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS id, label, $quantSql AS cq FROM embeddings),
+       |s AS (
+       |  SELECT qid, qlabel, id, label,
+       |    list_dot_product(qq, cq)
+       |      / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(cq, cq)))
+       |      AS cosine
+       |  FROM q, c WHERE qid <> id AND qlabel <> label)
+       |SELECT qid, qlabel, id, label, cosine, rank FROM (
+       |  SELECT qid, qlabel, id, label, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id)
        |      AS INT) AS rank
        |  FROM s)
@@ -676,6 +709,7 @@ object SimQueries {
     }
     Map(
       "ann_topk" -> annTopkSql,
+      "ann_hard_negatives" -> annHardNegSql,
       // exact pruning ⇒ the IVF-pruned range search must reproduce the
       // brute-force answer row-for-row; sharing the mirror makes the
       // gate assert exactly that (lost rows OR duplicated list

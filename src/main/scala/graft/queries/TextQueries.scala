@@ -555,6 +555,60 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // Okapi BM25 (k1=1.2, b=0.75) ranked retrieval for a fixed 3-term
+    // query — the retrieval scorer a RAG / data-curation pipeline runs
+    // over the corpus. Per-term tf is a LOCAL array count on each
+    // doc's own tokens (no per-token explode, no (doc, token)
+    // shuffle); the corpus statistics (N, Σdl, per-term df) collapse
+    // into ONE 1-row partial aggregate broadcast back via cross join;
+    // the final top-20 is TakeOrderedAndProject (per-partition heads
+    // + driver merge — never a global sort). idf is the log-free
+    // Robertson ratio (N−df+0.5)/(df+0.5) — rank-equivalent to the
+    // log form for fixed terms, and it keeps every op an exactly-
+    // rounded IEEE +,·,/ both engines reproduce bit-for-bit (ln is
+    // not correctly rounded cross-engine); scores are floored to
+    // integer micro-units so the hash gate compares integers. At
+    // 100 TB: two scans of a 2-column projection (stats, then score)
+    // and a 20-row result — scan-bound, embarrassingly parallel.
+    "text_bm25" -> { (s, dir) =>
+      import graft.ops.Ops.materializedColumn
+      val terms = Seq("merge", "vector", "slow")
+      // pin the token array: dl + one tf per term all read it (the
+      // regex split is the per-row cost; the array filters are cheap)
+      val toksed = materializedColumn(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "t", TextOps.tokens(col("text")))
+      val f = toksed.select(
+        col("doc_id") +: size(col("t")).cast("long").as("dl") +:
+          terms.indices.map(i =>
+            size(filter(col("t"), x => x === terms(i))).cast("long")
+              .as(s"tf$i")): _*)
+      val aggs = sum(col("dl")).as("sumdl") +: count(lit(1)).as("n") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val g = f.agg(aggs.head, aggs.tail: _*)
+      val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+      def termScore(i: Int) = {
+        val tf = col(s"tf$i").cast("double")
+        val df = col(s"df$i").cast("double")
+        val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+        idf * ((tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+      }
+      val score = terms.indices.map(termScore).reduce(_ + _)
+      val top = f.crossJoin(broadcast(g))
+        .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+        .withColumn("score_micro", floor(score * lit(1000000.0)).cast("long"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+      import org.apache.spark.sql.expressions.Window
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+        .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
+          col("dl"), col("score_micro"), col("rank"))
+        .orderBy(col("rank"))
+    },
+
     "text_ngrams" -> { (s, dir) =>
       graft.functions.Native.register(s)
       val t = TextOps.tokens(col("text"))
@@ -929,6 +983,46 @@ object TextQueries {
          |  FROM tf JOIN df USING (token))
          |WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+    // Same fixed-order arithmetic as the engine: per-term scores sum
+    // left-to-right, every op an exactly-rounded IEEE double +,·,/
+    // on integers both engines derive exactly — so the floored
+    // micro-unit scores are bit-identical.
+    "text_bm25" -> {
+      val terms = Seq("merge", "vector", "slow")
+      val tfCols = terms.indices.map(i =>
+        s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+        .mkString(",\n         |    ")
+      val dfAggs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val termScores = terms.indices.map { i =>
+        s"""(((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           |      / (CAST(df$i AS DOUBLE) + 0.5))
+           |    * ((CAST(tf$i AS DOUBLE) * 2.2)
+           |      / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |        * (CAST(dl AS DOUBLE)
+           |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))"""
+          .stripMargin
+      }.mkString("\n         |  + ")
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |    $tfCols
+         |  FROM (SELECT doc_id, $toks AS t FROM documents)),
+         |g AS (
+         |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, COUNT(*) AS n, $dfAggs
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, tf0, tf1, tf2, dl,
+         |    CAST(floor((
+         |  $termScores
+         |    ) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM f, g
+         |  WHERE tf0 + tf1 + tf2 > 0)
+         |SELECT doc_id, tf0, tf1, tf2, dl, score_micro, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM s)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
     "text_ngrams" ->
       s"""SELECT bigram, COUNT(*) AS cnt
          |FROM (SELECT unnest(list_transform(range(1, len(t)),

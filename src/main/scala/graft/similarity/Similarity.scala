@@ -57,6 +57,36 @@ object Similarity {
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining — for each query vector, the top-k most
+    * cosine-similar corpus vectors with a DIFFERENT label (the
+    * contrastive-training primitive: near-misses make the strongest
+    * negatives; same-label rows are positives and must be excluded,
+    * as must the query itself). Same shape as [[bruteForceTopK]]:
+    * queries broadcast, corpus scanned ONCE, and the label exclusion
+    * lives in the broadcast-join CONDITION, so excluded pairs are
+    * never materialized and no exchange ever carries them — at 100 TB
+    * the scan stays embarrassingly parallel and the window ranks only
+    * |queries|·k-ish survivors per partition boundary. For huge query
+    * sets compose with the IVF router ([[ivfTopK]]) exactly as
+    * top-k does; this exact form is the baseline that calibrates it.
+    * `queries`: (qid, qvec, qlabel); `corpus`: (id, vec, label).
+    * Returns (qid, qlabel, id, label, cosine, rank), rank 1..k,
+    * deterministic tiebreak by id. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.Native.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq"),
+      col("qlabel")))
+    val c = corpus.select(col("id"), quantize(col("vec")).as("cq"), col("label"))
+    val scored = c.join(q, col("qid") =!= col("id") && col("qlabel") =!= col("label"))
+      .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("id"), col("label"),
+        col("cosine"), col("rank"))
+  }
+
   /** Brute-force cosine RANGE (radius) search: every corpus vector
     * with cosine ≥ `minCosine` to a query — top-k's fixed-radius
     * sibling (the ε-NN primitive retrieval and dedup candidate
