@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-8 second-half scaling legs for the three retrieval/resolution
+# operators added after the main r8 campaign: text_bm25,
+# dedup_fuzzy_join, ann_hard_negatives. Same recipe as
+# tools/r08_campaign.sh: three-point scale (sf0.1/sf1/sf2, 3-rep
+# medians, local[32], SPLIT_MB 16 at sf0.1 / 1 at sf>=1), the
+# value-skew replica, and the constrained-memory squeeze on sf2.
+# Run on a QUIET host — no concurrent sbt/gate.
+set -e
+cd /root/repo
+C=target/scala-2.13/classes
+SET=text_bm25,dedup_fuzzy_join,ann_hard_negatives
+
+run () { # run <sfdir> <split> <out>
+  SPARK_GRAFT_ONLY=$SET SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_SPLIT_MB=$2 \
+    bash tools/runbench.sh "$C" "$3"
+  grep '"metric"' "$3.log" | head -1 > "$3"
+  echo "$3: $(grep -o '"value":[0-9.]*' "$3" | head -1)"
+}
+
+run /root/testdata/sf0.1 16 evidence/r08b_ops_sf01.json
+run /root/sfbig/sf1      1  evidence/r08b_ops_sf1.json
+run /root/sfbig/sf2      1  evidence/r08b_ops_sf2.json
+run /root/sfbig/sf1skew  1  evidence/r08b_ops_sf1skew.json
+
+SPARK_DRIVER_MEM=4g EXTRA_SPARK_OPTS="-Dspark.memory.fraction=0.2" \
+  run /root/sfbig/sf2 1 evidence/r08b_ops_sf2_lowmem.json
+
+echo R08B_CAMPAIGN_DONE
