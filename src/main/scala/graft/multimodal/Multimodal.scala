@@ -751,6 +751,17 @@ object MediaCodec {
       def decode(bytes: Array[Byte]): (Int, Array[Int]) = Flac.decode(bytes)
     }
 
+  /** REAL lossless compressed image: QOI (qoiformat.org spec — see
+    * [[Qoi]]). Returns (w, h, row-major 0xRRGGBB pixels). QOI carries
+    * no CRC, so the decoder enforces the structural surface (magic,
+    * exact pixel count, end marker) and the CALLER proves losslessness
+    * by comparing decoded pixels to the source — the same
+    * decode-equals-source discipline as [[flac]]. */
+  def qoi: MediaCodec[(Int, Int, Array[Int])] =
+    () => new Session[(Int, Int, Array[Int])] {
+      def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = Qoi.decode(bytes)
+    }
+
   def wavAdpcm: MediaCodec[(Int, Int, Array[Short])] =
     () => new Session[(Int, Int, Array[Short])] {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {

@@ -253,6 +253,33 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Third COMPRESSED-image format, this time a HAND-ROLLED public
+    // spec (qoiformat.org) rather than a JDK writer: QOI round trip
+    // over [[graft.multimodal.Qoi.testImage]], whose four regions make
+    // the encoder provably emit the whole op family (RUN/DIFF/INDEX/
+    // LUMA/RGB — QoiSpec asserts it with an independent tag walker).
+    // QOI is lossless and has NO CRC, so `lossless` is
+    // decoded==source pixel-for-pixel and the mean is over DECODED
+    // channel bytes — one flipped pixel goes red.
+    "mm_image_qoi" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.qoi.open()
+          it.map { id =>
+            val (w, h, src) = graft.multimodal.Qoi.testImage(id)
+            val (dw, dh, px) = codec.decode(
+              graft.multimodal.Qoi.encode(w, h, src))
+            val lossless = dw == w && dh == h && px.sameElements(src)
+            val sum = px.foldLeft(0L)((acc, p) => acc +
+              ((p >>> 16) & 0xFF) + ((p >>> 8) & 0xFF) + (p & 0xFF))
+            (id, dw, dh, sum / (3L * px.length), lossless)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_rgb", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_audio_decode" -> { (s, dir) =>
       import s.implicits._
       codecIds(s, dir)
@@ -379,6 +406,36 @@ object MmQueries {
         |            + 11 * (i // (8 + doc_id % 16))) % 256))
         |    // ((8 + doc_id % 16) * (8 + (doc_id * 3) % 16)) AS BIGINT)
         |    AS mean_gray
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // QOI is lossless, so the oracle recomputes the channel-byte mean
+    // from Qoi.testImage's four-region formula (w = 8 + id%16,
+    // h = 8 + 3id%16, base = 37id%256; x = i%w, y = i//w): row 0
+    // uniform 3·base, row 1 the (+1,+1,+1) ramp, row 2 alternating
+    // base / (base+97, base+31, base+13), rows 3+ three gradients.
+    "mm_image_qoi" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |  CAST(list_sum(list_transform(
+        |      range(0, (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)),
+        |      i -> CASE
+        |        WHEN i // (8 + doc_id % 16) = 0
+        |          THEN 3 * ((doc_id * 37) % 256)
+        |        WHEN i // (8 + doc_id % 16) = 1
+        |          THEN 3 * (((doc_id * 37) % 256 + i % (8 + doc_id % 16)) % 256)
+        |        WHEN i // (8 + doc_id % 16) = 2
+        |          THEN CASE WHEN (i % (8 + doc_id % 16)) % 2 = 0
+        |            THEN 3 * ((doc_id * 37) % 256)
+        |            ELSE ((doc_id * 37) % 256 + 97) % 256
+        |               + ((doc_id * 37) % 256 + 31) % 256
+        |               + ((doc_id * 37) % 256 + 13) % 256 END
+        |        ELSE ((doc_id * 37) % 256 + 3 * (i % (8 + doc_id % 16))) % 256
+        |           + ((doc_id * 37) % 256 + 11 * (i // (8 + doc_id % 16))) % 256
+        |           + ((doc_id * 37) % 256 + 5 * (i % (8 + doc_id % 16))
+        |              + 7 * (i // (8 + doc_id % 16))) % 256 END))
+        |    // (3 * (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)) AS BIGINT)
+        |    AS mean_rgb,
+        |  TRUE AS lossless
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Same arithmetic as mm_image_decode: the uniform-JPEG round trip
     // is exact (DC-only blocks), so the lossy codec shares the

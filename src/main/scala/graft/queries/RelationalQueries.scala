@@ -616,6 +616,48 @@ object RelationalQueries {
     * inventory (full outer, range/theta, cube, rank battery, multiset
     * set-ops, approx distinct, typed Dataset). */
   val defs2: Map[String, Q] = Map(
+    // Interchange-format fidelity: write the corpus out through the
+    // three non-parquet formats an ingest pipeline meets (ORC — the
+    // other columnar standard; CSV — quoted/escaped flat text; JSON
+    // lines), read each back, and fingerprint the round-tripped text
+    // order-independently (exact decimal sum of 60-bit hashes, one
+    // row per format). A third of the docs get a planted suffix with
+    // a comma, quotes and a NEWLINE, so CSV quoting/multiline and
+    // JSON escaping are actually exercised, not just clean tokens —
+    // the oracle computes the expected fingerprint from the parquet
+    // source, so one mangled character in any format goes red. Scale
+    // shape: per-format write+scan, embarrassingly parallel, one
+    // 1-row aggregate each.
+    "q_format_interop" -> { (s, dir) =>
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" x,\"y\"\nz")))
+            .otherwise(col("text")).as("text"))
+      def fingerprint(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          pmod(sum(graft.dedup.Dedup.hash60(col("text"))
+            .cast("decimal(38,0)")), lit(1000000007L).cast("decimal(38,0)"))
+            .cast("long").as("fp"))
+          .select(lit(fmt).as("format"), col("n_docs"),
+            col("sum_chars"), col("fp"))
+      val base = scratchDir("q_format_interop", dir)
+      planted.write.mode("overwrite").orc(s"$base/orc")
+      planted.write.mode("overwrite").option("header", "true")
+        .csv(s"$base/csv")
+      planted.write.mode("overwrite").json(s"$base/json")
+      val orc = s.read.orc(s"$base/orc").select(col("text"))
+      val csv = s.read.option("header", "true").option("multiLine", "true")
+        .csv(s"$base/csv").select(col("text"))
+      val json = s.read.json(s"$base/json").select(col("text"))
+      fingerprint(orc, "orc")
+        .unionByName(fingerprint(csv, "csv"))
+        .unionByName(fingerprint(json, "json"))
+        .orderBy(col("format"))
+    },
+
     // Dynamic partition pruning: the fact is partitioned on the join
     // column, the dim carries the selective filter, and Catalyst
     // injects a DynamicPruningSubquery into the fact scan's partition
@@ -1170,6 +1212,24 @@ object RelationalQueries {
   )
 
   val oracles2: Map[String, String] = Map(
+    // One expected row tripled: the round trip must preserve the text
+    // byte-for-byte in every format, so all three rows carry the
+    // fingerprint computed from the parquet SOURCE.
+    "q_format_interop" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' x,"y"' || chr(10) || 'z' ELSE text END AS t
+        |  FROM documents),
+        |a AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    SUM(CAST(length(t) AS BIGINT)) AS sc,
+        |    SUM(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)
+        |      % 1000000007 AS fp
+        |  FROM p)
+        |SELECT f AS format, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(sc AS BIGINT) AS sum_chars, CAST(fp AS BIGINT) AS fp
+        |FROM a, (VALUES ('orc'), ('csv'), ('json')) v(f)
+        |ORDER BY format""".stripMargin,
     // The Bloom pre-filter only prunes; the exact semi-join removes
     // false positives, so plain semi-join SQL is the exact oracle.
     "q_bloom_semijoin" ->

@@ -609,6 +609,42 @@ object TextQueries {
         .orderBy(col("rank"))
     },
 
+    // Collocation mining — top-20 bigrams by PMI-style LIFT
+    // c(ab)·N / (c1(a)·c2(b)) over first/second-position counts (all
+    // counts sum to N, so the ratio is the PMI exponent). Exact
+    // integer arithmetic end-to-end: the score is a DECIMAL(38,0)
+    // integral divide in micro-units — no log, no doubles, so the
+    // hash gate compares exact integers (headroom to N ≈ 10^15 pairs;
+    // c·N·10^6 ≤ 10^36 < 10^38). Shape at scale: ONE tokenize pass →
+    // (w1,w2) partial-agg count (collapses to observed-bigram
+    // cardinality map-side); the position marginals and the total
+    // derive from the PERSISTED bigram table, never from a second
+    // corpus scan; the support filter (c(ab) ≥ 5) prunes the hapax
+    // tail before any join.
+    "text_collocations" -> { (s, dir) =>
+      val t = TextOps.tokens(col("text"))
+      val pairs = table(s, dir, "documents")
+        .select(t.as("t"))
+        .select(col("t"), posexplode(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0)))))
+        .select(col("col").as("w1"),
+          element_at(col("t"), col("pos") + 2).as("w2"))
+      val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1 = cab.groupBy("w1").agg(sum(col("cab")).as("c1"))
+      val c2 = cab.groupBy("w2").agg(sum(col("cab")).as("c2"))
+      val nbi = cab.agg(sum(col("cab")).as("nbi"))
+      cab.filter(col("cab") >= 5)
+        .join(c1, "w1").join(c2, "w2")
+        .crossJoin(broadcast(nbi))
+        .withColumn("lift_micro", expr(
+          "CAST(CAST(cab AS DECIMAL(38,0)) * nbi * 1000000" +
+            " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"))
+        .select(col("w1"), col("w2"), col("cab"), col("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     "text_ngrams" -> { (s, dir) =>
       graft.functions.Native.register(s)
       val t = TextOps.tokens(col("text"))
@@ -1023,6 +1059,29 @@ object TextQueries {
          |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM s)
          |WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
+    // Same integral arithmetic in HUGEINT (int128 ⊇ the engine's
+    // DECIMAL(38,0) range); `cab` is MATERIALIZED — it is referenced
+    // four times, and DuckDB inlines plain CTEs per reference (the
+    // recorded r8 pagerank-oracle lesson).
+    "text_collocations" ->
+      s"""WITH bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS b
+         |  FROM (SELECT $toks AS t FROM documents)),
+         |cab AS MATERIALIZED (
+         |  SELECT string_split(b, ' ')[1] AS w1,
+         |         string_split(b, ' ')[2] AS w2, COUNT(*) AS cab
+         |  FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, SUM(cab) AS c1 FROM cab GROUP BY 1),
+         |c2 AS (SELECT w2, SUM(cab) AS c2 FROM cab GROUP BY 1),
+         |tot AS (SELECT SUM(cab) AS nbi FROM cab)
+         |SELECT w1, w2, cab, lift_micro FROM (
+         |  SELECT cab.w1, cab.w2, cab.cab AS cab,
+         |    CAST(CAST(cab.cab AS HUGEINT) * nbi * 1000000
+         |      // (CAST(c1.c1 AS HUGEINT) * c2.c2) AS BIGINT) AS lift_micro
+         |  FROM cab JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+         |  WHERE cab.cab >= 5)
+         |ORDER BY lift_micro DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_ngrams" ->
       s"""SELECT bigram, COUNT(*) AS cnt
          |FROM (SELECT unnest(list_transform(range(1, len(t)),

@@ -93,6 +93,37 @@ class HardNegativesSpec extends SparkSpec {
   }
 }
 
+class CollocationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lift equals an exact scalar recomputation; support filter " +
+      "and ordering hold") {
+    // "alpha beta" appears 6x (strong collocation), "alpha gamma" 5x,
+    // "beta alpha" fills the marginals; "delta echo" only 4x -> cut
+    // by the support filter
+    val doc1 = (("alpha beta " * 6) + ("alpha gamma " * 5)).trim
+    val doc2 = ("delta echo " * 4).trim
+    val dir = graft.TestSpark.scratch("collodocs")
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.defs("text_collocations")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // scalar recomputation from the raw pair stream
+    def pairsOf(t: String) = { val w = t.split(" "); w.init.zip(w.tail) }
+    val all = pairsOf(doc1) ++ pairsOf(doc2)
+    val cab = all.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = all.groupBy(_._1).view.mapValues(_.size).toMap
+    val c2 = all.groupBy(_._2).view.mapValues(_.size).toMap
+    val n = all.size
+    val want = cab.filter(_._2 >= 5).map { case ((a, b), c) =>
+      (a, b, c.toLong,
+        (BigInt(c) * n * 1000000 / (BigInt(c1(a)) * c2(b))).toLong)
+    }.toSeq.sortBy { case (a, b, _, l) => (-l, a, b) }
+    assert(got === want)
+    assert(!got.exists(r => r._1 == "delta")) // support-filtered
+  }
+}
+
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
 
