@@ -658,6 +658,71 @@ object RelationalQueries {
         .orderBy(col("format"))
     },
 
+    // Table profiling — the ANALYZE pass a warehouse runs before
+    // planning: one row per profiled column with count / nulls / ndv
+    // / min / max / sum, computed in a SINGLE aggregate pass over one
+    // scan (22 aggregate functions in one HashAggregate — profiling
+    // cost is the scan, not passes × columns). The gate-visible ndv
+    // is EXACT; for the high-cardinality price the row ALSO carries
+    // the sketch-contract boolean: the production ANALYZE stat is the
+    // HLL (the one profiling aggregate whose exact state grows with
+    // data), and the gate asserts it landed within 5% of the exact
+    // value — the q_approx_distinct pattern, since a sketch VALUE is
+    // engine-specific and can never sit under a cross-engine hash.
+    // Sums run through DECIMAL (order-independent), doubles only at
+    // the edge.
+    "q_profile" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val dec = "decimal(38,4)"
+      def prof(c: String, sketchBand: Boolean) = {
+        val x = col(c)
+        struct(lit(c).as("col_name"),
+          count(x).as("n"),
+          (count(lit(1)) - count(x)).as("n_null"),
+          countDistinct(x).as("ndv"),
+          min(x).cast("double").as("min_v"),
+          max(x).cast("double").as("max_v"),
+          sum(x.cast(dec)).cast("double").as("sum_v"),
+          (if (!sketchBand) lit(true)
+           else (abs(approx_count_distinct(x, 0.02).cast("double") /
+             countDistinct(x).cast("double") - 1.0) <= lit(0.05)))
+            .as("ndv_in_band"))
+      }
+      li.agg(prof("l_quantity", sketchBand = false).as("a"),
+          prof("l_extendedprice", sketchBand = true).as("b"),
+          prof("l_discount", sketchBand = false).as("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("p"))
+        .select(col("p.col_name"), col("p.n"), col("p.n_null"), col("p.ndv"),
+          col("p.min_v"), col("p.max_v"), col("p.sum_v"), col("p.ndv_in_band"))
+        .orderBy(col("col_name"))
+    },
+
+    // Equi-width histogram over a two-pass plan — the profiling
+    // companion: pass 1 is a 1-row exact min/max aggregate broadcast
+    // back (the bm25 stats shape), pass 2 buckets every row with
+    // EXACT integer arithmetic on the decimal's cents so both engines
+    // place boundary values identically (float width math would
+    // disagree at bucket edges): bucket = min(9, (cents-lo)*10 DIV
+    // (hi-lo+1)). At 100 TB: two scans of one column, one 10-row
+    // result, no other exchange.
+    "q_histogram" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      // double → DECIMAL(12,2) → ×100 → long: exact cents on both
+      // engines (a bare double*100 → long cast TRUNCATES in Spark but
+      // ROUNDS in DuckDB — the 109998.99999… case diverges)
+      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+      val mm = li.agg(min(cents).as("lo"), max(cents).as("hi"))
+      li.select(cents.as("cents"))
+        .crossJoin(broadcast(mm))
+        .withColumn("bucket", least(lit(9),
+          expr("(cents - lo) * 10 DIV (hi - lo + 1)")).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy(col("bucket"))
+    },
+
     // Dynamic partition pruning: the fact is partitioned on the join
     // column, the dim carries the selective filter, and Catalyst
     // injects a DynamicPruningSubquery into the fact scan's partition
@@ -1230,6 +1295,36 @@ object RelationalQueries {
         |  CAST(sc AS BIGINT) AS sum_chars, CAST(fp AS BIGINT) AS fp
         |FROM a, (VALUES ('orc'), ('csv'), ('json')) v(f)
         |ORDER BY format""".stripMargin,
+    // Exact stats only (the HLL's value is engine-specific; its
+    // contract boolean is asserted Spark-side and mirrored as TRUE).
+    "q_profile" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  CAST(SUM(CAST($c AS DECIMAL(38,4))) AS DOUBLE) AS sum_v,
+           |  TRUE AS ndv_in_band
+           |FROM lineitem""".stripMargin
+      s"""SELECT * FROM (
+         |${leg("l_quantity")}
+         |UNION ALL
+         |${leg("l_extendedprice")}
+         |UNION ALL
+         |${leg("l_discount")})
+         |ORDER BY col_name""".stripMargin
+    },
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents FROM lineitem),
+        |mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c)
+        |SELECT CAST(least(9, (cents - lo) * 10 // (hi - lo + 1)) AS INT)
+        |    AS bucket,
+        |  COUNT(*) AS cnt, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM c, mm
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // The Bloom pre-filter only prunes; the exact semi-join removes
     // false positives, so plain semi-join SQL is the exact oracle.
     "q_bloom_semijoin" ->
