@@ -79,11 +79,11 @@ object DedupQueries {
   }
 
   /** Bench runs these untimed before timing the query bodies. */
-  val prepares: Map[String, (SparkSession, String) => Unit] = Map(
+  val prepares: Map[String, (SparkSession, String) => Unit] = checked(
     "dedup_incremental" -> ((s, d) => { fpIndexPath(s, d); () }),
     "dedup_incremental_near" -> ((s, d) => { nearIndexPath(s, d); () }))
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // Exact dedup by content fingerprint: deterministic keeper (min id)
     // + copy count per group. One partial-agg shuffle at any scale.
     "dedup_exact" -> { (s, dir) =>
@@ -703,7 +703,7 @@ object DedupQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = checked(
     "dedup_exact" ->
       s"""SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

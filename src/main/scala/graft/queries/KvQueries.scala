@@ -521,7 +521,7 @@ object KvQueries {
   }
 
   /** Bench runs these untimed before timing the query bodies. */
-  val prepares: Map[String, (SparkSession, String) => Unit] = Map(
+  val prepares: Map[String, (SparkSession, String) => Unit] = checked(
     "kv_counter" -> ((s, d) => { setupCounter(s, d); () }),
     "kv_cell_append" -> ((s, d) => { setupAppendCells(s, d); () }),
     "kv_bulk_load" -> ((s, d) => { setupBulkLoad(s, d); () }),
@@ -554,7 +554,7 @@ object KvQueries {
     "kv_zorder" -> ((s, d) => { setupZOrder(s, d); () })
   )
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // Latest order per customer, expressed directly as the LWW
     // aggregation (single partial-agg shuffle; no global sort of the
     // fact table — this is the shape that survives 100 TB).
@@ -866,7 +866,7 @@ object KvQueries {
       |WHERE rn = 1
       |ORDER BY o_custkey""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = checked(
     "kv_lww_latest_order" -> latestOrderSql,
     "kv_matview" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -41,7 +41,7 @@ object MmQueries {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // Encode→decode image round trip, batched per partition (codec init
     // once per partition — the mapInPandas-shaped plumbing with a real
     // JVM codec).
@@ -386,7 +386,7 @@ object MmQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = checked(
     "mm_image_decode" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 16 AS INT) AS width,

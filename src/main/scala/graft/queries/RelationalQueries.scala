@@ -156,7 +156,7 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // TPC-H Q1-shaped pricing summary: partial-agg shuffle on two
     // low-cardinality keys; the date filter is pushed to the parquet scan.
     "q1_agg" -> { (s, dir) =>
@@ -610,12 +610,12 @@ object RelationalQueries {
   }
 
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
-    Map("q_dpp" -> ((s, d) => { setupDpp(s, d); () }))
+    checked("q_dpp" -> ((s, d) => { setupDpp(s, d); () }))
 
   /** Second batch: join shapes + grouping analytics completing the §2
     * inventory (full outer, range/theta, cube, rank battery, multiset
     * set-ops, approx distinct, typed Dataset). */
-  val defs2: Map[String, Q] = Map(
+  val defs2: Map[String, Q] = checked(
     // Interchange-format fidelity: write the corpus out through the
     // three non-parquet formats an ingest pipeline meets (ORC — the
     // other columnar standard; CSV — quoted/escaped flat text; JSON
@@ -1299,7 +1299,7 @@ object RelationalQueries {
     }
   )
 
-  val oracles2: Map[String, String] = Map(
+  val oracles2: Map[String, String] = checked(
     // One expected row tripled: the round trip must preserve the text
     // byte-for-byte in every format, so all three rows carry the
     // fingerprint computed from the parquet SOURCE.
@@ -1630,7 +1630,7 @@ object RelationalQueries {
         |ORDER BY l_returnflag""".stripMargin
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = checked(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

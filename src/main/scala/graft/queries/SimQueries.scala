@@ -138,12 +138,12 @@ object SimQueries {
   }
 
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
-    Map("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
+    checked("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivfpq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivf_served" -> ((s, d) => { buildServedIvf(s, d); () }),
       "dedup_semantic" -> ((s, d) => { trainSemDedupModel(s, d); () }))
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // Exact brute-force top-5 cosine neighbors for the first 10 vectors:
     // query side broadcast, corpus scanned once, per-query heap via
     // window rank.
@@ -707,7 +707,7 @@ object SimQueries {
           sdCents.map(ce =>
             "dedup_semantic" -> semDedupSql(centsValuesCte(ce)))).toMap
     }
-    Map(
+    checked(
       "ann_topk" -> annTopkSql,
       "ann_hard_negatives" -> annHardNegSql,
       // exact pruning ⇒ the IVF-pruned range search must reproduce the

@@ -99,12 +99,12 @@ object StreamQueries {
     path
   }
 
-  val prepares: Map[String, (SparkSession, String) => Unit] = Map(
+  val prepares: Map[String, (SparkSession, String) => Unit] = checked(
     "stream_kv_source" -> ((s, d) => { setupKvSourceTable(s, d); () }),
     "stream_matview" -> ((s, d) => { setupMatViewSource(s, d); () })
   )
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // Stream-STATIC enrichment join, the canonical streaming-pipeline
     // shape Spark executes statelessly: each micro-batch of the orders
     // stream hash-joins against the static customer dimension
@@ -591,7 +591,7 @@ object StreamQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = checked(
     "stream_counter" ->
       """SELECT user_id,
         |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value

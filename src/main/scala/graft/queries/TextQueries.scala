@@ -150,11 +150,11 @@ object TextQueries {
   }
 
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
-    Map("text_bpe_train" -> ((s, d) => { bpeModel(s, d); () }),
+    checked("text_bpe_train" -> ((s, d) => { bpeModel(s, d); () }),
       "text_perplexity" -> ((s, d) => { lmModel(s, d); () }),
       "text_classify" -> ((s, d) => { clsModel(s, d); () }))
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // TRAINED tokenizer: learn a BPE merge table from the corpus
     // (distributed word-count pass + driver merge loop over the
     // bounded vocabulary — see graft.text.Bpe), then tokenize every
@@ -787,7 +787,7 @@ object TextQueries {
     staticOracles ++ dyn
   }
 
-  private val staticOracles: Map[String, String] = Map(
+  private val staticOracles: Map[String, String] = checked(
     "pipeline_corpus" ->
       raw"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents

@@ -26,7 +26,7 @@ object TpchQueries {
 
   private val dec4 = DecimalType(18, 4)
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     // Q10 returned-item reporting: two shuffle joins (fact-to-fact),
     // broadcast nation dim, partial agg on the composite customer key,
     // then TakeOrderedAndProject — no global sort for a top-20.
@@ -404,7 +404,7 @@ object TpchQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = checked(
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)

@@ -9,7 +9,7 @@ import graft.udf.Udfs
   */
 object UdfQueries {
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = checked(
     "q_udf_scalar" -> { (s, dir) =>
       table(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -27,7 +27,7 @@ object UdfQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = checked(
     "q_udf_scalar" ->
       """SELECT substring(o_orderpriority, 1, 1) AS prio_prefix, COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY prio_prefix""".stripMargin,

@@ -6,6 +6,19 @@ package object queries {
   /** A named query: (session, sf-dir) -> result DataFrame. */
   type Q = (SparkSession, String) => DataFrame
 
+  /** Registry constructor that REFUSES duplicate keys. A Scala
+    * `Map("k" -> a, ..., "k" -> b)` silently keeps only the last
+    * entry — a re-defined query name shadows the original and every
+    * gate stays green against the surviving pair (this bit round 8:
+    * a second q_profile landed dead behind the first). Varargs keep
+    * the duplicates visible, so construction fails loudly instead. */
+  def checked[V](entries: (String, V)*): Map[String, V] = {
+    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate query-registry keys: ${dups.mkString(", ")}")
+    entries.toMap
+  }
+
   /** Load one of the driver's testdata tables. */
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
