@@ -629,7 +629,7 @@ object RelationalQueries {
     // shape: per-format write+scan, embarrassingly parallel, one
     // 1-row aggregate each.
     "q_format_interop" -> { (s, dir) =>
-      val planted = s.read.parquet(s"$dir/documents.parquet")
+      val planted = table(s, dir, "documents")
         .select(col("doc_id"),
           when(col("doc_id") % 3 === 0,
             concat(col("text"), lit(" x,\"y\"\nz")))
@@ -651,7 +651,10 @@ object RelationalQueries {
       val orc = s.read.orc(s"$base/orc").select(col("text"))
       val csv = s.read.option("header", "true").option("multiLine", "true")
         .csv(s"$base/csv").select(col("text"))
-      val json = s.read.json(s"$base/json").select(col("text"))
+      // explicit schema: schemaless read would add a full inference
+      // pass over the JSON directory inside the timed body
+      val json = s.read.schema(planted.schema).json(s"$base/json")
+        .select(col("text"))
       fingerprint(orc, "orc")
         .unionByName(fingerprint(csv, "csv"))
         .unionByName(fingerprint(json, "json"))
@@ -704,7 +707,10 @@ object RelationalQueries {
           col("hll_price"))
         .select(col("p.col_name"), col("p.n"), col("p.n_null"),
           col("p.min_v"), col("p.max_v"), col("p.sum_v"), col("hll_price"))
+      // NULL is excluded: COUNT(DISTINCT c) semantics on both engines
+      // (the NULL population is already reported as n_null)
       def ndvOf(c: String) = li.select(col(c).as("v"))
+        .filter(col("v").isNotNull)
         .groupBy(col("v")).agg(count(lit(1)).as("__dup"))
         .agg(count(lit(1)).as("ndv"))
         .select(lit(c).as("col_name"), col("ndv"))

@@ -44,17 +44,30 @@ object Similarity {
     * Returns (qid, id, cosine, rank) with rank 1..k, deterministic
     * tiebreak by id. The corpus is scanned once; queries are broadcast.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    broadcastTopK(queries, corpus, k, Nil, Nil, col("qid") =!= col("id"))
+
+  /** Shared broadcast-topk skeleton: quantized query side broadcast,
+    * corpus scanned once, exclusions in the JOIN CONDITION (excluded
+    * pairs are never materialized), per-query window rank ≤ k with
+    * the deterministic id tiebreak. `qExtra`/`cExtra` carry label-ish
+    * columns through; `cond` is evaluated on the joined row. */
+  private def broadcastTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                            qExtra: Seq[String], cExtra: Seq[String],
+                            cond: Column): DataFrame = {
     graft.functions.Native.register(corpus.sparkSession)
-    val q = broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq")))
-    val c = corpus.select(col("id"), quantize(col("vec")).as("cq"))
-    val scored = c.join(q, col("qid") =!= col("id"))
+    val q = broadcast(queries.select(
+      col("qid") +: quantize(col("qvec")).as("qq") +: qExtra.map(col): _*))
+    val c = corpus.select(
+      col("id") +: quantize(col("vec")).as("cq") +: cExtra.map(col): _*)
+    val scored = c.join(q, cond)
       .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+      .select((Seq("qid") ++ qExtra ++ Seq("id") ++ cExtra ++
+        Seq("cosine", "rank")).map(col): _*)
   }
 
   /** Hard-negative mining — for each query vector, the top-k most
@@ -71,21 +84,12 @@ object Similarity {
     * top-k does; this exact form is the baseline that calibrates it.
     * `queries`: (qid, qvec, qlabel); `corpus`: (id, vec, label).
     * Returns (qid, qlabel, id, label, cosine, rank), rank 1..k,
-    * deterministic tiebreak by id. */
-  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    graft.functions.Native.register(corpus.sparkSession)
-    val q = broadcast(queries.select(col("qid"), quantize(col("qvec")).as("qq"),
-      col("qlabel")))
-    val c = corpus.select(col("id"), quantize(col("vec")).as("cq"), col("label"))
-    val scored = c.join(q, col("qid") =!= col("id") && col("qlabel") =!= col("label"))
-      .withColumn("cosine", graft.functions.Native.cosineQ(col("qq"), col("cq")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("qlabel"), col("id"), col("label"),
-        col("cosine"), col("rank"))
-  }
+    * deterministic tiebreak by id. Shares [[broadcastTopK]]'s
+    * skeleton with [[bruteForceTopK]] — only the exclusion condition
+    * and the carried label columns differ. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    broadcastTopK(queries, corpus, k, Seq("qlabel"), Seq("label"),
+      col("qid") =!= col("id") && col("qlabel") =!= col("label"))
 
   /** Brute-force cosine RANGE (radius) search: every corpus vector
     * with cosine ≥ `minCosine` to a query — top-k's fixed-radius

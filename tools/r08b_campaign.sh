@@ -23,7 +23,9 @@ run /root/sfbig/sf1      1  evidence/r08b_ops_sf1.json
 run /root/sfbig/sf2      1  evidence/r08b_ops_sf2.json
 run /root/sfbig/sf1skew  1  evidence/r08b_ops_sf1skew.json
 
-SPARK_DRIVER_MEM=4g EXTRA_SPARK_OPTS="-Dspark.memory.fraction=0.2" \
-  run /root/sfbig/sf2 1 evidence/r08b_ops_sf2_lowmem.json
+# subshell: var-prefixes on a bash FUNCTION call leak into the parent
+# shell (unlike external commands) and would squeeze any later leg
+( export SPARK_DRIVER_MEM=4g EXTRA_SPARK_OPTS="-Dspark.memory.fraction=0.2"
+  run /root/sfbig/sf2 1 evidence/r08b_ops_sf2_lowmem.json )
 
 echo R08B_CAMPAIGN_DONE

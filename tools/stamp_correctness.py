@@ -17,6 +17,10 @@ def main(src, out, note):
             rec[name] = {"rows_match": True, "schema_match": True,
                          "hash_match": True, "spark_rows": n,
                          "oracle_rows": n, "err": None}
+            # check.py passes a dtype-only divergence (values equal as
+            # strings) but flags it — carry the flag, don't erase it
+            if "DTYPE_DIFF" in verdict:
+                rec[name]["dtype_diff"] = verdict.split("DTYPE_DIFF=", 1)[1]
         elif verdict.startswith("ROWS_ONLY rows"):
             n = int(re.search(r"rows=(\d+)", verdict).group(1))
             rec[name] = {"rows_match": True, "schema_match": None,
