@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1302,6 +1303,137 @@ object RelationalQueries {
         .map { case (ok, ck, tp) => (ok, ck, tp * 0.9) }
         .toDF("o_orderkey", "o_custkey", "discounted")
         .orderBy(col("o_orderkey"))
+    },
+
+    // Referential-integrity audit — the data-quality pass a warehouse
+    // runs over its FK graph: for every edge, how many child rows,
+    // how many distinct child keys, how many ORPHAN keys/rows (child
+    // FK with no parent) and how many CHILDLESS parents (parent key
+    // no child references — naturally nonzero here: customers without
+    // orders, parts never ordered). Shape per edge: the child is
+    // scanned ONCE (one FK column), collapsed map-side to (key, rows);
+    // that keyed aggregate FULL-OUTER joins the parent keys and ONE
+    // conditional aggregate reads off all five outputs (child-side
+    // rows carry non-null `rows`, unmatched child keys have null pk =
+    // orphans, unmatched parents have null `rows` = childless). Two
+    // rejected spellings, both measured on the plan: a left_anti per
+    // output gets pushed BELOW the groupBy (the join key is the
+    // grouping key) and re-scans the child per output; split
+    // left-outer legs don't reuse the keyed exchange because the
+    // outer join infers isnotnull on its non-preserved side only.
+    // At 100 TB each edge costs one 1-column scan per table and one
+    // keyed exchange each into the full-outer SMJ (the child side
+    // arrives pre-partitioned from its groupBy); orphan ROWS are
+    // counted by summing the carried per-key counts, never by a
+    // second child pass. (Parent keys are assumed unique — the PK
+    // side of a declared FK edge.)
+    "q_integrity" -> { (s, dir) =>
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String) = {
+        val keys = child.groupBy(col(ck).as("k"))
+          .agg(count(lit(1)).as("rows"))
+        val pkeys = parent.select(col(pk).as("pk"))
+        // `rows` is non-null exactly on child-side rows, so a child
+        // NULL FK group (never equi-matched, pk stays null) still
+        // counts as a child key and as an orphan — same as the
+        // oracle's NOT EXISTS.
+        keys.join(pkeys, col("k") === col("pk"), "full")
+          .agg(
+            coalesce(sum(col("rows")), lit(0L)).cast("long")
+              .as("n_child_rows"),
+            count(when(col("rows").isNotNull, 1)).as("n_child_keys"),
+            count(when(col("rows").isNotNull && col("pk").isNull, 1))
+              .as("orphan_keys"),
+            coalesce(sum(when(col("pk").isNull, col("rows"))), lit(0L))
+              .cast("long").as("orphan_rows"),
+            count(when(col("rows").isNull, 1)).as("childless_parents"))
+          .select(lit(name).as("edge"), col("n_child_rows"),
+            col("n_child_keys"), col("orphan_keys"), col("orphan_rows"),
+            col("childless_parents"))
+      }
+      val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer"); val su = table(s, dir, "supplier")
+      val p = table(s, dir, "part"); val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      Seq(
+        edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("edge"))
+    },
+
+    // Snapshot-diff CDC — the incremental-refresh primitive: given two
+    // snapshots of a table, classify every key as added / removed /
+    // changed / unchanged. The "new" snapshot is derived
+    // deterministically from orders (k%97=0 deleted, k%89=3 reprices
+    // by +1.00, k%101=5 re-inserted under a fresh negative key), so
+    // both engines construct identical snapshots and the classifier's
+    // exact counts are value-checked. Shape: fingerprints (60-bit md5
+    // over the compared attributes, price as exact cents) are computed
+    // AT THE SCAN, so the full-outer sort-merge join's exchange
+    // carries (key, fp) — never rows; classification is a projection
+    // over the joined pair and the result is a 4-row aggregate. At
+    // 100 TB this is the standard narrow-diff plan: two 1-pass scans,
+    // one keyed exchange each, no row payload movement.
+    "q_delta_detect" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+      def fp(centsCol: Column) = graft.dedup.Dedup.hash60(concat_ws("|",
+        col("o_custkey"), col("o_orderstatus"), centsCol))
+      val a = o.select(col("o_orderkey").as("k"), fp(cents).as("fp_a"))
+      val bKept = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          fp(when(col("o_orderkey") % 89 === 3, cents + 100)
+            .otherwise(cents)).as("fp_b"))
+      val bIns = o.filter(col("o_orderkey") % 101 === 5)
+        .select((-col("o_orderkey") - 1).as("k"), fp(cents).as("fp_b"))
+      a.join(bKept.unionByName(bIns), Seq("k"), "full")
+        .select(col("k"),
+          when(col("fp_b").isNull, "removed")
+            .when(col("fp_a").isNull, "added")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_keys"))
+        .orderBy(col("change_type"))
+    },
+
+    // Slowly-changing-dimension TYPE 2 — rebuild a versioned dimension
+    // from a change log and answer an as-of snapshot from it: each
+    // user's events become half-open validity intervals
+    // [ts, next_ts) via one lead() window (ties broken by event_id,
+    // so the history is deterministic), and the snapshot at T picks
+    // the single interval containing T per user. Output per
+    // event_type: total versions ever, users in that state at T, and
+    // their exact key sum. Shape: ONE hash exchange by user_id feeds
+    // the window; the interval filter is a projection predicate; both
+    // aggregates are partial→final over the window output. At 100 TB:
+    // one keyed exchange over the change log, no self-join — the
+    // classic lead()-interval SCD2 build.
+    "q_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val hist = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("event_id"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+      val snap = hist.filter(col("ts") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      val byTypeHist = hist.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"))
+      val byTypeSnap = snap.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users_asof"),
+          sum(col("user_id")).cast("long").as("sum_users_asof"))
+      byTypeHist.join(byTypeSnap, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_users_asof", "sum_users_asof"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1633,7 +1765,142 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  COUNT(*) AS n_rows, TRUE AS hll_in_band
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // Per FK edge: child totals from the keyed aggregate, orphans via
+    // NOT EXISTS child→parent, childless via NOT EXISTS parent→child.
+    // COUNT(*) GROUP BY mirrors the Spark keyed aggregate (NULL keys,
+    // if any existed, group and stay orphaned on both engines).
+    "q_integrity" ->
+      """WITH
+        |k1 AS (SELECT c_nationkey AS k, COUNT(*) AS r FROM customer GROUP BY 1),
+        |k2 AS (SELECT l_orderkey AS k, COUNT(*) AS r FROM lineitem GROUP BY 1),
+        |k3 AS (SELECT l_partkey AS k, COUNT(*) AS r FROM lineitem GROUP BY 1),
+        |k4 AS (SELECT l_suppkey AS k, COUNT(*) AS r FROM lineitem GROUP BY 1),
+        |k5 AS (SELECT n_regionkey AS k, COUNT(*) AS r FROM nation GROUP BY 1),
+        |k6 AS (SELECT o_custkey AS k, COUNT(*) AS r FROM orders GROUP BY 1),
+        |k7 AS (SELECT s_nationkey AS k, COUNT(*) AS r FROM supplier GROUP BY 1)
+        |SELECT 'customer.c_nationkey->nation' AS edge,
+        |  CAST((SELECT SUM(r) FROM k1) AS BIGINT) AS n_child_rows,
+        |  (SELECT COUNT(*) FROM k1) AS n_child_keys,
+        |  (SELECT COUNT(*) FROM k1 WHERE NOT EXISTS
+        |     (SELECT 1 FROM nation WHERE n_nationkey = k1.k)) AS orphan_keys,
+        |  CAST(COALESCE((SELECT SUM(r) FROM k1 WHERE NOT EXISTS
+        |     (SELECT 1 FROM nation WHERE n_nationkey = k1.k)), 0) AS BIGINT)
+        |    AS orphan_rows,
+        |  (SELECT COUNT(*) FROM nation WHERE NOT EXISTS
+        |     (SELECT 1 FROM k1 WHERE k1.k = n_nationkey)) AS childless_parents
+        |UNION ALL SELECT 'lineitem.l_orderkey->orders',
+        |  CAST((SELECT SUM(r) FROM k2) AS BIGINT),
+        |  (SELECT COUNT(*) FROM k2),
+        |  (SELECT COUNT(*) FROM k2 WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders WHERE o_orderkey = k2.k)),
+        |  CAST(COALESCE((SELECT SUM(r) FROM k2 WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders WHERE o_orderkey = k2.k)), 0) AS BIGINT),
+        |  (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+        |     (SELECT 1 FROM k2 WHERE k2.k = o_orderkey))
+        |UNION ALL SELECT 'lineitem.l_partkey->part',
+        |  CAST((SELECT SUM(r) FROM k3) AS BIGINT),
+        |  (SELECT COUNT(*) FROM k3),
+        |  (SELECT COUNT(*) FROM k3 WHERE NOT EXISTS
+        |     (SELECT 1 FROM part WHERE p_partkey = k3.k)),
+        |  CAST(COALESCE((SELECT SUM(r) FROM k3 WHERE NOT EXISTS
+        |     (SELECT 1 FROM part WHERE p_partkey = k3.k)), 0) AS BIGINT),
+        |  (SELECT COUNT(*) FROM part WHERE NOT EXISTS
+        |     (SELECT 1 FROM k3 WHERE k3.k = p_partkey))
+        |UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |  CAST((SELECT SUM(r) FROM k4) AS BIGINT),
+        |  (SELECT COUNT(*) FROM k4),
+        |  (SELECT COUNT(*) FROM k4 WHERE NOT EXISTS
+        |     (SELECT 1 FROM supplier WHERE s_suppkey = k4.k)),
+        |  CAST(COALESCE((SELECT SUM(r) FROM k4 WHERE NOT EXISTS
+        |     (SELECT 1 FROM supplier WHERE s_suppkey = k4.k)), 0) AS BIGINT),
+        |  (SELECT COUNT(*) FROM supplier WHERE NOT EXISTS
+        |     (SELECT 1 FROM k4 WHERE k4.k = s_suppkey))
+        |UNION ALL SELECT 'nation.n_regionkey->region',
+        |  CAST((SELECT SUM(r) FROM k5) AS BIGINT),
+        |  (SELECT COUNT(*) FROM k5),
+        |  (SELECT COUNT(*) FROM k5 WHERE NOT EXISTS
+        |     (SELECT 1 FROM region WHERE r_regionkey = k5.k)),
+        |  CAST(COALESCE((SELECT SUM(r) FROM k5 WHERE NOT EXISTS
+        |     (SELECT 1 FROM region WHERE r_regionkey = k5.k)), 0) AS BIGINT),
+        |  (SELECT COUNT(*) FROM region WHERE NOT EXISTS
+        |     (SELECT 1 FROM k5 WHERE k5.k = r_regionkey))
+        |UNION ALL SELECT 'orders.o_custkey->customer',
+        |  CAST((SELECT SUM(r) FROM k6) AS BIGINT),
+        |  (SELECT COUNT(*) FROM k6),
+        |  (SELECT COUNT(*) FROM k6 WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer WHERE c_custkey = k6.k)),
+        |  CAST(COALESCE((SELECT SUM(r) FROM k6 WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer WHERE c_custkey = k6.k)), 0) AS BIGINT),
+        |  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+        |     (SELECT 1 FROM k6 WHERE k6.k = c_custkey))
+        |UNION ALL SELECT 'supplier.s_nationkey->nation',
+        |  CAST((SELECT SUM(r) FROM k7) AS BIGINT),
+        |  (SELECT COUNT(*) FROM k7),
+        |  (SELECT COUNT(*) FROM k7 WHERE NOT EXISTS
+        |     (SELECT 1 FROM nation WHERE n_nationkey = k7.k)),
+        |  CAST(COALESCE((SELECT SUM(r) FROM k7 WHERE NOT EXISTS
+        |     (SELECT 1 FROM nation WHERE n_nationkey = k7.k)), 0) AS BIGINT),
+        |  (SELECT COUNT(*) FROM nation WHERE NOT EXISTS
+        |     (SELECT 1 FROM k7 WHERE k7.k = n_nationkey))
+        |ORDER BY edge""".stripMargin,
+    // The oracle constructs the SAME derived snapshot (delete k%97=0,
+    // reprice k%89=3 by +100 cents, re-insert k%101=5 under -(k+1))
+    // and classifies through the same 60-bit md5 fingerprint over
+    // (custkey, status, exact cents) — hash60's mod-P mirror, so even
+    // a collision (fp-equal, attrs differ) classifies identically.
+    "q_delta_detect" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (
+        |  SELECT k, CAST('0x' || substr(md5(o_custkey || '|' ||
+        |    o_orderstatus || '|' || cents), 1, 15) AS BIGINT)
+        |    % 1000000007 AS fp_a FROM src),
+        |b AS (
+        |  SELECT k, CAST('0x' || substr(md5(o_custkey || '|' ||
+        |      o_orderstatus || '|' ||
+        |      (CASE WHEN k % 89 = 3 THEN cents + 100 ELSE cents END)),
+        |      1, 15) AS BIGINT) % 1000000007 AS fp_b
+        |  FROM src WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT -k - 1, CAST('0x' || substr(md5(o_custkey || '|' ||
+        |      o_orderstatus || '|' || cents), 1, 15) AS BIGINT)
+        |    % 1000000007
+        |  FROM src WHERE k % 101 = 5)
+        |SELECT CASE WHEN fp_b IS NULL THEN 'removed'
+        |  WHEN fp_a IS NULL THEN 'added'
+        |  WHEN fp_a <> fp_b THEN 'changed'
+        |  ELSE 'unchanged' END AS change_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(a.k, b.k)) AS BIGINT) AS sum_keys
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same lead()-interval SCD2 build; DuckDB's window semantics match
+    // Spark's for LEAD over a fully-specified ORDER BY.
+    "q_scd2" ->
+      """WITH h AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    LEAD(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to
+        |  FROM events),
+        |s AS (
+        |  SELECT * FROM h
+        |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND (valid_to IS NULL
+        |         OR valid_to > TIMESTAMP '2024-01-15 00:00:00')),
+        |hv AS (SELECT event_type, COUNT(*) AS n_versions
+        |       FROM h GROUP BY 1),
+        |sv AS (SELECT event_type, COUNT(*) AS n_users_asof,
+        |         CAST(SUM(user_id) AS BIGINT) AS sum_users_asof
+        |       FROM s GROUP BY 1)
+        |SELECT hv.event_type, hv.n_versions,
+        |  COALESCE(sv.n_users_asof, 0) AS n_users_asof,
+        |  COALESCE(sv.sum_users_asof, 0) AS sum_users_asof
+        |FROM hv LEFT JOIN sv ON hv.event_type = sv.event_type
+        |ORDER BY hv.event_type""".stripMargin
   )
 
   val oracles: Map[String, String] = checked(

@@ -214,4 +214,38 @@ class PlanGuardSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"semanticDedup lost its broadcast centroid join:\n$p")
   }
+
+  test("q_integrity audits each FK edge in ONE pass pair: 14 scans " +
+      "(child+parent per edge), 7 full-outer joins, no anti-join " +
+      "(anti gets pushed below the groupBy and re-scans the child)") {
+    val p = plan("q_integrity")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 14, s"q_integrity scan count drifted to $scans:\n$p")
+    assert("FullOuter".r.findAllIn(p).length === 7,
+      s"q_integrity lost a full-outer edge join:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"q_integrity regressed to pushed-down anti-joins:\n$p")
+  }
+
+  test("q_delta_detect computes fingerprints scan-side: exactly 3 md5 " +
+      "projections, all below the full-outer join (the exchange " +
+      "carries (key, fp), never row payloads)") {
+    val p = plan("q_delta_detect")
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("FullOuter"))
+    val md5Idx = lines.zipWithIndex.filter(_._1.contains("md5")).map(_._2)
+    assert(md5Idx.length === 3,
+      s"q_delta_detect md5 projection count drifted (${md5Idx.length}):\n$p")
+    assert(joinIdx >= 0 && md5Idx.forall(_ > joinIdx),
+      s"q_delta_detect evaluates a fingerprint ABOVE the join:\n$p")
+  }
+
+  test("q_scd2 builds the SCD2 intervals over ONE user-keyed exchange " +
+      "and one window") {
+    val p = plan("q_scd2")
+    assert("Window".r.findAllIn(p).length === 1,
+      s"q_scd2 window count drifted:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"q_scd2 duplicated its user-keyed exchange:\n$p")
+  }
 }
