@@ -1434,6 +1434,287 @@ object RelationalQueries {
       byTypeHist.join(byTypeSnap, Seq("event_type"), "left")
         .na.fill(0L, Seq("n_users_asof", "sum_users_asof"))
         .orderBy(col("event_type"))
+    },
+
+    // Cohort retention — the product-analytics staple: bucket each user
+    // by the week of their FIRST event (the cohort), then count how many
+    // of them are still active at each later week offset, with the
+    // retained fraction vs the cohort's own week-0 size. Shape: ONE hash
+    // exchange by user_id feeds a window min (the cohort assignment);
+    // the per-(cohort, offset, user) dedup needs NO new exchange because
+    // hash-partitioning on user_id already co-locates every group whose
+    // key CONTAINS user_id (partitioning-subset rule — the plan guard
+    // pins it); the cohort size joins back as a window over the TINY
+    // rollup, not a self-join (a self-join on the un-materialized agg
+    // replans the whole subtree — measured as a second full scan +
+    // second user_id exchange of the event log). At 100 TB: one keyed
+    // exchange over the event log, everything after it is
+    // width-of-weeks small.
+    "q_retention_cohort" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        .withColumn("wk", date_trunc("week", col("ts")))
+        .withColumn("cohort",
+          min(col("wk")).over(Window.partitionBy(col("user_id"))))
+      val marked = e.select(col("user_id"),
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(to_date(col("wk")), to_date(col("cohort"))) / 7)
+          .cast("int").as("week_offset"))
+      marked
+        .groupBy(col("cohort_week"), col("week_offset"), col("user_id"))
+        .agg(count(lit(1)).as("dropme"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("user_id")).cast("long").as("sum_users"))
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_users")))
+            .over(Window.partitionBy(col("cohort_week"))))
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          col("sum_users"),
+          (col("n_users") / col("cohort_size")).as("retained_frac"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Time-series gap fill — densify the hourly per-type event series
+    // over the corpus' global hour range, then repair the gaps three
+    // ways at once: zero-fill for counts, last-observation-carried-
+    // forward for the cents sum, and LINEAR INTERPOLATION emitted as an
+    // exact integer numerator/denominator pair (never a divided double
+    // — Spark and DuckDB round division differently; a rational in
+    // micro-units is hash-comparable at any SF). The spine comes from
+    // the bm25 two-pass stats shape: a 1-row min/max aggregate broadcast
+    // back and exploded per type, so the fill join is keyed
+    // (type, hour) and the LOCF/neighbor windows run per type — a
+    // partition whose width is bounded by wall-clock hours, not rows,
+    // so it cannot skew no matter how hot an hour gets.
+    "q_gapfill" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts").cast("timestamp")))
+            / 3600).cast("long").as("pos"),
+          (col("value").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+      val hourly = e.groupBy(col("event_type"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val bounds = e.agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+      val spine = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("pos"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("pos"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val markedPos = when(col("cents").isNotNull, col("pos"))
+      spine.join(hourly, Seq("event_type", "pos"), "left")
+        .withColumn("n_filled", coalesce(col("n"), lit(0L)))
+        .withColumn("locf_cents",
+          last(col("cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_pos",
+          last(markedPos, ignoreNulls = true).over(wPrev))
+        .withColumn("next_cents",
+          first(col("cents"), ignoreNulls = true).over(wNext))
+        .withColumn("next_pos",
+          first(markedPos, ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("pos"), col("n_filled"),
+          col("locf_cents"),
+          when(col("cents").isNotNull, col("cents"))
+            .otherwise(col("locf_cents") * (col("next_pos") - col("pos")) +
+              col("next_cents") * (col("pos") - col("prev_pos")))
+            .as("interp_num"),
+          when(col("cents").isNotNull, lit(1L))
+            .otherwise(col("next_pos") - col("prev_pos")).as("interp_den"))
+        .orderBy(col("event_type"), col("pos"))
+    },
+
+    // Expectation suite — Deequ-style declarative data-quality rules
+    // evaluated against a snapshot with PLANTED violations (derived
+    // deterministically from orders, the q_delta_detect discipline, so
+    // both engines audit the identical dirty table and every violation
+    // count is value-checked — a suite that only ever reports zero
+    // proves nothing). Five row-local rules (completeness, range,
+    // domain, regex pattern, date bounds) RIDE the uniqueness rule's
+    // keyed shuffle as per-key conditional counts, so the whole suite is
+    // one scan of the snapshot into one exchange by key into a 1-row
+    // final aggregate — the alternative (a scan-side aggregate for the
+    // row-local rules plus a separate groupBy for uniqueness) reads the
+    // table twice, and at 100 TB the scan IS the cost. Adding a seventh
+    // row-local rule costs one more counter on the same pass.
+    "q_expectations" -> { (s, dir) =>
+      val base = table(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 113 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("ck"),
+        when(col("o_orderkey") % 127 === 1, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("tp"),
+        when(col("o_orderkey") % 131 === 2, lit("X"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        col("o_orderpriority").as("pr"), col("o_orderdate").as("dt"))
+      val dirty = base.unionByName(base.filter(col("k") % 139 === 3))
+      dirty.groupBy(col("k")).agg(
+        count(lit(1)).as("c"),
+        count(when(col("ck").isNull, 1)).as("v1"),
+        count(when(col("tp") <= 0, 1)).as("v2"),
+        count(when(!col("st").isin("O", "F", "P"), 1)).as("v3"),
+        count(when(!col("pr").rlike("^[1-5]-[A-Z ]+$"), 1)).as("v4"),
+        count(when(col("dt") < lit("1990-01-01").cast("timestamp") ||
+          col("dt") >= lit("2005-01-01").cast("timestamp"), 1)).as("v5"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(col("v1")).as("v1"), sum(col("v2")).as("v2"),
+          sum(col("v3")).as("v3"), sum(col("v4")).as("v4"),
+          sum(col("v5")).as("v5"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("v6"))
+        .select(col("n_rows"), expr(
+          """stack(6,
+            |  'bounds_orderdate', v5,
+            |  'completeness_custkey', v1,
+            |  'domain_orderstatus', v3,
+            |  'pattern_orderpriority', v4,
+            |  'range_totalprice_positive', v2,
+            |  'unique_orderkey', v6) as (rule, n_violations)
+            |""".stripMargin))
+        .select(col("rule"), col("n_rows").cast("long").as("n_rows"),
+          col("n_violations").cast("long").as("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+        .orderBy(col("rule"))
+    },
+
+    // Multi-touch attribution — credit each purchase to the user's
+    // first and last preceding non-purchase touch (ties broken by
+    // event_id; no prior touch credits '(direct)'). Both touch columns
+    // come from ONE window pass (same partition/order/frame — a single
+    // Window node, the plan guard pins it), conversions then explode
+    // into (model, touch) pairs so both attribution models aggregate in
+    // one partial→final pass instead of re-running the window per
+    // model. At 100 TB: one keyed exchange over the event log by
+    // user_id, then a 2×-fanout projection into a tiny keyed agg.
+    "q_attribution" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          (col("value").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+        .select(col("event_type"), col("cents"),
+          // both touch columns in ONE select over the same window spec
+          // so they fuse into a single Window node (chained withColumn
+          // interleaves a Project and plans two)
+          last(touch, ignoreNulls = true).over(w).as("last_touch"),
+          first(touch, ignoreNulls = true).over(w).as("first_touch"))
+        .filter(col("event_type") === "purchase")
+        .select(explode(array(
+          struct(lit("first_touch").as("model"),
+            coalesce(col("first_touch"), lit("(direct)")).as("touch_type"),
+            col("cents")),
+          struct(lit("last_touch").as("model"),
+            coalesce(col("last_touch"), lit("(direct)")).as("touch_type"),
+            col("cents")))).as("x"))
+        .select(col("x.model").as("model"),
+          col("x.touch_type").as("touch_type"), col("x.cents").as("cents"))
+        .groupBy(col("model"), col("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("cents")).cast("long").as("cents"))
+        .orderBy(col("model"), col("touch_type"))
+    },
+
+    // Time-RANGE window — the window-family member the ROWS queries
+    // can't express: each order's trailing-7-day spend for its
+    // customer, where the frame is defined by the ORDER-BY VALUE
+    // (epoch seconds), not a row count, so same-day peer rows are all
+    // in-frame regardless of their physical order (RANGE frames are
+    // tie-stable — the reason this spelling is hash-comparable while a
+    // ROWS spelling of the same idea would not be deterministic under
+    // ties). One user-keyed exchange; count+sum share the frame so
+    // they fuse into a single Window node.
+    "q_rolling_range" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("sec"))
+        .rangeBetween(-7L * 86400, 0)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("sec"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"), col("sec"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("cents")).over(w).cast("long").as("cents_7d"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (the sequence-mining primitive behind next-event
+    // prediction and funnel discovery): lead() pairs each event with
+    // its successor, the pair counts aggregate, and the per-source
+    // normalizer comes from a window over the TINY transition table —
+    // never a second pass over the log. The probability is an exact
+    // integer pair divided once in IEEE double (deterministic on both
+    // engines). One user-keyed exchange over the event log, total.
+    "q_markov_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total",
+          sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast("long"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("from_total"),
+          (col("n") / col("from_total")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Exact triangle counting over the co-supply graph — the
+    // clustering-coefficient / community primitive, on the same
+    // graduated edge derivation q_pagerank uses (shared coSupplyEdges,
+    // so the hot-group regime guard comes for free). The algorithm is
+    // the DEGREE-ORIENTED wedge join: every edge is directed toward
+    // its higher-(degree, id) endpoint, so each triangle is generated
+    // exactly once from its minimum node and — the 100 TB property —
+    // the wedge fan-out per node is bounded by its OUT-degree, which
+    // orientation caps at O(sqrt(E)) even for a celebrity hub whose
+    // undirected degree is O(N) (an unoriented wedge join explodes
+    // quadratically on exactly those hubs). The oracle counts the same
+    // triangles with the naive 3-way join — same value, so the gate
+    // certifies the oriented plan against the textbook spelling.
+    "q_triangles" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      // undirected edges, reused by degrees + orientation + the closing
+      // join — materialize once (same budget q_pagerank pays)
+      val und = coSupplyEdges(li, PrStarT)
+        .filter(col("src") < col("dst"))
+        .localCheckpoint()
+      val deg = und.select(explode(array(col("src"), col("dst"))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val out = und
+        .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
+        .join(deg.select(col("u").as("dst"), col("d").as("dt")), Seq("dst"))
+        .select(
+          when(col("ds") < col("dt") ||
+            (col("ds") === col("dt") && col("src") < col("dst")),
+            struct(col("src").as("u"), col("dst").as("v"),
+              col("dt").as("dv")))
+            .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+              col("ds").as("dv"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+        .localCheckpoint()
+      val wedges = out.as("e1")
+        .join(out.as("e2"), col("e1.u") === col("e2.u"))
+        .filter(col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v")))
+        .select(col("e1.v").as("b"), col("e2.v").as("c"))
+      val tri = wedges
+        .join(out.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      tri.crossJoin(und.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
     }
   )
 
@@ -1900,7 +2181,198 @@ object RelationalQueries {
         |  COALESCE(sv.n_users_asof, 0) AS n_users_asof,
         |  COALESCE(sv.sum_users_asof, 0) AS sum_users_asof
         |FROM hv LEFT JOIN sv ON hv.event_type = sv.event_type
-        |ORDER BY hv.event_type""".stripMargin
+        |ORDER BY hv.event_type""".stripMargin,
+    // Same week-truncated cohort assignment (both engines' date_trunc
+    // 'week' is Monday-start); the retained fraction is an exact
+    // integer pair divided in IEEE double, identical on both.
+    "q_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, wk,
+        |    MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM e),
+        |u AS (
+        |  SELECT DISTINCT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |    CAST((CAST(wk AS DATE) - CAST(cohort AS DATE)) // 7 AS INT)
+        |      AS week_offset,
+        |    user_id FROM c),
+        |a AS (
+        |  SELECT cohort_week, week_offset, COUNT(*) AS n_users,
+        |    CAST(SUM(user_id) AS BIGINT) AS sum_users
+        |  FROM u GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users, sum_users,
+        |  n_users / CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_week) AS DOUBLE) AS retained_frac
+        |FROM a
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Same spine/fill/window construction; the interpolation stays an
+    // exact integer rational so no engine ever divides.
+    "q_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) // 3600 AS pos,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, pos, COUNT(*) AS n, SUM(cents) AS cents
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(pos) AS lo, MAX(pos) AS hi FROM e),
+        |sp AS (SELECT t.event_type,
+        |         unnest(generate_series(b.lo, b.hi)) AS pos
+        |       FROM (SELECT DISTINCT event_type FROM e) t, b),
+        |f AS (SELECT sp.event_type, sp.pos, h.n, h.cents
+        |      FROM sp LEFT JOIN h USING (event_type, pos)),
+        |x AS (SELECT event_type, pos, COALESCE(n, 0) AS n_filled, cents,
+        |    last_value(cents IGNORE NULLS) OVER wp AS locf_cents,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN pos END
+        |      IGNORE NULLS) OVER wp AS prev_pos,
+        |    first_value(cents IGNORE NULLS) OVER wn AS next_cents,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN pos END
+        |      IGNORE NULLS) OVER wn AS next_pos
+        |  FROM f
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, CAST(pos AS BIGINT) AS pos,
+        |  CAST(n_filled AS BIGINT) AS n_filled,
+        |  CAST(locf_cents AS BIGINT) AS locf_cents,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |    ELSE locf_cents * (next_pos - pos) +
+        |         next_cents * (pos - prev_pos) END AS BIGINT) AS interp_num,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN 1
+        |    ELSE next_pos - prev_pos END AS BIGINT) AS interp_den
+        |FROM x ORDER BY event_type, pos""".stripMargin,
+    // Same deterministic dirty-snapshot derivation, same six rules.
+    "q_expectations" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 113 = 0 THEN NULL
+        |         ELSE o_custkey END AS ck,
+        |    CASE WHEN o_orderkey % 127 = 1 THEN -o_totalprice
+        |         ELSE o_totalprice END AS tp,
+        |    CASE WHEN o_orderkey % 131 = 2 THEN 'X'
+        |         ELSE o_orderstatus END AS st,
+        |    o_orderpriority AS pr, o_orderdate AS dt
+        |  FROM orders),
+        |d AS (SELECT * FROM base
+        |      UNION ALL SELECT * FROM base WHERE k % 139 = 3),
+        |m AS (SELECT COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN ck IS NULL THEN 1 END) AS v1,
+        |    COUNT(CASE WHEN tp <= 0 THEN 1 END) AS v2,
+        |    COUNT(CASE WHEN st NOT IN ('O','F','P') THEN 1 END) AS v3,
+        |    COUNT(CASE WHEN NOT regexp_matches(pr, '^[1-5]-[A-Z ]+$')
+        |      THEN 1 END) AS v4,
+        |    COUNT(CASE WHEN dt < TIMESTAMP '1990-01-01'
+        |      OR dt >= TIMESTAMP '2005-01-01' THEN 1 END) AS v5
+        |  FROM d),
+        |u AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |      AS nv
+        |  FROM (SELECT COUNT(*) AS c FROM d GROUP BY k)),
+        |r AS (
+        |  SELECT 'bounds_orderdate' AS rule, n_rows, v5 AS nv FROM m
+        |  UNION ALL SELECT 'completeness_custkey', n_rows, v1 FROM m
+        |  UNION ALL SELECT 'domain_orderstatus', n_rows, v3 FROM m
+        |  UNION ALL SELECT 'pattern_orderpriority', n_rows, v4 FROM m
+        |  UNION ALL SELECT 'range_totalprice_positive', n_rows, v2 FROM m
+        |  UNION ALL SELECT 'unique_orderkey', n_rows, nv FROM u)
+        |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(nv AS BIGINT) AS n_violations, nv = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
+    // Same one-window two-model attribution; DuckDB's IGNORE NULLS over
+    // the 1-PRECEDING frame matches Spark's last/first(ignoreNulls).
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER w AS last_touch,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER w AS first_touch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+        |x AS (
+        |  SELECT 'first_touch' AS model,
+        |    COALESCE(first_touch, '(direct)') AS touch_type, cents FROM p
+        |  UNION ALL
+        |  SELECT 'last_touch',
+        |    COALESCE(last_touch, '(direct)'), cents FROM p)
+        |SELECT model, touch_type, COUNT(*) AS n_conversions,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same value-based RANGE frame over epoch seconds.
+    "q_rolling_range" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS sec,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, sec,
+        |  COUNT(*) OVER w AS n_7d,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_7d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY sec
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    // Same lead() pairing and tiny-table normalizer window.
+    "q_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS from_total,
+        |  n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // Same graduated edge derivation as q_pagerank's oracle (shared
+    // CTE spelling, materialized for the same reason); the triangle
+    // count itself is the naive 3-way join — the value the oriented
+    // Spark plan must reproduce.
+    "q_triangles" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem),
+         |grp AS MATERIALIZED (
+         |  SELECT ok, count(*) AS m, min(sk) AS pivot FROM li GROUP BY ok),
+         |pairs AS (
+         |  SELECT a.sk AS src, b.sk AS dst
+         |  FROM li a JOIN grp g ON g.ok = a.ok AND g.m <= $PrStarT
+         |  JOIN li b ON a.ok = b.ok AND a.sk <> b.sk
+         |  UNION ALL
+         |  SELECT li.sk, g.pivot FROM li
+         |  JOIN grp g ON g.ok = li.ok AND g.m > $PrStarT
+         |  WHERE li.sk <> g.pivot
+         |  UNION ALL
+         |  SELECT g.pivot, li.sk FROM li
+         |  JOIN grp g ON g.ok = li.ok AND g.m > $PrStarT
+         |  WHERE li.sk <> g.pivot),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT src AS s, dst AS t FROM pairs WHERE src < dst),
+         |tri AS (
+         |  SELECT COUNT(*) AS n FROM edges e1
+         |  JOIN edges e2 ON e2.s = e1.s AND e2.t > e1.t
+         |  JOIN edges e3 ON e3.s = e1.t AND e3.t = e2.t)
+         |SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+         |  (SELECT COUNT(*) FROM edges) AS n_edges,
+         |  (SELECT COUNT(DISTINCT u) FROM
+         |    (SELECT s AS u FROM edges UNION ALL SELECT t FROM edges))
+         |    AS n_nodes
+         |FROM tri""".stripMargin
   )
 
   val oracles: Map[String, String] = checked(

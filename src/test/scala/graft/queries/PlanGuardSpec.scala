@@ -248,4 +248,70 @@ class PlanGuardSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
       s"q_scd2 duplicated its user-keyed exchange:\n$p")
   }
+
+  test("q_retention_cohort reads the event log ONCE (the cohort-size " +
+      "side is a window over the tiny rollup, not a replanned self-join " +
+      "that re-scans) and the per-user dedup rides the window's user_id " +
+      "exchange via the partitioning-subset rule") {
+    val p = plan("q_retention_cohort")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_retention_cohort re-scans the event log:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"q_retention_cohort user_id exchange count drifted:\n$p")
+  }
+
+  test("q_attribution computes both touch models from ONE window node " +
+      "over ONE user-keyed exchange and one scan") {
+    val p = plan("q_attribution")
+    assert("Window".r.findAllIn(p).length === 1,
+      s"q_attribution split its touch columns into two window passes:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"q_attribution user_id exchange count drifted:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_attribution scan count drifted:\n$p")
+  }
+
+  test("q_gapfill builds its spine from 3 scans (types, bounds, hourly) " +
+      "and fills over a broadcast of the bounded (type, hour) grid") {
+    val p = plan("q_gapfill")
+    assert("Scan parquet".r.findAllIn(p).length === 3,
+      s"q_gapfill scan count drifted:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_gapfill shuffles the bounded grid join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q_gapfill planned a cartesian spine:\n$p")
+  }
+
+  test("q_rolling_range plans ONE RangeFrame window (count+sum fused) " +
+      "over one customer-keyed exchange and one scan") {
+    val p = plan("q_rolling_range")
+    assert("Window".r.findAllIn(p).length === 1,
+      s"q_rolling_range window count drifted:\n$p")
+    assert(p.contains("RangeFrame"),
+      s"q_rolling_range lost its value-based RANGE frame:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_rolling_range scan count drifted:\n$p")
+  }
+
+  test("q_markov_transitions reads the event log once over one " +
+      "user-keyed exchange (the normalizer window runs on the tiny " +
+      "transition table, never the log)") {
+    val p = plan("q_markov_transitions")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_markov_transitions re-scans the event log:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"q_markov_transitions user_id exchange count drifted:\n$p")
+  }
+
+  test("q_expectations evaluates the whole rule suite on ONE keyed " +
+      "exchange (row-local rules ride the uniqueness shuffle as per-key " +
+      "counters) over the union's 2 scans") {
+    val p = plan("q_expectations")
+    assert("Scan parquet".r.findAllIn(p).length === 2,
+      s"q_expectations scan count drifted:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"q_expectations grew a second keyed exchange:\n$p")
+    assert(p.contains("stack"),
+      s"q_expectations lost its stack pivot:\n$p")
+  }
 }
