@@ -1715,6 +1715,90 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_triangles"))
       tri.crossJoin(und.agg(count(lit(1)).as("n_edges")))
         .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    },
+
+    // Changepoint detection — find the day the level of a daily count
+    // series shifts, per event type, with a PLANTED +100% purchase
+    // shift from Jan 20 so the detector has a true positive to find
+    // (the q_expectations discipline: a detector that never fires
+    // proves nothing). The statistic is the CUSUM split distance in
+    // its MULTIPLIED-OUT form |n·S_i − i·S_n| — exact BIGINT, no mean,
+    // no division, no floats — maximized per type with an explicit
+    // (score DESC, day ASC) rank so ties are deterministic on both
+    // engines. Shape: one scan into a (type, day) agg (one keyed
+    // exchange); everything after runs on the tiny daily table whose
+    // per-type partition is bounded by wall-clock days, not rows.
+    "q_changepoint" -> { (s, dir) =>
+      val shifted = lit("2024-01-20 00:00:00").cast("timestamp")
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts").cast("timestamp")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("raw"))
+        .withColumn("cnt", col("raw") *
+          (lit(1) + when(col("event_type") === "purchase" &&
+            col("day") >= shifted, 1).otherwise(0)))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("s_i", sum(col("cnt")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s_n", sum(col("cnt")).over(wAll))
+        .withColumn("score",
+          abs(col("n") * col("s_i") - col("i") * col("s_n")))
+      scored
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("score").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+          col("score").cast("long").as("max_score"),
+          col("n").cast("long").as("n_days"),
+          col("s_n").cast("long").as("total_cnt"))
+        .orderBy(col("event_type"))
+    },
+
+    // A/B experiment analysis — deterministic arm assignment
+    // (user_id parity; a hash would differ across engines), per-user
+    // conversion (a HIGH-VALUE purchase, >= $150 — "any purchase"
+    // saturates at rate 1.0 on this log and a saturated pooled
+    // variance is 0, which ANSI mode correctly refuses to divide by),
+    // then the two-proportion z-test in one row. Counts are exact;
+    // rates/lift/z are IEEE doubles built from correctly-rounded ops
+    // (div, sqrt) spelled identically on both engines, so even the
+    // test statistic hash-compares; the degenerate p∈{0,1} case is
+    // guarded to NULL on both sides. Shape: one scan into a per-user
+    // agg (one keyed exchange — parity and conversion collapse
+    // map-side), then a 1-row conditional aggregate; nothing after the
+    // user reduce scales with the log.
+    "q_abtest" -> { (s, dir) =>
+      val users = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= 150.0, 1).otherwise(0)).as("conv"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      users.agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv"))).cast("long").as("conv_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv"))).cast("long").as("conv_b"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          (col("conv_a") / col("n_a")).as("rate_a"),
+          (col("conv_b") / col("n_b")).as("rate_b"),
+          ((col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+            .as("p_pool"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          col("rate_a"), col("rate_b"),
+          (col("rate_a") - col("rate_b")).as("lift"),
+          when(col("p_pool") > 0 && col("p_pool") < 1,
+            (col("rate_a") - col("rate_b")) /
+              sqrt(col("p_pool") * (lit(1) - col("p_pool")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+            .as("z_score"))
     }
   )
 
@@ -2372,7 +2456,70 @@ object RelationalQueries {
          |  (SELECT COUNT(DISTINCT u) FROM
          |    (SELECT s AS u FROM edges UNION ALL SELECT t FROM edges))
          |    AS n_nodes
-         |FROM tri""".stripMargin
+         |FROM tri""".stripMargin,
+    // Same multiplied-out CUSUM statistic and planted purchase shift.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    COUNT(*) *
+        |      (1 + CASE WHEN event_type = 'purchase'
+        |        AND date_trunc('day', CAST(ts AS TIMESTAMP)) >=
+        |          TIMESTAMP '2024-01-20 00:00:00'
+        |        THEN 1 ELSE 0 END) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, day, cnt,
+        |    CAST(row_number() OVER wo AS BIGINT) AS i,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+        |    COUNT(*) OVER wa AS n,
+        |    SUM(cnt) OVER wa AS s_n
+        |  FROM daily
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |         wa AS (PARTITION BY event_type)),
+        |ranked AS (
+        |  SELECT *, abs(n * s_i - i * s_n) AS score,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * s_i - i * s_n) DESC, day) AS rk
+        |  FROM scored)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+        |  CAST(score AS BIGINT) AS max_score,
+        |  CAST(n AS BIGINT) AS n_days,
+        |  CAST(s_n AS BIGINT) AS total_cnt
+        |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // Same parity assignment, conversion predicate and
+    // identically-spelled z statistic (guarded to NULL when the pooled
+    // rate degenerates to 0 or 1).
+    "q_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+        |      THEN 1 ELSE 0 END) AS conv,
+        |    CAST(user_id % 2 AS INT) AS arm
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv END) AS BIGINT)
+        |      AS conv_a,
+        |    COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv END) AS BIGINT)
+        |      AS conv_b
+        |  FROM u),
+        |r AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |    conv_a / CAST(n_a AS DOUBLE) AS rate_a,
+        |    conv_b / CAST(n_b AS DOUBLE) AS rate_b,
+        |    (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+        |  FROM a)
+        |SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+        |  rate_a - rate_b AS lift,
+        |  CASE WHEN p_pool > 0 AND p_pool < 1 THEN
+        |    (rate_a - rate_b) /
+        |    sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b))
+        |  END AS z_score
+        |FROM r""".stripMargin
   )
 
   val oracles: Map[String, String] = checked(

@@ -303,6 +303,25 @@ class PlanGuardSpec extends SparkSpec {
       s"q_markov_transitions user_id exchange count drifted:\n$p")
   }
 
+  test("q_changepoint reduces the log in one (type, day) agg pass and " +
+      "pushes the argmax as a WindowGroupLimit (top-1 per type, no " +
+      "full-partition rank materialization)") {
+    val p = plan("q_changepoint")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_changepoint re-scans the event log:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"q_changepoint lost its top-1 group-limit pushdown:\n$p")
+  }
+
+  test("q_abtest reduces per-user over ONE keyed exchange and finishes " +
+      "on a single-partition 1-row aggregate") {
+    val p = plan("q_abtest")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_abtest scan count drifted:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"q_abtest keyed exchange count drifted:\n$p")
+  }
+
   test("q_expectations evaluates the whole rule suite on ONE keyed " +
       "exchange (row-local rules ride the uniqueness shuffle as per-key " +
       "counters) over the union's 2 scans") {
