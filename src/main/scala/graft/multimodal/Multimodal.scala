@@ -762,6 +762,16 @@ object MediaCodec {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = Qoi.decode(bytes)
     }
 
+  /** REAL interchange image format: PNG (W3C spec — see [[Png]]).
+    * Returns (w, h, row-major 0xRRGGBB pixels). PNG has CRC-32 on
+    * every chunk, so the decoder VERIFIES integrity (like [[flac]]'s
+    * CRCs, unlike [[qoi]]'s none) on top of the structural surface;
+    * the caller proves losslessness by decoded==source. */
+  def png: MediaCodec[(Int, Int, Array[Int])] =
+    () => new Session[(Int, Int, Array[Int])] {
+      def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = Png.decode(bytes)
+    }
+
   def wavAdpcm: MediaCodec[(Int, Int, Array[Short])] =
     () => new Session[(Int, Int, Array[Short])] {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {

@@ -280,6 +280,33 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Fourth compressed-image format and the interchange flagship:
+    // PNG round trip over the SAME [[graft.multimodal.Qoi.testImage]]
+    // pixels as mm_image_qoi, so the two codecs certify losslessness
+    // against the same source formula and share oracle arithmetic.
+    // PNG carries CRC-32 per chunk — the decoder VERIFIES it (PngSpec
+    // proves a flipped IDAT byte rejects), and the encoder's per-row
+    // min-sum-of-abs filter heuristic means the stream genuinely mixes
+    // filter types (PngSpec walks the re-inflated filter bytes).
+    "mm_image_png" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.png.open()
+          it.map { id =>
+            val (w, h, src) = graft.multimodal.Qoi.testImage(id)
+            val (dw, dh, px) = codec.decode(
+              graft.multimodal.Png.encode(w, h, src))
+            val lossless = dw == w && dh == h && px.sameElements(src)
+            val sum = px.foldLeft(0L)((acc, p) => acc +
+              ((p >>> 16) & 0xFF) + ((p >>> 8) & 0xFF) + (p & 0xFF))
+            (id, dw, dh, sum / (3L * px.length), lossless)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_rgb", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_audio_decode" -> { (s, dir) =>
       import s.implicits._
       codecIds(s, dir)
@@ -413,6 +440,33 @@ object MmQueries {
     // uniform 3·base, row 1 the (+1,+1,+1) ramp, row 2 alternating
     // base / (base+97, base+31, base+13), rows 3+ three gradients.
     "mm_image_qoi" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |  CAST(list_sum(list_transform(
+        |      range(0, (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)),
+        |      i -> CASE
+        |        WHEN i // (8 + doc_id % 16) = 0
+        |          THEN 3 * ((doc_id * 37) % 256)
+        |        WHEN i // (8 + doc_id % 16) = 1
+        |          THEN 3 * (((doc_id * 37) % 256 + i % (8 + doc_id % 16)) % 256)
+        |        WHEN i // (8 + doc_id % 16) = 2
+        |          THEN CASE WHEN (i % (8 + doc_id % 16)) % 2 = 0
+        |            THEN 3 * ((doc_id * 37) % 256)
+        |            ELSE ((doc_id * 37) % 256 + 97) % 256
+        |               + ((doc_id * 37) % 256 + 31) % 256
+        |               + ((doc_id * 37) % 256 + 13) % 256 END
+        |        ELSE ((doc_id * 37) % 256 + 3 * (i % (8 + doc_id % 16))) % 256
+        |           + ((doc_id * 37) % 256 + 11 * (i // (8 + doc_id % 16))) % 256
+        |           + ((doc_id * 37) % 256 + 5 * (i % (8 + doc_id % 16))
+        |              + 7 * (i // (8 + doc_id % 16))) % 256 END))
+        |    // (3 * (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)) AS BIGINT)
+        |    AS mean_rgb,
+        |  TRUE AS lossless
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // PNG is lossless over the SAME test image as mm_image_qoi, so its
+    // oracle is the identical four-region mean formula.
+    "mm_image_png" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 16 AS INT) AS width,
         |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
