@@ -1799,6 +1799,81 @@ object RelationalQueries {
               sqrt(col("p_pool") * (lit(1) - col("p_pool")) *
                 (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
             .as("z_score"))
+    },
+
+    // Training-shard assignment — the write-side primitive of every
+    // corpus build: route each document to one of 32 shards by a
+    // CONTENT hash (the engine-neutral md5-60bit the dedup family
+    // mirrors in SQL; an id-range shard would correlate with crawl
+    // order and load-skew downstream readers), then audit the balance
+    // each shard's reader will actually see. The balance ratio is an
+    // exact integer pair divided once in IEEE double. Shape: one scan
+    // into a 32-group agg (partial collapses map-side to 32 rows per
+    // task); the global-total window runs on the 32-row result.
+    "q_shard_assign" -> { (s, dir) =>
+      val nShards = 32
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (graft.dedup.Dedup.hash60(col("text")) % nShards).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .withColumn("balance",
+          col("n_docs") * nShards /
+            sum(col("n_docs")).over(Window.partitionBy()))
+        .orderBy(col("shard"))
+    },
+
+    // Compaction planning — the table-maintenance primitive behind
+    // OPTIMIZE/rewrite-small-files: model each (day, priority) slice of
+    // orders as a data file, then bin consecutive files into
+    // target-sized output groups per month with a cumulative-size
+    // assignment (bin = prefix-bytes DIV target — the streaming
+    // grouping real compactors use because it preserves sort order;
+    // first-fit-decreasing would not). The target is DERIVED from the
+    // manifest (8× the average file size, exact integer division) —
+    // a fixed byte literal degenerates to one-file bins at whatever SF
+    // first makes files outgrow it, the oracle-literal hazard the
+    // verify recipe warns about, caught here by exactly that probe.
+    // Shape: one keyed agg builds the file manifest, a 1-row aggregate
+    // broadcasts the target back (the bm25 two-pass stats shape), the
+    // prefix sum windows WITHIN month (partitions bounded by
+    // days×priorities, never by row count), and the final
+    // per-(month, bin) rollup rides the month partitioning via the
+    // subset rule — one manifest-sized exchange after the scan, total.
+    "q_compaction_bins" -> { (s, dir) =>
+      val files = table(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("month"),
+          date_trunc("day", col("o_orderdate")).as("day"),
+          col("o_orderpriority").as("prio"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("month"), col("day"), col("prio"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("bytes"))
+        // the manifest feeds both the target aggregate and the binning
+        // pass — materialize it once (days×priorities rows) or the
+        // target's 1-row agg re-scans the full orders table
+        .localCheckpoint()
+      val target = files.agg(
+        expr("(sum(bytes) div count(1)) * 8L").as("target"))
+      val w = Window.partitionBy(col("month"))
+        .orderBy(col("day"), col("prio"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files.crossJoin(broadcast(target))
+        .withColumn("cum_before",
+          coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr("cum_before div target"))
+        .groupBy(col("month"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).cast("long").as("bytes"),
+          sum(col("n_rows")).cast("long").as("n_rows"),
+          date_format(min(col("day")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("day")), "yyyy-MM-dd").as("last_day"))
+        .select(date_format(col("month"), "yyyy-MM").as("month"),
+          col("bin").cast("long").as("bin"), col("n_files"),
+          col("bytes"), col("n_rows"), col("first_day"), col("last_day"))
+        .orderBy(col("month"), col("bin"))
     }
   )
 
@@ -2519,7 +2594,48 @@ object RelationalQueries {
         |    (rate_a - rate_b) /
         |    sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b))
         |  END AS z_score
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // Same content-hash sharding (the dedup family md5-60bit mirror)
+    // and balance arithmetic.
+    "q_shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |      % 1000000007) % 32 AS shard
+        |  FROM documents),
+        |a AS (
+        |  SELECT shard, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |  FROM d GROUP BY shard)
+        |SELECT shard, n_docs, sum_chars, sum_ids,
+        |  n_docs * 32 / CAST(SUM(n_docs) OVER () AS DOUBLE) AS balance
+        |FROM a ORDER BY shard""".stripMargin,
+    // Same manifest derivation and cumulative-size bin assignment.
+    "q_compaction_bins" ->
+      """WITH f AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    date_trunc('day', o_orderdate) AS day,
+        |    o_orderpriority AS prio,
+        |    COUNT(*) AS n_rows,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS bytes
+        |  FROM orders GROUP BY 1, 2, 3),
+        |t AS (SELECT (SUM(bytes) // COUNT(*)) * 8 AS target FROM f),
+        |c AS (
+        |  SELECT f.*,
+        |    COALESCE(SUM(bytes) OVER (PARTITION BY month
+        |      ORDER BY day, prio
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // t.target AS bin
+        |  FROM f, t)
+        |SELECT strftime(month, '%Y-%m') AS month,
+        |  CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  strftime(MIN(day), '%Y-%m-%d') AS first_day,
+        |  strftime(MAX(day), '%Y-%m-%d') AS last_day
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   val oracles: Map[String, String] = checked(

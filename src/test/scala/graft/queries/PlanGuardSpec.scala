@@ -322,6 +322,25 @@ class PlanGuardSpec extends SparkSpec {
       s"q_abtest keyed exchange count drifted:\n$p")
   }
 
+  test("q_shard_assign reduces to 32 shard rows over one keyed " +
+      "exchange; the balance window runs on the 32-row result") {
+    val p = plan("q_shard_assign")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_shard_assign scan count drifted:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"q_shard_assign keyed exchange count drifted:\n$p")
+  }
+
+  test("q_compaction_bins reads the checkpointed manifest (no parquet " +
+      "re-scan for the derived target) and its (month, bin) rollup " +
+      "rides the month window exchange via the subset rule") {
+    val p = plan("q_compaction_bins")
+    assert(!p.contains("Scan parquet"),
+      s"q_compaction_bins re-scans orders past the manifest:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"q_compaction_bins grew a second keyed exchange:\n$p")
+  }
+
   test("q_expectations evaluates the whole rule suite on ONE keyed " +
       "exchange (row-local rules ride the uniqueness shuffle as per-key " +
       "counters) over the union's 2 scans") {
