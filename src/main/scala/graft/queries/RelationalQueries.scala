@@ -1669,22 +1669,32 @@ object RelationalQueries {
         .orderBy(col("from_type"), col("to_type"))
     },
 
-    // Exact triangle counting over the co-supply graph — the
-    // clustering-coefficient / community primitive, on the same
-    // graduated edge derivation q_pagerank uses (shared coSupplyEdges,
-    // so the hot-group regime guard comes for free). The algorithm is
-    // the DEGREE-ORIENTED wedge join: every edge is directed toward
-    // its higher-(degree, id) endpoint, so each triangle is generated
-    // exactly once from its minimum node and — the 100 TB property —
-    // the wedge fan-out per node is bounded by its OUT-degree, which
-    // orientation caps at O(sqrt(E)) even for a celebrity hub whose
-    // undirected degree is O(N) (an unoriented wedge join explodes
-    // quadratically on exactly those hubs). The oracle counts the same
-    // triangles with the naive 3-way join — same value, so the gate
-    // certifies the oriented plan against the textbook spelling.
+    // Exact triangle counting over the co-PURCHASE graph (parts
+    // appearing among the first three line items of the same order —
+    // the market-basket projection) — the clustering-coefficient /
+    // community primitive, on the same graduated edge derivation
+    // q_pagerank uses (shared coSupplyEdges, so the hot-group regime
+    // guard comes for free). The algorithm is the DEGREE-ORIENTED
+    // wedge join: every edge is directed toward its higher-(degree,
+    // id) endpoint, so each triangle is generated exactly once from
+    // its minimum node and — the 100 TB property — the wedge fan-out
+    // per node is bounded by its OUT-degree, which orientation caps at
+    // O(sqrt(E)) even for a celebrity hub whose undirected degree is
+    // O(N) (an unoriented wedge join explodes quadratically on exactly
+    // those hubs). GRAPH CHOICE IS A SCALE DECISION: the supplier
+    // projection saturates to a COMPLETE graph on this data (every
+    // supplier pair co-occurs), where the triangle COUNT ITSELF is
+    // Θ(n³) — 1.24e9 triangles at sf1, 412s, no algorithm fixes an
+    // answer that big (measured; NOTES.md). The part projection's node
+    // universe grows WITH the data while basket size stays bounded, so
+    // density falls and the enumeration stays proportional to real
+    // structure. The oracle counts the same triangles with the naive
+    // 3-way join — same value, so the gate certifies the oriented
+    // plan against the textbook spelling.
     "q_triangles" -> { (s, dir) =>
       val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
         .distinct()
       // undirected edges, reused by degrees + orientation + the closing
       // join — materialize once (same budget q_pagerank pays)
@@ -2499,13 +2509,14 @@ object RelationalQueries {
         |  n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY 1, 2""".stripMargin,
     // Same graduated edge derivation as q_pagerank's oracle (shared
-    // CTE spelling, materialized for the same reason); the triangle
-    // count itself is the naive 3-way join — the value the oriented
-    // Spark plan must reproduce.
+    // CTE spelling, materialized for the same reason) over the
+    // first-three-items part projection; the triangle count itself is
+    // the naive 3-way join — the value the oriented Spark plan must
+    // reproduce.
     "q_triangles" ->
       s"""WITH li AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-         |  FROM lineitem),
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+         |  FROM lineitem WHERE l_linenumber <= 3),
          |grp AS MATERIALIZED (
          |  SELECT ok, count(*) AS m, min(sk) AS pivot FROM li GROUP BY ok),
          |pairs AS (
