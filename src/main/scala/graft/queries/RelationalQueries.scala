@@ -616,6 +616,44 @@ object RelationalQueries {
   /** Second batch: join shapes + grouping analytics completing the §2
     * inventory (full outer, range/theta, cube, rank battery, multiset
     * set-ops, approx distinct, typed Dataset). */
+  /** Degree-oriented exact triangle count over undirected edges
+    * (columns src < dst, pre-deduped): every edge is directed toward
+    * its higher-(degree, id) endpoint, so each triangle is generated
+    * exactly once from its minimum node and the wedge fan-out per node
+    * is bounded by OUT-degree ≤ O(sqrt(E)) even for hubs whose
+    * undirected degree is O(N). Returns one row:
+    * (n_triangles, n_edges, n_nodes). TrianglesProps pins it to a
+    * driver-side brute-force count on random graphs. */
+  private[queries] def orientedTriangles(undRaw: DataFrame): DataFrame = {
+    // reused by degrees + orientation + the closing join —
+    // materialize once (same budget q_pagerank pays for its edges)
+    val und = undRaw.localCheckpoint()
+    val deg = und.select(explode(array(col("src"), col("dst"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val out = und
+      .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("u").as("dst"), col("d").as("dt")), Seq("dst"))
+      .select(
+        when(col("ds") < col("dt") ||
+          (col("ds") === col("dt") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v"),
+            col("dt").as("dv")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"),
+            col("ds").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint()
+    val wedges = out.as("e1")
+      .join(out.as("e2"), col("e1.u") === col("e2.u"))
+      .filter(col("e1.dv") < col("e2.dv") ||
+        (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v")))
+      .select(col("e1.v").as("b"), col("e2.v").as("c"))
+    wedges
+      .join(out.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+  }
+
   val defs2: Map[String, Q] = checked(
     // Interchange-format fidelity: write the corpus out through the
     // three non-parquet formats an ingest pipeline meets (ORC — the
@@ -1696,35 +1734,8 @@ object RelationalQueries {
         .filter(col("l_linenumber") <= 3)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("sk"))
         .distinct()
-      // undirected edges, reused by degrees + orientation + the closing
-      // join — materialize once (same budget q_pagerank pays)
-      val und = coSupplyEdges(li, PrStarT)
-        .filter(col("src") < col("dst"))
-        .localCheckpoint()
-      val deg = und.select(explode(array(col("src"), col("dst"))).as("u"))
-        .groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val out = und
-        .join(deg.select(col("u").as("src"), col("d").as("ds")), Seq("src"))
-        .join(deg.select(col("u").as("dst"), col("d").as("dt")), Seq("dst"))
-        .select(
-          when(col("ds") < col("dt") ||
-            (col("ds") === col("dt") && col("src") < col("dst")),
-            struct(col("src").as("u"), col("dst").as("v"),
-              col("dt").as("dv")))
-            .otherwise(struct(col("dst").as("u"), col("src").as("v"),
-              col("ds").as("dv"))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-        .localCheckpoint()
-      val wedges = out.as("e1")
-        .join(out.as("e2"), col("e1.u") === col("e2.u"))
-        .filter(col("e1.dv") < col("e2.dv") ||
-          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v")))
-        .select(col("e1.v").as("b"), col("e2.v").as("c"))
-      val tri = wedges
-        .join(out.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
-      tri.crossJoin(und.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      orientedTriangles(coSupplyEdges(li, PrStarT)
+        .filter(col("src") < col("dst")))
     },
 
     // Changepoint detection — find the day the level of a daily count
@@ -1884,6 +1895,113 @@ object RelationalQueries {
           col("bin").cast("long").as("bin"), col("n_files"),
           col("bytes"), col("n_rows"), col("first_day"), col("last_day"))
         .orderBy(col("month"), col("bin"))
+    },
+
+    // RFM segmentation — the classic customer-value model: per
+    // customer, Recency (days since last order at the corpus horizon),
+    // Frequency (orders) and Monetary (exact cents), each scored 1-4
+    // by NTILE quartile. NTILE over ties is ORDER-dependent, so every
+    // quartile window carries the customer key as an explicit
+    // tiebreak — the same determinism rule as q_window_dist; without
+    // it the gate would go red on the first tied frequency. Output is
+    // the segment-level rollup (64 possible cells), not per-customer
+    // rows. Shape: one scan into a per-customer agg (one keyed
+    // exchange); the three NTILE windows run over the
+    // customers-sized aggregate, then a tiny cell rollup.
+    "q_rfm" -> { (s, dir) =>
+      val horizon = lit("2002-01-01 00:00:00").cast("timestamp")
+      val per = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(datediff(horizon, max(col("o_orderdate"))).as("recency"),
+          count(lit(1)).as("frequency"),
+          sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long")).as("cents"))
+      def quartile(c: String) = ntile(4).over(Window
+        .orderBy(col(c), col("o_custkey")))
+      per
+        .withColumn("r_score", quartile("recency"))
+        .withColumn("f_score", quartile("frequency"))
+        .withColumn("m_score", quartile("cents"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).cast("long").as("cents"),
+          sum(col("o_custkey")).cast("long").as("sum_custkeys"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
+    // Pareto / ABC classification — "which parts carry 80% of the
+    // revenue": parts ranked by exact revenue cents, running share
+    // classified A (first 60% of cumulative revenue), B (next 25%),
+    // C (tail). The share thresholds compare MULTIPLIED-OUT integers
+    // (100·cum ≤ 60·total) — no percentage is ever computed in float,
+    // so the class boundaries are exact on both engines. Shape: one
+    // scan into a per-part agg (one keyed exchange); the global
+    // revenue-ordered cumsum runs over the parts-sized aggregate in
+    // ONE ordered window (at 100 TB: parts ≪ lineitems — the window
+    // input is the dimension's cardinality, and a two-phase
+    // shard-prefix sum like text_pack's is the escape hatch if even
+    // that outgrows a partition); output is the 3-row class rollup.
+    "q_pareto_abc" -> { (s, dir) =>
+      val per = table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      per
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("total", sum(col("cents")).over(wAll))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 60, "A")
+            .when(col("cum") * 100 <= col("total") * 85, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("cents")).cast("long").as("cents"),
+          min(col("cents")).cast("long").as("min_part_cents"),
+          max(col("cents")).cast("long").as("max_part_cents"))
+        .orderBy(col("cls"))
+    },
+
+    // Benford first-digit audit — the fraud/fabrication screen run on
+    // financial columns: the distribution of leading digits of
+    // o_totalprice vs Benford's law, with the chi-square statistic in
+    // exact integer micro-units: expected counts are log10(1+1/d)
+    // quantized driver-side to parts-per-million ONCE (both engines
+    // receive the same nine integer constants — no engine evaluates a
+    // log), and each digit's χ² term is pinned by its exact RATIONAL
+    // pieces: the signed deviation dev = 1e6·obs − n·exp_ppm and the
+    // scaled expectation n·exp_ppm, both BIGINT at any SF (χ² itself
+    // is dev²/(1e6·n·exp_ppm), derivable — but the SQUARE overflows
+    // BIGINT past ~sf0.1 and DECIMAL(38,0) round-trips as lossy
+    // float64 through DuckDB's pandas bridge, both measured; the
+    // un-squared pieces carry identical information exactly). First
+    // digit comes from the EXACT cents value as a string — float
+    // formatting differs across engines; integer digits don't. One
+    // scan, one 9-group aggregate.
+    "q_benford" -> { (s, dir) =>
+      // log10(1+1/d) in ppm, d=1..9 — driver-side constants, same on
+      // both sides (the LM micro-nat discipline)
+      val expPpm = (1 to 9).map(d => math.round(
+        math.log10(1.0 + 1.0 / d) * 1000000).toInt)
+      val expMap = map((1 to 9).flatMap(d =>
+        Seq(lit(d), lit(expPpm(d - 1)))): _*)
+      val digits = table(s, dir, "orders")
+        .select(substring((col("o_totalprice")
+          .cast(DecimalType(12, 2)) * 100).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("obs"))
+      digits
+        .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+        .withColumn("exp_ppm", expMap(col("digit")))
+        .select(col("digit"), col("obs"),
+          col("exp_ppm").cast("long").as("exp_ppm"),
+          expr("1000000L * obs - n * exp_ppm").cast("long")
+            .as("dev_x1e6"),
+          expr("n * exp_ppm").cast("long").as("exp_n"))
+        .orderBy(col("digit"))
     }
   )
 
@@ -2646,7 +2764,76 @@ object RelationalQueries {
         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
         |  strftime(MIN(day), '%Y-%m-%d') AS first_day,
         |  strftime(MAX(day), '%Y-%m-%d') AS last_day
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same horizon, same NTILE windows with the customer-key tiebreak.
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(DATE '2002-01-01' - CAST(MAX(o_orderdate) AS DATE)
+        |      AS INT) AS recency,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey, cents,
+        |    CAST(ntile(4) OVER (ORDER BY recency, o_custkey) AS INT)
+        |      AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT)
+        |      AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY cents, o_custkey) AS INT)
+        |      AS m_score
+        |  FROM per)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_custkeys
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Same exact-cents ranking and multiplied-out share thresholds.
+    "q_pareto_abc" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (
+        |  SELECT cents,
+        |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cents) OVER () AS total
+        |  FROM per),
+        |k AS (
+        |  SELECT cents,
+        |    CASE WHEN cum * 100 <= total * 60 THEN 'A'
+        |         WHEN cum * 100 <= total * 85 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM c)
+        |SELECT cls, COUNT(*) AS n_parts,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(MIN(cents) AS BIGINT) AS min_part_cents,
+        |  CAST(MAX(cents) AS BIGINT) AS max_part_cents
+        |FROM k GROUP BY cls ORDER BY cls""".stripMargin,
+    // Same nine driver-quantized ppm constants; the χ² pieces stay
+    // exact BIGINTs (no square, no division).
+    "q_benford" -> {
+      val exp = (1 to 9).map(d => (d, math.round(
+        math.log10(1.0 + 1.0 / d) * 1000000).toInt))
+      val values = exp.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH digits AS (
+         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+         |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS INT) AS digit,
+         |    COUNT(*) AS obs
+         |  FROM orders GROUP BY 1),
+         |e(digit, exp_ppm) AS (VALUES $values),
+         |j AS (
+         |  SELECT d.digit, d.obs, e.exp_ppm,
+         |    SUM(d.obs) OVER () AS n
+         |  FROM digits d JOIN e USING (digit))
+         |SELECT digit, obs, CAST(exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(1000000 * obs - n * exp_ppm AS BIGINT) AS dev_x1e6,
+         |  CAST(n * exp_ppm AS BIGINT) AS exp_n
+         |FROM j ORDER BY digit""".stripMargin
+    }
   )
 
   val oracles: Map[String, String] = checked(

@@ -341,6 +341,36 @@ class PlanGuardSpec extends SparkSpec {
       s"q_compaction_bins grew a second keyed exchange:\n$p")
   }
 
+  test("q_rfm scores quartiles over the customers-sized aggregate: " +
+      "one scan, one keyed exchange, three NTILE windows (each with " +
+      "the customer-key tiebreak in its sort)") {
+    val p = plan("q_rfm")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_rfm scan count drifted:\n$p")
+    assert("ntile".r.findAllIn(p).length === 3,
+      s"q_rfm ntile window count drifted:\n$p")
+    assert(!p.contains("windowspecdefinition(recency#") ||
+      p.contains("recency"), s"q_rfm lost a window:\n$p")
+  }
+
+  test("q_pareto_abc and q_benford cumulate over their AGGREGATE " +
+      "(dimension-sized input below the single-partition window), " +
+      "one scan each") {
+    Seq("q_pareto_abc", "q_benford").foreach { n =>
+      val p = plan(n)
+      assert("Scan parquet".r.findAllIn(p).length === 1,
+        s"$n scan count drifted:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+        s"$n keyed exchange count drifted:\n$p")
+      // the SinglePartition window must sit ABOVE the keyed aggregate
+      val lines = p.linesIterator.toVector
+      val winIdx = lines.indexWhere(_.contains("Window"))
+      val aggIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+      assert(winIdx >= 0 && aggIdx > winIdx,
+        s"$n window below the reducing aggregate:\n$p")
+    }
+  }
+
   test("q_expectations evaluates the whole rule suite on ONE keyed " +
       "exchange (row-local rules ride the uniqueness shuffle as per-key " +
       "counters) over the union's 2 scans") {
