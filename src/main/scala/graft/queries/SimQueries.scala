@@ -156,6 +156,18 @@ object SimQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // MMR diversified re-ranking — top-20 retrieval then 5 greedy
+    // picks maximizing 0.7·rel − 0.3·max-sim-to-picked, unrolled into
+    // declarative steps so the lossy-looking re-ranker is hash-gate
+    // exact (see Similarity.mmrRerank).
+    "ann_mmr" -> { (s, dir) =>
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.mmrRerank(queries, corpus, k = 5, pool = 20)
+    },
+
     // Hard-negative mining for the first 10 query vectors: top-5
     // most-similar DIFFERENT-label corpus vectors (contrastive-
     // training negatives; same-label rows are positives and excluded
@@ -467,6 +479,54 @@ object SimQueries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** MMR mirror: the same greedy recurrence unrolled step-for-step
+    * (sel1 = argmax rel; selT = selT-1 + argmax 0.7·rel − 0.3·max sim
+    * to selT-1, ties by id) over the identical quantized-cosine
+    * candidate/pair tables. */
+  private val mmrSql: String = {
+    def step(t: Int): String =
+      s"""pick$t AS (
+         |  SELECT qid, id, $t AS mmr_rank, rel FROM (
+         |    SELECT c.qid, c.id, c.rel,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY 0.7 * c.rel - 0.3 * m.ms DESC, c.id) AS rk
+         |    FROM cand c
+         |    JOIN (SELECT p.qid, p.a AS id, MAX(p.sim) AS ms
+         |          FROM pair p
+         |          JOIN sel${t - 1} s ON s.qid = p.qid AND s.id = p.b
+         |          GROUP BY p.qid, p.a) m USING (qid, id)
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
+         |                      WHERE s2.qid = c.qid AND s2.id = c.id))
+         |  WHERE rk = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1}
+         |          UNION ALL SELECT * FROM pick$t)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, $quantSql AS qq
+       |  FROM embeddings WHERE vec_id < 10),
+       |c0 AS (SELECT vec_id AS id, $quantSql AS cq FROM embeddings),
+       |s0 AS (
+       |  SELECT qid, id, cq, ${cosSql("qq", "cq")} AS rel
+       |  FROM q, c0 WHERE qid <> id),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, id, cq, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, id) AS rk FROM s0)
+       |  WHERE rk <= 20),
+       |pair AS MATERIALIZED (
+       |  SELECT a.qid, a.id AS a, b.id AS b,
+       |    ${cosSql("a.cq", "b.cq")} AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.qid = b.qid AND a.id <> b.id),
+       |sel1 AS (
+       |  SELECT qid, id, 1 AS mmr_rank, rel FROM (
+       |    SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, id) AS rk FROM cand)
+       |  WHERE rk = 1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT qid, CAST(mmr_rank AS INT) AS mmr_rank, id, rel
+       |FROM sel5 ORDER BY qid, mmr_rank""".stripMargin
+  }
+
   /** SemDeDup mirror with the trained centroids as a pluggable CTE:
     * same corpus ∪ perturbed-copies construction as the LSH mirror,
     * the assignment CTE from the IVF mirror (highest cosine, then
@@ -709,6 +769,7 @@ object SimQueries {
     }
     checked(
       "ann_topk" -> annTopkSql,
+      "ann_mmr" -> mmrSql,
       "ann_hard_negatives" -> annHardNegSql,
       // exact pruning ⇒ the IVF-pruned range search must reproduce the
       // brute-force answer row-for-row; sharing the mirror makes the

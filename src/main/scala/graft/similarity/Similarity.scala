@@ -91,6 +91,75 @@ object Similarity {
     broadcastTopK(queries, corpus, k, Seq("qlabel"), Seq("label"),
       col("qid") =!= col("id") && col("qlabel") =!= col("label"))
 
+  /** Maximal-marginal-relevance re-ranking — the RAG retrieval
+    * diversifier: from each query's top-`pool` cosine candidates,
+    * greedily pick `k` where each pick maximizes
+    * 0.7·relevance − 0.3·(max cosine to anything already picked)
+    * (ties by id). The greedy recurrence is UNROLLED into k
+    * declarative steps (the q_pagerank discipline for iterative
+    * algorithms), each a join of the bounded candidate/pair tables —
+    * so the DuckDB oracle can mirror it CTE-for-CTE and the whole
+    * lossy-looking re-ranker stays hash-gate exact (relevance and
+    * pairwise sims are the already-pinned quantized cosine; the MMR
+    * combination is two double multiplies both engines spell
+    * identically — note 0.7 and 0.3 are BOTH literals: deriving one
+    * as 1−λ in Scala yields 0.30000000000000004 and a red gate).
+    * Scale shape: retrieval is the distributed broadcast-topk scan;
+    * everything after runs on qid×pool rows (bounded, checkpointed
+    * once for the pair build + k step reuses). Returns
+    * (qid, mmr_rank 1..k, id, rel). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+                k: Int, pool: Int): DataFrame = {
+    graft.functions.Native.register(corpus.sparkSession)
+    val q = broadcast(queries.select(
+      col("qid"), quantize(col("qvec")).as("qq")))
+    val c = corpus.select(col("id"), quantize(col("vec")).as("cq"))
+    val wRel = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("id"))
+    val cand = c.join(q, col("qid") =!= col("id"))
+      .withColumn("rel",
+        graft.functions.Native.cosineQ(col("qq"), col("cq")))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= pool)
+      .select(col("qid"), col("id"), col("cq"), col("rel"))
+      .localCheckpoint()
+    val pair = cand.as("a")
+      .join(cand.as("b"), col("a.qid") === col("b.qid") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.qid").as("qid"), col("a.id").as("a"),
+        col("b.id").as("b"),
+        graft.functions.Native.cosineQ(col("a.cq"), col("b.cq"))
+          .as("sim"))
+      .localCheckpoint()
+    var sel = cand
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("id"), lit(1).cast("int").as("mmr_rank"),
+        col("rel"))
+      .localCheckpoint()
+    (2 to k).foreach { t =>
+      val ms = pair
+        .join(sel.select(col("qid"), col("id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("id"))
+        .agg(max(col("sim")).as("ms"))
+      val pick = cand.join(ms, Seq("qid", "id"))
+        .join(sel.select(col("qid"), col("id")), Seq("qid", "id"),
+          "left_anti")
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("ms"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("id"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("id"),
+          lit(t).cast("int").as("mmr_rank"), col("rel"))
+      // checkpoint per step: the recurrence otherwise doubles the
+      // plan depth every iteration
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.orderBy(col("qid"), col("mmr_rank"))
+  }
+
   /** Brute-force cosine RANGE (radius) search: every corpus vector
     * with cosine ≥ `minCosine` to a query — top-k's fixed-radius
     * sibling (the ε-NN primitive retrieval and dedup candidate
