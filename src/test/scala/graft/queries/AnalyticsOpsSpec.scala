@@ -68,6 +68,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.head.getAs[String]("cp_day") === "2024-01-01")
   }
 
+  test("q_gapfill repairs a planted gap: zero-fill, LOCF from the left " +
+      "neighbor, and the interpolation rational reconstructs the line") {
+    // one type, hours 0..3 of 2024-01-01 with hour 2 EMPTY; cents sums
+    // 100, 200, (gap), 500 — interp at the gap must be the exact
+    // rational (200*(3-2) + 500*(2-1)) / (3-1) = 700/2; rows written
+    // directly (eventsDir's value formula is too coarse here)
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", 1L, "click", 1.00, "{}"),
+      (2L, "2024-01-01 01:10:00", 1L, "click", 2.00, "{}"),
+      (3L, "2024-01-01 03:10:00", 1L, "click", 5.00, "{}"))
+    import spark.implicits._
+    val dir2 = graft.TestSpark.scratch("gapfill-events")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .col("ts_s").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val out = SparkEntry.queries("q_gapfill")(spark, dir2)
+      .collect().map(r => r.getAs[Long]("pos") -> r).toMap
+    val base = out.keys.min
+    val gap = out(base + 2)
+    assert(gap.getAs[Long]("n_filled") === 0L)
+    assert(gap.getAs[Long]("locf_cents") === 200L)
+    assert(gap.getAs[Long]("interp_num") === 700L)
+    assert(gap.getAs[Long]("interp_den") === 2L)
+    // present rows carry themselves: num/den = cents/1
+    assert(out(base + 1).getAs[Long]("interp_num") === 200L)
+    assert(out(base + 1).getAs[Long]("interp_den") === 1L)
+  }
+
+  test("ann_mmr keeps each query's most relevant hit and diversifies " +
+      "the rest (picks differ from pure top-k for at least one query)") {
+    val dir = "/root/testdata/sf0.001"
+    val mmr = SparkEntry.queries("ann_mmr")(spark, dir).collect()
+    val topk = SparkEntry.queries("ann_topk")(spark, dir).collect()
+    val mmrTop = mmr.filter(_.getAs[Int]("mmr_rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+    val relTop = topk.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+    assert(mmrTop === relTop,
+      "MMR must never displace the single most relevant hit")
+    val mmrSets = mmr.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    val topkSets = topk.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    assert(mmrSets.exists { case (q, s) => s != topkSets(q) },
+      "diversification changed nothing — suspicious for this corpus")
+  }
+
   test("q_abtest splits by user parity and counts conversions exactly") {
     // users 0..9 (parity arms of 5); conversion needs value >= 150 —
     // plant 200 clicks (never converts) and purchases with i up to 199
