@@ -3,6 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -50,7 +51,8 @@ object Native {
     "graft_text_quality" -> (es => TextQualityExpr(es(0), es(1))),
     "graft_gopher_stats" -> (es => GopherStatsExpr(es.head)),
     "graft_token_stats" -> (es => TokenStatsExpr(es.head)),
-    "graft_lang_scores" -> (es => LangScoresExpr(es(0), es(1))))
+    "graft_lang_scores" -> (es => LangScoresExpr(es(0), es(1))),
+    "graft_bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   /** Idempotent per-session registration; call before analysis of any
     * plan using these columns. */
@@ -107,6 +109,9 @@ object Native {
     call_function("graft_token_stats", text)
   def langScores(text: Column, profiles: Column): Column =
     call_function("graft_lang_scores", text, profiles)
+  /** `serialized` must be a literal (BloomFilter.writeTo bytes). */
+  def bloomMightContain(serialized: Column, key: Column): Column =
+    call_function("graft_bloom_might_contain", serialized, key)
 
   /** Static eval for [[TextQualityExpr]]: token count, stopword ratio,
     * non-alphanumeric ratio, and the composite quality score in ONE
@@ -1183,6 +1188,44 @@ case class TextQualityExpr(left: Expression, right: Expression)
                                    ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (t, s) =>
       s"${ev.value} = graft.functions.Native.textQualityEval($t, $s);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** (serialized bloom filter binary LITERAL, key long) -> boolean:
+  * membership probe against a broadcast-sized Bloom sketch — the
+  * runtime-filter probe (q_bloom_semijoin) as a whole-stage-codegen
+  * expression instead of a per-row Scala UDF (which boxes every key
+  * and fences codegen). The filter is deserialized ONCE per expression
+  * instance (driver and each task deserialize their own copy from the
+  * plan's literal) and installed as a codegen reference object; the
+  * per-row work is mightContainLong on an unboxed long. The first
+  * child must be FOLDABLE — a non-literal filter would silently bind
+  * to a null input row — which checkInputDataTypes enforces. */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "the serialized bloom filter must be a foldable BINARY literal")
+    else if (left.dataType != BinaryType || right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"expected (BINARY, BIGINT), got (${left.dataType}, ${right.dataType})")
+    else TypeCheckResult.TypeCheckSuccess
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        left.eval(null).asInstanceOf[Array[Byte]]))
+  override def nullSafeEval(bf: Any, key: Any): Any =
+    filter.mightContainLong(key.asInstanceOf[Long])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, k) =>
+      s"${ev.value} = $bfRef.mightContainLong($k);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -157,6 +157,88 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Scale-safe GLOBAL rank / running sum — the two-phase shard-prefix
+    * form of `Window.orderBy(...)` for windows whose input cardinality
+    * grows with the corpus (a single-partition global sort dies at
+    * 100 TB; see q_rfm / q_pareto_abc, whose window input is a
+    * linearly-growing DIMENSION).
+    *
+    * Phase 1: range-shard the rows on `order` (a TOTAL order — the
+    * caller supplies a unique tiebreak) and materialize ONCE
+    * (localCheckpoint: the per-row windows and the shard-level offset
+    * pass below both consume the shard assignment, and the range
+    * partitioner's sampled bounds must be the SAME on both paths — the
+    * coSupplyEdges multi-consumer rule). Each shard then computes its
+    * row_number and running sums locally, in parallel.
+    *
+    * Phase 2: per-shard row/sum TOTALS (one row per shard — a
+    * cluster-sized table, not a data-sized one) get an exclusive
+    * prefix pass in the only remaining unpartitioned window, ordered
+    * by `__shard`, and broadcast back: global rank = local rank +
+    * preceding shards' row count, global running sum = local running
+    * sum + preceding shards' totals. Bit-identical to the one-window
+    * form: the order is total and Long addition is associative.
+    *
+    * Adds `rankOut` (1-based global rank), each `sums` entry's
+    * inclusive running sum as its output name, optionally the total
+    * row count (`nOut`) and per-sum grand totals (`<name>_total`) so
+    * NTILE/share math needs no second scan of the input. Shard count
+    * follows spark.sql.shuffle.partitions (cluster-sized). */
+  private[queries] def shardedPrefix(df: DataFrame, order: Seq[Column],
+      rankOut: String, sums: Seq[(Column, String)] = Nil,
+      nOut: Option[String] = None, totals: Boolean = false): DataFrame = {
+    val shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sharded = df.repartitionByRange(shards, order: _*)
+      .withColumn("__shard", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("__shard")).orderBy(order: _*)
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(
+      sharded.withColumn("__rn", row_number().over(wLoc).cast("long"))) {
+      case (d, (c, nm)) => d.withColumn(s"__run_$nm", sum(c).over(wRun))
+    }
+    // exclusive prefix over the SHARD-level aggregate (≤ shards rows)
+    val perShard = sharded.groupBy(col("__shard")).agg(
+      count(lit(1)).as("__cnt"),
+      sums.map { case (c, nm) => sum(c).as(s"__tot_$nm") }: _*)
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAllShards = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offCols =
+      Seq(col("__shard"),
+        coalesce(sum(col("__cnt")).over(wOff), lit(0L)).as("__off_rn")) ++
+      nOut.map(nm => sum(col("__cnt")).over(wAllShards).as(nm)).toSeq ++
+      sums.map { case (_, nm) =>
+        coalesce(sum(col(s"__tot_$nm")).over(wOff), lit(0L))
+          .as(s"__off_$nm") } ++
+      (if (totals) sums.map { case (_, nm) =>
+        sum(col(s"__tot_$nm")).over(wAllShards).as(s"${nm}_total") }
+       else Nil)
+    val joined = local.join(broadcast(perShard.select(offCols: _*)),
+        Seq("__shard"))
+      .withColumn(rankOut, col("__rn") + col("__off_rn"))
+    sums.foldLeft(joined) { case (d, (_, nm)) =>
+      d.withColumn(nm, col(s"__run_$nm") + col(s"__off_$nm")) }
+      .drop(Seq("__shard", "__rn", "__off_rn") ++
+        sums.flatMap { case (_, nm) => Seq(s"__run_$nm", s"__off_$nm") }: _*)
+  }
+
+  /** NTILE(k) of a precomputed 1-based global rank over n rows — the
+    * map-side classification step after shardedPrefix. Standard NTILE:
+    * the first n mod k buckets get one extra row. Matches Spark's and
+    * DuckDB's ntile() exactly (property-pinned in ShardedPrefixSpec);
+    * all operands non-negative so `div` agrees across engines, and the
+    * base=0 branch (n < k) can't divide by zero — the CASE's first arm
+    * always fires there since rank ≤ n = rem. */
+  private[queries] def ntileOfRank(rank: String, n: String, k: Int): Column =
+    expr(
+      s"""CAST(CASE WHEN $rank <= ($n % $k) * (($n div $k) + 1)
+         |  THEN ($rank - 1) div (($n div $k) + 1) + 1
+         |  ELSE ($n % $k) + ($rank - 1 - ($n % $k) * (($n div $k) + 1))
+         |       div ($n div $k) + 1
+         |  END AS INT)""".stripMargin)
+
   val defs: Map[String, Q] = checked(
     // TPC-H Q1-shaped pricing summary: partial-agg shuffle on two
     // low-cardinality keys; the date filter is pushed to the parquet scan.
@@ -907,13 +989,19 @@ object RelationalQueries {
     // checks it. The scale win: probe rows that cannot match never
     // enter the exchange — this is what Spark's own InjectRuntimeFilter
     // does, expressed as an explicit operator.
+    // The probe is the codegen'd BloomMightContain expression over the
+    // serialized sketch (a plan literal — tasks deserialize once and
+    // probe unboxed longs inside whole-stage codegen), not a Scala UDF
+    // (which boxes every key and fences codegen).
     "q_bloom_semijoin" -> { (s, dir) =>
+      graft.functions.Native.register(s)
       val hot = table(s, dir, "orders").filter(col("o_totalprice") > 490000)
       val bf = hot.stat.bloomFilter("o_custkey", 2000, 0.03)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
       table(s, dir, "customer")
-        .filter(mightContain(col("c_custkey")))
+        .filter(graft.functions.Native.bloomMightContain(
+          lit(bos.toByteArray), col("c_custkey")))
         .join(hot, col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -1901,13 +1989,21 @@ object RelationalQueries {
     // customer, Recency (days since last order at the corpus horizon),
     // Frequency (orders) and Monetary (exact cents), each scored 1-4
     // by NTILE quartile. NTILE over ties is ORDER-dependent, so every
-    // quartile window carries the customer key as an explicit
+    // quartile ordering carries the customer key as an explicit
     // tiebreak — the same determinism rule as q_window_dist; without
     // it the gate would go red on the first tied frequency. Output is
     // the segment-level rollup (64 possible cells), not per-customer
     // rows. Shape: one scan into a per-customer agg (one keyed
-    // exchange); the three NTILE windows run over the
-    // customers-sized aggregate, then a tiny cell rollup.
+    // exchange); the quartiles then come from three shardedPrefix
+    // passes over the customers-sized aggregate — customers grow
+    // LINEARLY with the corpus (TPC-H: SF×150k), so a global
+    // `ntile(4).over(Window.orderBy(...))` would be a single-task sort
+    // of billions of rows at 100 TB. Each pass computes a distributed
+    // global rank (range-shard → local row_number → shard-offset
+    // prefix over the shards-sized aggregate), and ntileOfRank turns
+    // rank + n into the identical NTILE bucket map-side. The DuckDB
+    // mirror keeps the plain NTILE windows — same semantics, different
+    // plan — so the gate pins the rank math end to end.
     "q_rfm" -> { (s, dir) =>
       val horizon = lit("2002-01-01 00:00:00").cast("timestamp")
       val per = table(s, dir, "orders")
@@ -1916,12 +2012,16 @@ object RelationalQueries {
           count(lit(1)).as("frequency"),
           sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
             .cast("long")).as("cents"))
-      def quartile(c: String) = ntile(4).over(Window
-        .orderBy(col(c), col("o_custkey")))
-      per
-        .withColumn("r_score", quartile("recency"))
-        .withColumn("f_score", quartile("frequency"))
-        .withColumn("m_score", quartile("cents"))
+      val p1 = shardedPrefix(per,
+        Seq(col("recency"), col("o_custkey")), "__rk_r", nOut = Some("__n"))
+      val p2 = shardedPrefix(p1,
+        Seq(col("frequency"), col("o_custkey")), "__rk_f")
+      val p3 = shardedPrefix(p2,
+        Seq(col("cents"), col("o_custkey")), "__rk_m")
+      p3
+        .withColumn("r_score", ntileOfRank("__rk_r", "__n", 4))
+        .withColumn("f_score", ntileOfRank("__rk_f", "__n", 4))
+        .withColumn("m_score", ntileOfRank("__rk_m", "__n", 4))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).cast("long").as("cents"),
@@ -1934,27 +2034,33 @@ object RelationalQueries {
     // classified A (first 60% of cumulative revenue), B (next 25%),
     // C (tail). The share thresholds compare MULTIPLIED-OUT integers
     // (100·cum ≤ 60·total) — no percentage is ever computed in float,
-    // so the class boundaries are exact on both engines. Shape: one
-    // scan into a per-part agg (one keyed exchange); the global
-    // revenue-ordered cumsum runs over the parts-sized aggregate in
-    // ONE ordered window (at 100 TB: parts ≪ lineitems — the window
-    // input is the dimension's cardinality, and a two-phase
-    // shard-prefix sum like text_pack's is the escape hatch if even
-    // that outgrows a partition); output is the 3-row class rollup.
+    // so the class boundaries are exact on both engines; the products
+    // go through DECIMAL(38,0) because total lineitem cents scales
+    // with SF (~2.3e13 at sf1) and the ×100 product would leave BIGINT
+    // around sf~4000 — DuckDB's SUM is already HUGEINT, so the decimal
+    // bridge only touches the comparison, never an output column (the
+    // lossy-float64 pandas trap). Shape: one scan into a per-part agg
+    // (one keyed exchange); the revenue-ordered cumsum is a
+    // shardedPrefix pass — parts grow linearly with the corpus (TPC-H:
+    // SF×200k), so the previous single ordered window over the whole
+    // dimension was a one-task sort at 100 TB; now each range shard
+    // cumulates locally and only the shards-sized offset table sees an
+    // unpartitioned window. Output is the 3-row class rollup.
     "q_pareto_abc" -> { (s, dir) =>
       val per = table(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
           .cast("long")).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      per
-        .withColumn("cum", sum(col("cents")).over(w))
-        .withColumn("total", sum(col("cents")).over(wAll))
+      val ranked = shardedPrefix(per,
+        Seq(col("cents").desc, col("l_partkey")), "__rk",
+        sums = Seq((col("cents"), "cum")), totals = true)
+      val d38 = DecimalType(38, 0)
+      ranked
         .withColumn("cls",
-          when(col("cum") * 100 <= col("total") * 60, "A")
-            .when(col("cum") * 100 <= col("total") * 85, "B")
+          when(col("cum").cast(d38) * 100 <=
+              col("cum_total").cast(d38) * 60, "A")
+            .when(col("cum").cast(d38) * 100 <=
+              col("cum_total").cast(d38) * 85, "B")
             .otherwise("C"))
         .groupBy(col("cls"))
         .agg(count(lit(1)).as("n_parts"),

@@ -341,34 +341,73 @@ class PlanGuardSpec extends SparkSpec {
       s"q_compaction_bins grew a second keyed exchange:\n$p")
   }
 
-  test("q_rfm scores quartiles over the customers-sized aggregate: " +
-      "one scan, one keyed exchange, three NTILE windows (each with " +
-      "the customer-key tiebreak in its sort)") {
-    val p = plan("q_rfm")
-    assert("Scan parquet".r.findAllIn(p).length === 1,
-      s"q_rfm scan count drifted:\n$p")
-    assert("ntile".r.findAllIn(p).length === 3,
-      s"q_rfm ntile window count drifted:\n$p")
-    assert(!p.contains("windowspecdefinition(recency#") ||
-      p.contains("recency"), s"q_rfm lost a window:\n$p")
+  /** Every WindowExec in a (possibly adaptive) physical plan. */
+  private def windows(name: String)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match {
+        case w: WindowExec => Seq(w)
+        case _ => Nil
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => p.children.flatMap(walk)
+      }
+      here ++ below ++ p.subqueries.flatMap(walk)
+    }
+    walk(audited(name)(spark, dir).queryExecution.executedPlan)
   }
 
-  test("q_pareto_abc and q_benford cumulate over their AGGREGATE " +
-      "(dimension-sized input below the single-partition window), " +
-      "one scan each") {
-    Seq("q_pareto_abc", "q_benford").foreach { n =>
-      val p = plan(n)
-      assert("Scan parquet".r.findAllIn(p).length === 1,
-        s"$n scan count drifted:\n$p")
-      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
-        s"$n keyed exchange count drifted:\n$p")
-      // the SinglePartition window must sit ABOVE the keyed aggregate
-      val lines = p.linesIterator.toVector
-      val winIdx = lines.indexWhere(_.contains("Window"))
-      val aggIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
-      assert(winIdx >= 0 && aggIdx > winIdx,
-        s"$n window below the reducing aggregate:\n$p")
+  test("q_rfm and q_pareto_abc keep NO data-sized global window: " +
+      "their window input is a linearly-growing DIMENSION (customers/" +
+      "parts), so every unpartitioned window must order by __shard — " +
+      "the shards-sized offset table of the two-phase shardedPrefix — " +
+      "and every row-level window must be __shard-partitioned") {
+    Seq("q_rfm", "q_pareto_abc").foreach { n =>
+      val ws = windows(n)
+      assert(ws.nonEmpty, s"$n lost its windows entirely")
+      val global = ws.filter(_.partitionSpec.isEmpty)
+      assert(global.nonEmpty,
+        s"$n lost the shard-offset prefix pass")
+      global.foreach { w =>
+        val ord = w.orderSpec.flatMap(_.child.references).map(_.name)
+        assert(ord.nonEmpty && ord.forall(_.startsWith("__shard")),
+          s"$n has a DATA-sized single-partition window ordered by " +
+            s"${ord.mkString(",")} — dies at 100 TB")
+      }
+      ws.filterNot(_.partitionSpec.isEmpty).foreach { w =>
+        val parts = w.partitionSpec.flatMap(_.references).map(_.name)
+        assert(parts.exists(_.startsWith("__shard")),
+          s"$n row-level window not shard-partitioned: $parts")
+      }
     }
+  }
+
+  test("q_bloom_semijoin probes through the codegen'd BloomMightContain " +
+      "expression (no per-row Scala UDF boxing keys / fencing codegen)") {
+    val p = plan("q_bloom_semijoin")
+    assert(p.toLowerCase.contains("bloommightcontain"),
+      s"q_bloom_semijoin lost the native bloom probe:\n$p")
+    assert(!p.contains("UDF("),
+      s"q_bloom_semijoin regressed to a Scala UDF probe:\n$p")
+  }
+
+  test("q_benford cumulates over its 9-row digit AGGREGATE (bounded " +
+      "input below the single-partition window), one scan") {
+    val p = plan("q_benford")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"q_benford scan count drifted:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"q_benford keyed exchange count drifted:\n$p")
+    // the SinglePartition window must sit ABOVE the keyed aggregate
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"q_benford window below the reducing aggregate:\n$p")
   }
 
   test("q_expectations evaluates the whole rule suite on ONE keyed " +
