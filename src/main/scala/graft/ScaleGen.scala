@@ -37,21 +37,38 @@ import org.apache.spark.sql.functions._
   * any per-order clique) that `skew` mode never makes because it heats
   * l_partkey/l_suppkey under unchanged orderkeys. FK joins still
   * resolve (the hot order exists in copy-0's orders).
+  *
+  * The `dim` mode inflates DIMENSION cardinality instead of fact
+  * volume: customer/supplier/part/orders/lineitem replicate F-way with
+  * disjoint keys (so distinct custkeys/partkeys — the window inputs of
+  * q_rfm / q_pareto_abc and every dimension-sized join side — grow
+  * F×, each customer keeping its sparse handful of orders), per-copy
+  * cent-offsets decorrelate l_extendedprice so value-domain-keyed
+  * shuffles (q_profile_numeric's exact-ndv pass) grow with the corpus
+  * instead of collapsing onto a fixed 583k-value domain, and the
+  * corpus tables (events/documents/embeddings) pass through untouched.
+  * Fact-scaling replicas exercise "same dims, F× the rows"; this one
+  * exercises "F× the dimension" — the shape where a global window or
+  * a broadcast of 'the small side' dies first. Factor may exceed 26
+  * here (no alphabet rotation is consumed).
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val (srcDir, dstDir, fStr, mode) = args match {
       case Array(s, d, f)    => (s, d, f, "")
-      case Array(s, d, f, m) if m == "skew" || m == "skeworder" =>
+      case Array(s, d, f, m) if Set("skew", "skeworder", "dim")(m) =>
         (s, d, f, m)
       case _ =>
-        sys.error("usage: ScaleGen <srcSfDir> <dstDir> <factor> [skew|skeworder]")
+        sys.error("usage: ScaleGen <srcSfDir> <dstDir> <factor> [skew|skeworder|dim]")
     }
     val skew = mode == "skew"
     val orderSkew = mode == "skeworder"
+    val dimMode = mode == "dim"
     val factor = fStr.toInt
-    require(factor >= 1 && factor <= 26, "factor must be in [1,26]") // 26: alphabet rotations
+    // 26: alphabet rotations (dim mode leaves documents untouched)
+    require(factor >= 1 && factor <= (if (dimMode) 64 else 26),
+      s"factor must be in [1,${if (dimMode) 64 else 26}]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -132,6 +149,37 @@ object ScaleGen {
       else df.withColumn(target,
         when(slice(keyCol, i, role, pct), lit(hot)).otherwise(col(target)))
 
+    // dim mode: replicate only the star-schema tables (disjoint keys,
+    // same FK integrity), decorrelate prices by a per-copy cent offset
+    // (exact at DECIMAL(12,2): doubles hold cents exactly at these
+    // magnitudes), leave the corpus tables at source size.
+    if (dimMode) {
+      val tables: Seq[(String, DataFrame)] = Seq(
+        "region" -> src("region"),
+        "nation" -> src("nation"),
+        "customer" -> replicate("customer")((d, i) =>
+          shift(d, "c_custkey", i * maxCust)),
+        "supplier" -> replicate("supplier")((d, i) =>
+          shift(d, "s_suppkey", i * maxSupp)),
+        "part" -> replicate("part")((d, i) =>
+          shift(d, "p_partkey", i * maxPart)),
+        "orders" -> replicate("orders")((d, i) =>
+          shift(shift(d, "o_orderkey", i * maxOrd), "o_custkey", i * maxCust)),
+        "lineitem" -> replicate("lineitem") { (d, i) =>
+          val keyed = shift(shift(shift(d, "l_orderkey", i * maxOrd),
+            "l_partkey", i * maxPart), "l_suppkey", i * maxSupp)
+          if (i == 0) keyed
+          else keyed.withColumn("l_extendedprice",
+            col("l_extendedprice") + lit(i * 0.01))
+        },
+        "events" -> src("events"),
+        "documents" -> src("documents"),
+        "embeddings" -> src("embeddings"))
+      write(tables, dstDir)
+      spark.stop()
+      return
+    }
+
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> src("region"),
       "nation" -> src("nation"),
@@ -198,6 +246,11 @@ object ScaleGen {
       }
     )
 
+    write(tables, dstDir)
+    spark.stop()
+  }
+
+  private def write(tables: Seq[(String, DataFrame)], dstDir: String): Unit =
     tables.foreach { case (t, df) =>
       val tmp = s"$dstDir/_tmp_$t"
       // Small row groups (4 MB uncompressed buffer vs the 128 MB
@@ -220,8 +273,6 @@ object ScaleGen {
       Files.delete(Paths.get(tmp))
       println(s"[scalegen] $t -> $dstDir/$t.parquet")
     }
-    spark.stop()
-  }
 
   private implicit class IterWrap[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {

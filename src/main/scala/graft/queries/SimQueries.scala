@@ -137,10 +137,77 @@ object SimQueries {
     path
   }
 
+  /** The incremental batch appended to the served IVF index:
+    * near-copies of every 10th vector under shifted ids (first element
+    * +0.05 in double — the semCorpus perturbation, IEEE-identical in
+    * the DuckDB mirror). Near-copies of the query vectors (vec_id 0 is
+    * both a query and a batch source) MUST surface in the served
+    * top-5, so the gate WITNESSES the append: a dropped or misrouted
+    * batch changes result rows, not just unqueried index content. */
+  private def ivfAppendBatch(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val stride = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val asD = transform(col("embedding"), x => x.cast("double"))
+    e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + stride).as("id"),
+        concat(array(element_at(asD, 1) + lit(0.05)),
+          slice(asD, 2, 63)).as("vec"))
+  }
+
+  /** Incremental maintenance for the persisted IVF index — the serving
+    * reality ann_ivf_served's build-once layout skips: vectors arrive
+    * continuously, and retraining per batch is a full-corpus job you
+    * cannot afford per append. Build the base index like
+    * [[buildServedIvf]], then assign the NEW batch against the
+    * EXISTING centroids read back from the index (NO retrain — the
+    * centroid files are written once, before the append) and
+    * `mode("append")` into the same cid-partitioned layout: an append
+    * touches only the new rows' lists. Drift metrics (per-list counts,
+    * base vs appended) go to the `listcounts.txt` sidecar — the signal
+    * that tells an operator when list imbalance has drifted far enough
+    * to warrant the offline retrain. Serving needs no code change
+    * (same layout contract), so DppSpec's partition-pruning guard
+    * applies to the appended index too. */
+  private def buildAppendedIvf(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val path = scratchDir("ann_appended_model", dir)
+    lastDir = Some(dir)
+    ensureSetup(path) {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
+      val assigned = Similarity.ivfAssign(corpus, cents)
+      assigned.write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/assigned")
+      val baseCounts = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // the append: existing centroids only, new files into the layout
+      val appended = Similarity.ivfAssign(ivfAppendBatch(s, dir),
+        s.read.parquet(s"$path/cents"))
+      appended.write.mode("append").partitionBy("cid")
+        .parquet(s"$path/assigned")
+      val afterCounts = s.read.parquet(s"$path/assigned")
+        .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+      val lines = afterCounts.keys.toSeq.sorted.map { cid =>
+        s"$cid:${baseCounts.getOrElse(cid, 0L)}:${afterCounts(cid)}"
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "listcounts.txt"),
+        lines.mkString("\n"))
+    }
+    path
+  }
+
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     checked("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivfpq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivf_served" -> ((s, d) => { buildServedIvf(s, d); () }),
+      "ann_ivf_appended" -> ((s, d) => { buildAppendedIvf(s, d); () }),
       "dedup_semantic" -> ((s, d) => { trainSemDedupModel(s, d); () }))
 
   val defs: Map[String, Q] = checked(
@@ -290,6 +357,23 @@ object SimQueries {
     // (their oracles are the same mirror over each one's sidecar).
     "ann_ivf_served" -> { (s, dir) =>
       val path = buildServedIvf(s, dir)
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfSearchAssigned(s.read.parquet(s"$path/assigned"),
+          queries, s.read.parquet(s"$path/cents"), nprobe = 4, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // IVF-flat served AFTER an incremental append — same serving code
+    // and layout as ann_ivf_served, but the index now holds base +
+    // appended lists (buildAppendedIvf: new batch assigned to the
+    // EXISTING centroids, no retrain). The oracle recomputes the whole
+    // search over the UNION corpus (base ∪ reversed batch) from the
+    // sidecar centroids, so a routing bug in the append path (wrong
+    // list, dropped batch, double append) goes value-red.
+    "ann_ivf_appended" -> { (s, dir) =>
+      val path = buildAppendedIvf(s, dir)
       val e = table(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -581,11 +665,16 @@ object SimQueries {
 
   /** IVF-flat mirror with a pluggable centroid CTE — shared by
     * `ann_ivf_topk` (centroids = every-40th-vector subset, plain SQL)
-    * and `ann_kmeans_ivf` (TRAINED centroids embedded as literals). */
-  private def ivfSqlWithCents(centsCte: String): String = {
+    * and `ann_kmeans_ivf` / `ann_ivf_served` (TRAINED centroids
+    * embedded as literals) — and a pluggable corpus CTE so
+    * `ann_ivf_appended` can mirror the post-append index (base ∪
+    * reversed batch). */
+  private def ivfSqlWithCents(centsCte: String,
+      corpusCte: String =
+        s"SELECT vec_id AS id, $quantSql AS vq FROM embeddings"): String = {
     val cos = cosSql _
     s"""WITH cents AS ($centsCte),
-       |corpus AS (SELECT vec_id AS id, $quantSql AS vq FROM embeddings),
+       |corpus AS ($corpusCte),
        |assigned AS (
        |  SELECT id, cid, vq FROM (
        |    SELECT c.id, ct.cid, c.vq,
@@ -755,6 +844,22 @@ object SimQueries {
           scratchDir("semdedup_model", dir), "cents.txt"))
         val servedCents = readCentsSidecar(java.nio.file.Paths.get(
           scratchDir("ann_served_model", dir), "cents.txt"))
+        val appendedCents = readCentsSidecar(java.nio.file.Paths.get(
+          scratchDir("ann_appended_model", dir), "cents.txt"))
+        // the post-append corpus: the batch perturbation (+0.05 on the
+        // first double element, then quantize) is spelled with the
+        // SAME IEEE double ops as the engine side
+        val appendedCorpus =
+          s"""SELECT vec_id AS id, $quantSql AS vq FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings)
+             |      AS id,
+             |    list_transform(list_concat(
+             |      [list_transform(embedding, x -> CAST(x AS DOUBLE))[1]
+             |         + 0.05],
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE))[2:64]),
+             |      x -> CAST(round(x*10000) AS BIGINT)) AS vq
+             |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
         (cb.map(c => "ann_pq_topk" -> pqSql(c, rerank = 50)) ++
           (for (c <- cb; ce <- pqCents)
             yield "ann_ivfpq_topk" -> ivfPqSql(c, ce, nprobe = 4, rerank = 40)) ++
@@ -764,6 +869,12 @@ object SimQueries {
           // sidecar: the gate asserts served-from-disk == recomputed
           servedCents.map(ce =>
             "ann_ivf_served" -> ivfSqlWithCents(centsValuesCte(ce))) ++
+          // served-after-append == recomputed-over-union: the mirror
+          // re-derives every assignment (base AND batch) from the
+          // sidecar centroids over the union corpus
+          appendedCents.map(ce =>
+            "ann_ivf_appended" -> ivfSqlWithCents(centsValuesCte(ce),
+              appendedCorpus)) ++
           sdCents.map(ce =>
             "dedup_semantic" -> semDedupSql(centsValuesCte(ce)))).toMap
     }

@@ -43,4 +43,28 @@ class DppSpec extends SparkSpec {
         s"would be read:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("ann_ivf_appended serves the post-append layout with the same " +
+      "partition pruning, and the drift sidecar accounts for base + " +
+      "batch with untouched centroids (no retrain)") {
+    val dir = "/root/testdata/sf0.001"
+    SimQueries.prepares("ann_ivf_appended")(spark, dir)
+    val df = SimQueries.defs("ann_ivf_appended")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"appended IVF scan lost its DynamicPruningSubquery:\n$plan")
+    assert(df.count() > 0)
+    // drift sidecar: per-list base:after counts; totals must equal
+    // corpus + batch (batch = every-10th vector => n/10 rounded up)
+    val path = java.nio.file.Paths.get(
+      scratchDir("ann_appended_model", dir), "listcounts.txt")
+    val counts = java.nio.file.Files.readString(path).split('\n')
+      .map { l => val a = l.split(':'); (a(1).toLong, a(2).toLong) }
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(counts.map(_._1).sum === n, "base list counts != corpus size")
+    assert(counts.map(_._2).sum === n + (n + 9) / 10,
+      "post-append counts != corpus + batch")
+    assert(counts.forall { case (b, a) => a >= b },
+      "appending removed rows from a list")
+  }
 }
