@@ -15,11 +15,20 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.Native.fns.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name,
           s"$name: engine-native codegen expression (see graft.functions)"),
         builder))
     }
+    // the EXT-operator TABLE functions (SELECT * FROM graft_bm25(...)),
+    // same shared-registry discipline as the scalar list above
+    graft.functions.TableFns.fns.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name,
+          s"$name: engine table function (see graft.functions.TableFns)"),
+        builder))
+    }
+  }
 }

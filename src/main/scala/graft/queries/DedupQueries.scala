@@ -105,6 +105,19 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Passage dedup reached through SQL: `graft_passage_dedup` is a
+    // registered TABLE function (graft.functions.TableFns) expanding
+    // to passageDedupStats' plan at analysis — the SQL user gets the
+    // identical no-window partial-agg shape, here over the raw
+    // documents table, gated by the same oracle family as
+    // dedup_paragraph.
+    "dedup_passage_sql" -> { (s, dir) =>
+      graft.functions.Native.register(s)
+      graft.functions.TableFns.register(s)
+      s.sql("SELECT * FROM graft_passage_dedup(" +
+        s"'$dir/documents.parquet', 16) ORDER BY doc_id")
+    },
+
     // ExactSubstr-style duplicated-substring detection (Lee et al.
     // 2021): EVERY 16-token window, stride 1 — the sub-passage dedup
     // mode dedup_paragraph's aligned chunks cannot see (a duplicated
@@ -703,42 +716,51 @@ object DedupQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Passage-dedup mirror over a pluggable corpus CTE — dual-base
+    * Horner mirror of AlignedChunkFingerprints: list_reduce seeds with
+    * the first element, which equals Horner from 0 because every
+    * element is already < P. Shared by `dedup_paragraph` (near-dup
+    * corpus) and `dedup_passage_sql` (raw documents via the SQL table
+    * function). */
+  private def passageDedupMirror(corpusSql: String): String = {
+    def chunkFp(base: Int): String =
+      s"""list_reduce(list_slice(th, i*16+1, LEAST((i+1)*16, n)),
+         |      (a, b) -> (a*$base + b) % 1000000007)""".stripMargin
+    s"""WITH corpus AS ($corpusSql),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+       |           % 1000000007) AS th,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM corpus),
+       |chunks AS (
+       |  SELECT doc_id, i AS idx,
+       |    (${chunkFp(31)}) * 1000000007 + (${chunkFp(37)}) AS fp,
+       |    LEAST((i+1)*16, n) - i*16 AS ctoks
+       |  FROM th CROSS JOIN UNNEST(range(0, (n + 15) // 16)) AS u(i)),
+       |marked AS (
+       |  SELECT doc_id, idx, ctoks,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN rn = 1 THEN ctoks ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = checked(
     "dedup_exact" ->
       s"""SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM ($corpusExactSql)
          |GROUP BY 1 ORDER BY keep_id""".stripMargin,
-    "dedup_paragraph" -> {
-      // dual-base Horner mirror of AlignedChunkFingerprints:
-      // list_reduce seeds with the first element, which equals Horner
-      // from 0 because every element is already < P
-      def chunkFp(base: Int): String =
-        s"""list_reduce(list_slice(th, i*16+1, LEAST((i+1)*16, n)),
-           |      (a, b) -> (a*$base + b) % 1000000007)""".stripMargin
-      s"""WITH corpus AS ($corpusNearSql),
-         |th AS (
-         |  SELECT doc_id,
-         |    list_transform(string_split(text, ' '),
-         |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
-         |           % 1000000007) AS th,
-         |    len(string_split(text, ' ')) AS n
-         |  FROM corpus),
-         |chunks AS (
-         |  SELECT doc_id, i AS idx,
-         |    (${chunkFp(31)}) * 1000000007 + (${chunkFp(37)}) AS fp,
-         |    LEAST((i+1)*16, n) - i*16 AS ctoks
-         |  FROM th CROSS JOIN UNNEST(range(0, (n + 15) // 16)) AS u(i)),
-         |marked AS (
-         |  SELECT doc_id, idx, ctoks,
-         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
-         |  FROM chunks)
-         |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
-         |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT) AS n_dup_chunks,
-         |  CAST(sum(CASE WHEN rn = 1 THEN ctoks ELSE 0 END) AS BIGINT)
-         |    AS kept_tokens
-         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "dedup_paragraph" -> passageDedupMirror(corpusNearSql),
+    // same mirror, raw documents corpus — the spark.sql entry point
+    // must reproduce the operator exactly
+    "dedup_passage_sql" ->
+      passageDedupMirror("SELECT doc_id, text FROM documents"),
     "dedup_exact_substr" -> {
       // nested-Horner mirror of the rolling Rabin-Karp fingerprint:
       // mathematically equal mod P, every intermediate < 2^36

@@ -571,42 +571,21 @@ object TextQueries {
     // 100 TB: two scans of a 2-column projection (stats, then score)
     // and a 20-row result — scan-bound, embarrassingly parallel.
     "text_bm25" -> { (s, dir) =>
-      import graft.ops.Ops.materializedColumn
-      val terms = Seq("merge", "vector", "slow")
-      // pin the token array: dl + one tf per term all read it (the
-      // regex split is the per-row cost; the array filters are cheap)
-      val toksed = materializedColumn(
-        table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "t", TextOps.tokens(col("text")))
-      val f = toksed.select(
-        col("doc_id") +: size(col("t")).cast("long").as("dl") +:
-          terms.indices.map(i =>
-            size(filter(col("t"), x => x === terms(i))).cast("long")
-              .as(s"tf$i")): _*)
-      val aggs = sum(col("dl")).as("sumdl") +: count(lit(1)).as("n") +:
-        terms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-      val g = f.agg(aggs.head, aggs.tail: _*)
-      val avgdl = col("sumdl").cast("double") / col("n").cast("double")
-      def termScore(i: Int) = {
-        val tf = col(s"tf$i").cast("double")
-        val df = col(s"df$i").cast("double")
-        val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
-        idf * ((tf * lit(2.2)) /
-          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
-      }
-      val score = terms.indices.map(termScore).reduce(_ + _)
-      val top = f.crossJoin(broadcast(g))
-        .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
-        .withColumn("score_micro", floor(score * lit(1000000.0)).cast("long"))
-        .orderBy(col("score_micro").desc, col("doc_id"))
-        .limit(20)
-      import org.apache.spark.sql.expressions.Window
-      top.withColumn("rank", row_number().over(
-          Window.orderBy(col("score_micro").desc, col("doc_id"))))
-        .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
-          col("dl"), col("score_micro"), col("rank"))
-        .orderBy(col("rank"))
+      TextOps.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+        Seq("merge", "vector", "slow"), k = 20)
+    },
+
+    // The SAME retrieval reached the way a real user reaches an
+    // engine: through SQL. `graft_bm25` is a registered TABLE function
+    // (graft.functions.TableFns / GraftExtensions) whose builder
+    // expands to bm25TopK's logical plan at analysis — so SQL users
+    // get the identical scan-bound physical shape, and the gate runs
+    // the identical oracle as text_bm25 end-to-end through
+    // spark.sql(...).
+    "text_bm25_sql" -> { (s, dir) =>
+      graft.functions.TableFns.register(s)
+      s.sql(s"SELECT * FROM graft_bm25('$dir/documents.parquet', " +
+        "'merge vector slow', 20)")
     },
 
     // Collocation mining — top-20 bigrams by PMI-style LIFT
@@ -699,6 +678,46 @@ object TextQueries {
   )
 
   private val toks = raw"string_split_regex(trim(text), '\s+')"
+
+  /** The BM25 mirror, shared verbatim by `text_bm25` (DataFrame API)
+    * and `text_bm25_sql` (the spark.sql table-function surface): one
+    * operator, two entry points, one oracle. */
+  private lazy val bm25MirrorSql: String = {
+    val terms = Seq("merge", "vector", "slow")
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+      .mkString(",\n         |    ")
+    val dfAggs = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(", ")
+    val termScores = terms.indices.map { i =>
+      s"""(((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |      / (CAST(df$i AS DOUBLE) + 0.5))
+         |    * ((CAST(tf$i AS DOUBLE) * 2.2)
+         |      / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))"""
+        .stripMargin
+    }.mkString("\n         |  + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)),
+       |g AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, COUNT(*) AS n, $dfAggs
+       |  FROM f),
+       |s AS (
+       |  SELECT doc_id, tf0, tf1, tf2, dl,
+       |    CAST(floor((
+       |  $termScores
+       |    ) * 1000000.0) AS BIGINT) AS score_micro
+       |  FROM f, g
+       |  WHERE tf0 + tf1 + tf2 > 0)
+       |SELECT doc_id, tf0, tf1, tf2, dl, score_micro, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM s)
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
 
   /** Mirror of the trained-BPE application: the same canonical form
     * and the same rank-ordered literal replacements, with the trained
@@ -1022,43 +1041,11 @@ object TextQueries {
     // Same fixed-order arithmetic as the engine: per-term scores sum
     // left-to-right, every op an exactly-rounded IEEE double +,·,/
     // on integers both engines derive exactly — so the floored
-    // micro-unit scores are bit-identical.
-    "text_bm25" -> {
-      val terms = Seq("merge", "vector", "slow")
-      val tfCols = terms.indices.map(i =>
-        s"CAST(len(list_filter(t, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
-        .mkString(",\n         |    ")
-      val dfAggs = terms.indices.map(i =>
-        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-        .mkString(", ")
-      val termScores = terms.indices.map { i =>
-        s"""(((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
-           |      / (CAST(df$i AS DOUBLE) + 0.5))
-           |    * ((CAST(tf$i AS DOUBLE) * 2.2)
-           |      / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
-           |        * (CAST(dl AS DOUBLE)
-           |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))"""
-          .stripMargin
-      }.mkString("\n         |  + ")
-      s"""WITH f AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-         |    $tfCols
-         |  FROM (SELECT doc_id, $toks AS t FROM documents)),
-         |g AS (
-         |  SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, COUNT(*) AS n, $dfAggs
-         |  FROM f),
-         |s AS (
-         |  SELECT doc_id, tf0, tf1, tf2, dl,
-         |    CAST(floor((
-         |  $termScores
-         |    ) * 1000000.0) AS BIGINT) AS score_micro
-         |  FROM f, g
-         |  WHERE tf0 + tf1 + tf2 > 0)
-         |SELECT doc_id, tf0, tf1, tf2, dl, score_micro, rank FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM s)
-         |WHERE rank <= 20 ORDER BY rank""".stripMargin
-    },
+    // micro-unit scores are bit-identical. The SQL-surface twin runs
+    // the IDENTICAL mirror: same operator, same result, reached via
+    // spark.sql over the registered table function.
+    "text_bm25" -> bm25MirrorSql,
+    "text_bm25_sql" -> bm25MirrorSql,
     // Same integral arithmetic in HUGEINT (int128 ⊇ the engine's
     // DECIMAL(38,0) range); `cab` is MATERIALIZED — it is referenced
     // four times, and DuckDB inlines plain CTEs per reference (the

@@ -166,4 +166,62 @@ object TextOps {
       when(s === maxScore && maxScore > 0, lit(lang)).otherwise(els)
     }
   }
+
+  /** Okapi BM25 (k1=1.2, b=0.75) top-k retrieval for a fixed term
+    * list — the whole-pipeline operator behind the `text_bm25` gate
+    * query and the `graft_bm25` SQL table function. Per-term tf is a
+    * LOCAL array count on each doc's own tokens (no per-token explode,
+    * no (doc, token) shuffle); the corpus statistics (N, Σdl, per-term
+    * df) collapse into ONE 1-row partial aggregate broadcast back via
+    * cross join; the final top-k is TakeOrderedAndProject
+    * (per-partition heads + driver merge — never a global sort). idf
+    * is the log-free Robertson ratio (N−df+0.5)/(df+0.5) —
+    * rank-equivalent to the log form for fixed terms, and it keeps
+    * every op an exactly-rounded IEEE +,·,/ both engines reproduce
+    * bit-for-bit (ln is not correctly rounded cross-engine); scores
+    * are floored to integer micro-units so the hash gate compares
+    * integers. At 100 TB: two scans of a 2-column projection (stats,
+    * then score) and a k-row result — scan-bound, embarrassingly
+    * parallel. Output: (doc_id, tf0..tfN-1, dl, score_micro, rank). */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, terms: Seq[String], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Ops.materializedColumn
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    // pin the token array: dl + one tf per term all read it (the
+    // regex split is the per-row cost; the array filters are cheap)
+    val toksed = materializedColumn(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      "t", tokens(col("text")))
+    val f = toksed.select(
+      col("doc_id") +: size(col("t")).cast("long").as("dl") +:
+        terms.indices.map(i =>
+          size(filter(col("t"), x => x === terms(i))).cast("long")
+            .as(s"tf$i")): _*)
+    val aggs = sum(col("dl")).as("sumdl") +: count(lit(1)).as("n") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val g = f.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    def termScore(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / avgdl))))
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _)
+    val top = f.crossJoin(broadcast(g))
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .withColumn("score_micro", floor(score * lit(1000000.0)).cast("long"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("doc_id") +: terms.indices.map(i => col(s"tf$i")) ++:
+        Seq(col("dl"), col("score_micro"), col("rank")): _*)
+      .orderBy(col("rank"))
+  }
 }
