@@ -172,6 +172,13 @@ object Png {
           require(len == 13, s"IHDR length $len")
           width = u32(dataOff).toInt; height = u32(dataOff + 4).toInt
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          // bound with LONG arithmetic before any allocation: a crafted
+          // header near 2^30 would overflow 3*width / height*(1+stride)
+          // / width*height as ints and surface as a
+          // NegativeArraySizeException (or a multi-GB allocation)
+          // instead of the contract's require
+          require(3L * width * height + height <= Int.MaxValue,
+            s"dimensions ${width}x$height exceed decoder bounds")
           require(bytes(dataOff + 8) == 8, "only bit depth 8 supported")
           require(bytes(dataOff + 9) == 2, "only truecolor (type 2) supported")
           require(bytes(dataOff + 10) == 0, "unknown compression method")
@@ -187,6 +194,11 @@ object Png {
           sawIend = true
         case other =>
           require(sawIhdr, s"$other before IHDR")
+          // ancillary bit (bit 5 of the first type byte) clear means
+          // CRITICAL — the spec requires a decoder to reject unknown
+          // critical chunks, not skip them (PNG spec §5.4)
+          require((bytes(pos + 4) & 0x20) != 0,
+            s"unknown critical chunk $other")
         // ancillary chunks (tEXt, pHYs, ...) are legal; a gap between
         // IDATs is not — any non-IDAT chunk after IDAT data seals it
       }
