@@ -154,12 +154,88 @@ object Flac {
     math.min(w, 31)
   }
 
+  /** The complete encode decision for one subframe, planned ONCE so
+    * the assignment-cost comparison and the writer can never disagree
+    * about what a subframe costs. */
+  private case class SubPlan(constant: Boolean, order: Int,
+                             res: Array[Long], k: Int, rice: Boolean,
+                             rawBits: Int, bits: Long)
+
+  private def planSubframe(block: Array[Int], bps: Int): SubPlan =
+    if (block.forall(_ == block(0)))
+      SubPlan(constant = true, 0, Array.empty, 0, rice = false, 0, 8L + bps)
+    else {
+      val orders = (0 to math.min(2, block.length - 1))
+        .map(o => o -> fixedResiduals(block, o))
+      val (order, res) = orders.minBy { case (_, r) =>
+        r.foldLeft(0L)((a, v) => a + math.abs(v)) }
+      val kBest = (0 to 14).minBy(k => riceCost(res, k))
+      val rawBits = bitsFor(res)
+      val rice = riceCost(res, kBest) <= 5L + rawBits.toLong * res.length
+      val resBits = if (rice) 4L + riceCost(res, kBest)
+                    else 4L + 5L + rawBits.toLong * res.length
+      SubPlan(constant = false, order, res, kBest, rice, rawBits,
+        8L + order.toLong * bps + 6L + resBits)
+    }
+
+  private def writeSubframe(fw: BitWriter, block: Array[Int], bps: Int,
+                            p: SubPlan): Unit =
+    if (p.constant) {
+      fw.write(0, 1); fw.write(0, 6); fw.write(0, 1) // CONSTANT
+      fw.write(block(0).toLong & ((1L << bps) - 1), bps)
+    } else {
+      fw.write(0, 1); fw.write(8 + p.order, 6); fw.write(0, 1) // FIXED
+      var i = 0
+      while (i < p.order) {
+        fw.write(block(i).toLong & ((1L << bps) - 1), bps); i += 1
+      }
+      fw.write(0, 2)  // residual method: rice, 4-bit params
+      fw.write(0, 4)  // partition order 0
+      if (p.rice) {
+        fw.write(p.k, 4)
+        p.res.foreach { r =>
+          val u = zigzag(r)
+          var q = (u >>> p.k).toInt
+          while (q > 0) { fw.write(0, 1); q -= 1 }
+          fw.write(1, 1)
+          fw.write(u & ((1L << p.k) - 1), p.k)
+        }
+      } else {
+        fw.write(15, 4)          // escape
+        fw.write(p.rawBits, 5)   // raw bit width
+        p.res.foreach(r => fw.write(r, p.rawBits))
+      }
+    }
+
   /** Encode mono 16-bit samples as a FLAC stream, blocksize 64 (last
     * frame short). Every frame picks CONSTANT when flat, else the
     * cheapest of FIXED(0/1/2) by residual magnitude, with the rice
     * parameter (or raw escape) chosen by exact bit cost. */
   def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     require(samples.nonEmpty, "flac payload needs at least one sample")
+    encodeChannels(sampleRate, Array(samples.map(_.toInt)))
+  }
+
+  /** Stereo 16-bit FLAC with per-frame CHANNEL DECORRELATION: every
+    * frame plans all four spec assignments — independent L/R,
+    * left/side, right/side, mid/side (side = L−R at 17 bits,
+    * mid = (L+R)>>1; RFC 9639 §4.2) — and writes the cheapest by
+    * exact bit cost, so correlated program material compresses through
+    * the side channel while uncorrelated channels fall back to
+    * independent coding. */
+  def encodeStereo(sampleRate: Int, left: Array[Short],
+                   right: Array[Short]): Array[Byte] = {
+    require(left.nonEmpty && left.length == right.length,
+      "stereo payload needs equal-length non-empty channels")
+    encodeChannels(sampleRate,
+      Array(left.map(_.toInt), right.map(_.toInt)))
+  }
+
+  private def encodeChannels(sampleRate: Int,
+                             chans: Array[Array[Int]]): Array[Byte] = {
+    val nCh = chans.length
+    require(nCh == 1 || nCh == 2, "encoder handles 1 or 2 channels")
+    val total = chans(0).length
     val B = 64
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
@@ -168,11 +244,21 @@ object Flac {
     si.write(B, 16); si.write(B, 16)          // min/max blocksize
     si.write(0, 24); si.write(0, 24)          // min/max framesize unknown
     si.write(sampleRate, 20)
-    si.write(0, 3)                            // channels - 1
+    si.write(nCh - 1, 3)                      // channels - 1
     si.write(15, 5)                           // bps - 1
-    si.write(samples.length.toLong, 36)
+    si.write(total.toLong, 36)
+    // audio MD5: channel-interleaved little-endian 16-bit
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    samples.foreach { s => md5.update((s & 0xFF).toByte); md5.update(((s >> 8) & 0xFF).toByte) }
+    var mi = 0
+    while (mi < total) {
+      var c = 0
+      while (c < nCh) {
+        val s = chans(c)(mi)
+        md5.update((s & 0xFF).toByte); md5.update(((s >> 8) & 0xFF).toByte)
+        c += 1
+      }
+      mi += 1
+    }
     md5.digest().foreach(b => si.write(b & 0xFFL, 8))
     val siBytes = si.toBytes
     out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length) // 0x80 = last-block | type 0
@@ -180,15 +266,34 @@ object Flac {
 
     var off = 0
     var frameIx = 0L
-    while (off < samples.length) {
-      val n = math.min(B, samples.length - off)
-      val block = Array.tabulate(n)(i => samples(off + i).toInt)
+    while (off < total) {
+      val n = math.min(B, total - off)
+      def slice(ch: Int) = Array.tabulate(n)(i => chans(ch)(off + i))
+      // per-frame assignment choice: (chanCode, subframes as
+      // (block, bps) pairs), cheapest total planned bits wins;
+      // ties resolve to the earliest candidate (stable minBy)
+      val candidates: Seq[(Int, Seq[(Array[Int], Int)])] =
+        if (nCh == 1) Seq(0 -> Seq(slice(0) -> 16))
+        else {
+          val l = slice(0); val r = slice(1)
+          val side = Array.tabulate(n)(i => l(i) - r(i))
+          val mid = Array.tabulate(n)(i => (l(i) + r(i)) >> 1)
+          Seq(
+            1 -> Seq(l -> 16, r -> 16),     // independent
+            8 -> Seq(l -> 16, side -> 17),  // left/side
+            9 -> Seq(side -> 17, r -> 16),  // right/side
+            10 -> Seq(mid -> 16, side -> 17)) // mid/side
+        }
+      val planned = candidates.map { case (code, subs) =>
+        (code, subs.map { case (b, bps) => (b, bps, planSubframe(b, bps)) })
+      }
+      val (chanCode, subs) = planned.minBy(_._2.map(_._3.bits).sum)
       val w = new BitWriter
       // frame header: sync(14) 0b11111111111110, reserved 0, fixed blocking 0
       w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
       w.write(7, 4)    // blocksize: 16-bit (n-1) at header end
       w.write(13, 4)   // sample rate: 16-bit Hz at header end
-      w.write(0, 4)    // channel assignment: mono
+      w.write(chanCode, 4)
       w.write(4, 3)    // sample size: 16 bit
       w.write(0, 1)    // reserved
       writeCodedNumber(w, frameIx)
@@ -202,35 +307,7 @@ object Flac {
       val fw = new BitWriter
       headBytes.foreach(b => fw.write(b & 0xFFL, 8))
       fw.write(crcH, 8)
-      // subframe
-      if (block.forall(_ == block(0))) {
-        fw.write(0, 1); fw.write(0, 6); fw.write(0, 1) // CONSTANT
-        fw.write(block(0).toLong & 0xFFFF, 16)
-      } else {
-        val orders = (0 to math.min(2, n - 1)).map(o => o -> fixedResiduals(block, o))
-        val (order, res) = orders.minBy { case (_, r) => r.foldLeft(0L)((a, v) => a + math.abs(v)) }
-        fw.write(0, 1); fw.write(8 + order, 6); fw.write(0, 1) // FIXED(order)
-        var i = 0
-        while (i < order) { fw.write(block(i).toLong & 0xFFFF, 16); i += 1 }
-        fw.write(0, 2)  // residual method: rice, 4-bit params
-        fw.write(0, 4)  // partition order 0
-        val kBest = (0 to 14).minBy(k => riceCost(res, k))
-        val rawBits = bitsFor(res)
-        if (riceCost(res, kBest) <= 5L + rawBits.toLong * res.length) {
-          fw.write(kBest, 4)
-          res.foreach { r =>
-            val u = zigzag(r)
-            var q = (u >>> kBest).toInt
-            while (q > 0) { fw.write(0, 1); q -= 1 }
-            fw.write(1, 1)
-            fw.write(u & ((1L << kBest) - 1), kBest)
-          }
-        } else {
-          fw.write(15, 4)        // escape
-          fw.write(rawBits, 5)   // raw bit width
-          res.foreach(r => fw.write(r, rawBits))
-        }
-      }
+      subs.foreach { case (b, bps, p) => writeSubframe(fw, b, bps, p) }
       fw.alignByte()
       val frameBytes = fw.toBytes
       val crcF = crc16(frameBytes, 0, frameBytes.length)
@@ -249,10 +326,101 @@ object Flac {
     * frame CRC-16 and the STREAMINFO audio MD5. Returns (sampleRate,
     * samples). */
   def decode(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val (rate, chans, _) = decodeAll(bytes)
+    require(chans.length == 1, "decoder handles mono 16-bit")
+    (rate, chans(0))
+  }
+
+  /** Decode a mono or stereo 16-bit FLAC stream with the same
+    * verification set as [[decode]]. Returns (sampleRate,
+    * channels) — one sample array per channel, side assignments
+    * already reconstructed to L/R. */
+  def decodeChannels(bytes: Array[Byte]): (Int, Array[Array[Int]]) = {
+    val (rate, chans, _) = decodeAll(bytes)
+    (rate, chans)
+  }
+
+  /** Spec-facing: the channel-assignment code of every frame, so a
+    * test can assert the stereo encoder genuinely mixes assignment
+    * regimes without trusting the encoder's own bookkeeping. */
+  private[graft] def frameAssignments(bytes: Array[Byte]): Array[Int] =
+    decodeAll(bytes)._3
+
+  /** One subframe: type/wasted-bits header, warmup + residuals,
+    * predictor reconstruction. `sbps` is the subframe's sample width
+    * (bps, +1 for a side channel). */
+  private def readSubframe(r: BitReader, blockSize: Int,
+                           sbps: Int): Array[Int] = {
+    require(r.read(1) == 0, "bad subframe padding bit")
+    val sfType = r.read(6).toInt
+    val wastedFlag = r.read(1)
+    var wasted = 0
+    if (wastedFlag == 1) { wasted = 1; while (r.read(1) == 0) wasted += 1 }
+    val bps = sbps - wasted
+    val block = new Array[Int](blockSize)
+    if (sfType == 0) {
+      val v = r.readSigned(bps).toInt
+      java.util.Arrays.fill(block, v)
+    } else if (sfType == 1) {
+      var i = 0
+      while (i < blockSize) { block(i) = r.readSigned(bps).toInt; i += 1 }
+    } else if (sfType >= 8 && sfType <= 12) {
+      val order = sfType - 8
+      var i = 0
+      while (i < order) { block(i) = r.readSigned(bps).toInt; i += 1 }
+      val res = new Array[Long](blockSize - order)
+      val method = r.read(2).toInt
+      require(method <= 1, "reserved residual method")
+      val pWidth = if (method == 0) 4 else 5
+      val escape = if (method == 0) 15 else 31
+      val pOrder = r.read(4).toInt
+      val parts = 1 << pOrder
+      require(blockSize % parts == 0, "partition order does not divide blocksize")
+      var ri = 0
+      var p = 0
+      while (p < parts) {
+        val count = (blockSize >> pOrder) - (if (p == 0) order else 0)
+        val param = r.read(pWidth).toInt
+        if (param == escape) {
+          val raw = r.read(5).toInt
+          var j = 0
+          while (j < count) { res(ri) = r.readSigned(raw); ri += 1; j += 1 }
+        } else {
+          var j = 0
+          while (j < count) {
+            val q = r.readUnary()
+            val low = r.read(param)
+            res(ri) = unzigzag((q.toLong << param) | low)
+            ri += 1; j += 1
+          }
+        }
+        p += 1
+      }
+      // undo the fixed predictor
+      i = order
+      while (i < blockSize) {
+        val pred = order match {
+          case 0 => 0L
+          case 1 => block(i - 1).toLong
+          case 2 => 2L * block(i - 1) - block(i - 2)
+          case 3 => 3L * block(i - 1) - 3L * block(i - 2) + block(i - 3)
+          case 4 => 4L * block(i - 1) - 6L * block(i - 2) + 4L * block(i - 3) - block(i - 4)
+        }
+        block(i) = (pred + res(i - order)).toInt
+        i += 1
+      }
+    } else sys.error(s"unsupported subframe type $sfType")
+    if (wasted > 0) { var i = 0; while (i < blockSize) { block(i) <<= wasted; i += 1 } }
+    block
+  }
+
+  private def decodeAll(bytes: Array[Byte])
+      : (Int, Array[Array[Int]], Array[Int]) = {
     require(bytes.length > 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C', "payload is not FLAC")
     var pos = 4
     var rate = -1; var totalSamples = 0L
+    var nCh = 1
     var md5Expect: Array[Byte] = null
     var last = false
     while (!last) {
@@ -264,17 +432,18 @@ object Flac {
         val r = new BitReader(bytes, pos + 4)
         r.read(16); r.read(16); r.read(24); r.read(24)
         rate = r.read(20).toInt
-        val channels = r.read(3).toInt + 1
+        nCh = r.read(3).toInt + 1
         val bps = r.read(5).toInt + 1
-        require(channels == 1 && bps == 16, "decoder handles mono 16-bit")
+        require(nCh <= 2 && bps == 16, "decoder handles mono/stereo 16-bit")
         totalSamples = r.read(36)
         md5Expect = Array.tabulate(16)(i => r.read(8).toByte)
       }
       pos += 4 + len
     }
     require(rate > 0, "no STREAMINFO")
-    val outBuf = new java.util.ArrayList[Int]()
-    while (outBuf.size < totalSamples) {
+    val outs = Array.fill(nCh)(new java.util.ArrayList[Int]())
+    val assigns = new java.util.ArrayList[Int]()
+    while (outs(0).size < totalSamples) {
       val frameStart = pos
       val r = new BitReader(bytes, pos)
       require(r.read(14) == 0x3FFE, "lost frame sync")
@@ -285,7 +454,19 @@ object Flac {
       val chan = r.read(4).toInt
       val ssCode = r.read(3).toInt
       r.read(1)
-      require(chan == 0 && ssCode == 4, "decoder handles mono 16-bit frames")
+      require(ssCode == 4, "decoder handles 16-bit frames")
+      // subframe widths per assignment: the SIDE subframe carries one
+      // extra bit (left/side: ch1; right/side: ch0; mid/side: ch1)
+      val widths: Seq[Int] = chan match {
+        case 0 => Seq(16)
+        case 1 => Seq(16, 16)
+        case 8 => Seq(16, 17)
+        case 9 => Seq(17, 16)
+        case 10 => Seq(16, 17)
+        case c => sys.error(s"unsupported channel assignment $c")
+      }
+      require(widths.length == nCh,
+        "frame channel assignment disagrees with STREAMINFO")
       readCodedNumber(r)
       val blockSize = bsCode match {
         case 6 => r.read(8).toInt + 1
@@ -303,80 +484,53 @@ object Flac {
       val headerEnd = r.bytePos
       val hCrc = r.read(8).toInt
       require(hCrc == crc8(bytes, frameStart, headerEnd), "frame header CRC-8 mismatch")
-      // subframe (mono: exactly one)
-      require(r.read(1) == 0, "bad subframe padding bit")
-      val sfType = r.read(6).toInt
-      val wastedFlag = r.read(1)
-      var wasted = 0
-      if (wastedFlag == 1) { wasted = 1; while (r.read(1) == 0) wasted += 1 }
-      val bps = 16 - wasted
-      val block = new Array[Int](blockSize)
-      if (sfType == 0) {
-        val v = r.readSigned(bps).toInt
-        java.util.Arrays.fill(block, v)
-      } else if (sfType == 1) {
-        var i = 0
-        while (i < blockSize) { block(i) = r.readSigned(bps).toInt; i += 1 }
-      } else if (sfType >= 8 && sfType <= 12) {
-        val order = sfType - 8
-        var i = 0
-        while (i < order) { block(i) = r.readSigned(bps).toInt; i += 1 }
-        val res = new Array[Long](blockSize - order)
-        val method = r.read(2).toInt
-        require(method <= 1, "reserved residual method")
-        val pWidth = if (method == 0) 4 else 5
-        val escape = if (method == 0) 15 else 31
-        val pOrder = r.read(4).toInt
-        val parts = 1 << pOrder
-        require(blockSize % parts == 0, "partition order does not divide blocksize")
-        var ri = 0
-        var p = 0
-        while (p < parts) {
-          val count = (blockSize >> pOrder) - (if (p == 0) order else 0)
-          val param = r.read(pWidth).toInt
-          if (param == escape) {
-            val raw = r.read(5).toInt
-            var j = 0
-            while (j < count) { res(ri) = r.readSigned(raw); ri += 1; j += 1 }
-          } else {
-            var j = 0
-            while (j < count) {
-              val q = r.readUnary()
-              val low = r.read(param)
-              res(ri) = unzigzag((q.toLong << param) | low)
-              ri += 1; j += 1
-            }
+      val subs = widths.map(wd => readSubframe(r, blockSize, wd)).toArray
+      // reconstruct L/R from the side assignments (RFC 9639 §4.2)
+      val chansOut: Array[Array[Int]] = chan match {
+        case 0 | 1 => subs
+        case 8 => // left/side: R = L - side
+          Array(subs(0), Array.tabulate(blockSize)(i => subs(0)(i) - subs(1)(i)))
+        case 9 => // right/side: L = R + side
+          Array(Array.tabulate(blockSize)(i => subs(1)(i) + subs(0)(i)), subs(1))
+        case 10 => // mid/side: m2 = (mid<<1)|(side&1); L=(m2+s)/2, R=(m2-s)/2
+          val mid = subs(0); val side = subs(1)
+          val l = new Array[Int](blockSize); val rr = new Array[Int](blockSize)
+          var i = 0
+          while (i < blockSize) {
+            val m2 = (mid(i) << 1) | (side(i) & 1)
+            l(i) = (m2 + side(i)) >> 1
+            rr(i) = (m2 - side(i)) >> 1
+            i += 1
           }
-          p += 1
-        }
-        // undo the fixed predictor
-        i = order
-        while (i < blockSize) {
-          val pred = order match {
-            case 0 => 0L
-            case 1 => block(i - 1).toLong
-            case 2 => 2L * block(i - 1) - block(i - 2)
-            case 3 => 3L * block(i - 1) - 3L * block(i - 2) + block(i - 3)
-            case 4 => 4L * block(i - 1) - 6L * block(i - 2) + 4L * block(i - 3) - block(i - 4)
-          }
-          block(i) = (pred + res(i - order)).toInt
-          i += 1
-        }
-      } else sys.error(s"unsupported subframe type $sfType")
-      if (wasted > 0) { var i = 0; while (i < blockSize) { block(i) <<= wasted; i += 1 } }
+          Array(l, rr)
+      }
       r.alignByte()
       val footerStart = r.bytePos
       val fCrc = r.read(16).toInt
       require(fCrc == crc16(bytes, frameStart, footerStart), "frame CRC-16 mismatch")
+      assigns.add(chan)
       var i = 0
-      while (i < blockSize && outBuf.size < totalSamples) { outBuf.add(block(i)); i += 1 }
+      while (i < blockSize && outs(0).size < totalSamples) {
+        var c = 0
+        while (c < nCh) { outs(c).add(chansOut(c)(i)); c += 1 }
+        i += 1
+      }
       pos = r.bytePos
     }
-    val samples = Array.tabulate(outBuf.size)(outBuf.get)
+    val chansArr = outs.map(b => Array.tabulate(b.size)(b.get))
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    samples.foreach { s => md5.update((s & 0xFF).toByte); md5.update(((s >> 8) & 0xFF).toByte) }
+    var i = 0
+    while (i < chansArr(0).length) {
+      var c = 0
+      while (c < nCh) {
+        val s = chansArr(c)(i)
+        md5.update((s & 0xFF).toByte); md5.update(((s >> 8) & 0xFF).toByte)
+        c += 1
+      }
+      i += 1
+    }
     require(java.util.Arrays.equals(md5.digest(), md5Expect),
       "decoded audio MD5 mismatch — stream is not lossless")
-    (rate, samples)
+    (rate, chansArr, Array.tabulate(assigns.size)(assigns.get))
   }
 }

@@ -751,6 +751,14 @@ object MediaCodec {
       def decode(bytes: Array[Byte]): (Int, Array[Int]) = Flac.decode(bytes)
     }
 
+  /** Stereo FLAC: (rate, channels) with the side assignments already
+    * reconstructed to L/R — see [[Flac.decodeChannels]]. */
+  def flacStereo: MediaCodec[(Int, Array[Array[Int]])] =
+    () => new Session[(Int, Array[Array[Int]])] {
+      def decode(bytes: Array[Byte]): (Int, Array[Array[Int]]) =
+        Flac.decodeChannels(bytes)
+    }
+
   /** REAL lossless compressed image: QOI (qoiformat.org spec — see
     * [[Qoi]]). Returns (w, h, row-major 0xRRGGBB pixels). QOI carries
     * no CRC, so the decoder enforces the structural surface (magic,

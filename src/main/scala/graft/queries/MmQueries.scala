@@ -253,6 +253,51 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // STEREO FLAC — the channel-decorrelation layer mono cannot
+    // exercise: per frame the encoder plans all four spec assignments
+    // (independent, left/side, right/side, mid/side) and writes the
+    // cheapest, so the correlated ids (right = left ± tiny wiggle,
+    // every 3rd id) compress through the 17-bit side channel while
+    // the independent ids fall back to L/R coding — and the decoder
+    // reconstructs BOTH regimes back to L/R before the MD5 check.
+    // Lossless => the oracle recomputes both channel means from the
+    // source formulas in pure SQL; one mis-reconstructed side sample
+    // goes value-red.
+    "mm_audio_flac_stereo" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.flacStereo.open()
+          it.map { id =>
+            val n = 96 + (id % 64).toInt
+            val rate = 8000 + (id % 8).toInt * 1000
+            val left = Array.tabulate(n) { i =>
+              if (id % 4 == 0 && i < 64) 512.toShort
+              else (((id * 31 + i.toLong * i * 7) % 4096) - 2048).toShort
+            }
+            val right = Array.tabulate(n) { i =>
+              if (id % 3 == 0)
+                (left(i) - ((id + 3L * i) % 7 - 3)).toShort
+              else (((id * 17 + i.toLong * i * 11) % 4096) - 2048).toShort
+            }
+            val (r, chans) =
+              codec.decode(graft.multimodal.Flac.encodeStereo(rate, left, right))
+            val lossless = r == rate && chans.length == 2 &&
+              chans(0).length == n && chans(1).length == n &&
+              chans(0).indices.forall(i => chans(0)(i) == left(i).toInt) &&
+              chans(1).indices.forall(i => chans(1)(i) == right(i).toInt)
+            def meanAbs(a: Array[Int]) =
+              if (a.isEmpty) 0L
+              else a.foldLeft(0L)((acc, v) => acc + math.abs(v.toLong)) / a.length
+            (id, r, chans(0).length, meanAbs(chans(0)), meanAbs(chans(1)),
+              lossless)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "mean_abs_l",
+          "mean_abs_r", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
     // Third COMPRESSED-image format, this time a HAND-ROLLED public
     // spec (qoiformat.org) rather than a JDK writer: QOI round trip
     // over [[graft.multimodal.Qoi.testImage]], whose four regions make
@@ -544,6 +589,32 @@ object MmQueries {
         |    // (96 + doc_id % 64) AS BIGINT) AS mean_abs,
         |  TRUE AS lossless
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Stereo FLAC is lossless like mono, so both channel means
+    // recompute from the source formulas (left = the mono signal;
+    // right = left minus the small wiggle on every 3rd id, an
+    // independent quadratic otherwise).
+    "mm_audio_flac_stereo" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 96 + doc_id % 64),
+        |      i -> CASE WHEN doc_id % 4 = 0 AND i < 64 THEN 512
+        |           ELSE (doc_id * 31 + i * i * 7) % 4096 - 2048 END) AS l,
+        |    list_transform(range(0, 96 + doc_id % 64),
+        |      i -> CASE WHEN doc_id % 3 = 0 THEN
+        |             (CASE WHEN doc_id % 4 = 0 AND i < 64 THEN 512
+        |              ELSE (doc_id * 31 + i * i * 7) % 4096 - 2048 END)
+        |             - ((doc_id + 3 * i) % 7 - 3)
+        |           ELSE (doc_id * 17 + i * i * 11) % 4096 - 2048 END) AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(96 + doc_id % 64 AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(l, x -> abs(x)))
+        |    // (96 + doc_id % 64) AS BIGINT) AS mean_abs_l,
+        |  CAST(list_sum(list_transform(r, x -> abs(x)))
+        |    // (96 + doc_id % 64) AS BIGINT) AS mean_abs_r,
+        |  TRUE AS lossless
+        |FROM sig ORDER BY doc_id""".stripMargin,
     // μ-law: per sample, the mirror recomputes decode(encode(x)) in
     // pure integer SQL — biased magnitude m = min(|x|,32635)+132,
     // segment e from m's leading bit, decoded |amplitude| =

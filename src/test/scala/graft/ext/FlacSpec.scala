@@ -64,6 +64,61 @@ class FlacSpec extends AnyFunSuite {
       s"noise must stay near raw size (escape partitions), got $noisy")
   }
 
+  test("stereo round trip is lossless and the encoder genuinely mixes " +
+      "channel assignments (independent + at least one side regime)") {
+    val n = 300
+    val left = Array.tabulate(n)(i => ((i * i * 7) % 4096 - 2048).toShort)
+    val right = Array.tabulate(n) { i =>
+      if (i < 128) (left(i) - (i % 7 - 3)).toShort // correlated: tiny side
+      else (((i * 31 + 11) % 4096) - 2048).toShort // independent
+    }
+    val enc = Flac.encodeStereo(44100, left, right)
+    val (rate, chans) = Flac.decodeChannels(enc)
+    assert(rate === 44100)
+    assert(chans.length === 2)
+    assert(chans(0).toSeq === left.toSeq.map(_.toInt))
+    assert(chans(1).toSeq === right.toSeq.map(_.toInt))
+    // independent frame walker: assignment codes straight from the
+    // stream, not from encoder bookkeeping
+    val assigns = Flac.frameAssignments(enc).toSet
+    assert(assigns.subsetOf(Set(1, 8, 9, 10)), assigns.toString)
+    assert(assigns.contains(1) && assigns.exists(c => c >= 8),
+      s"expected mixed regimes, got $assigns")
+  }
+
+  test("stereo decorrelation is real compression: identical channels " +
+      "code the side as constant zero and beat two mono streams") {
+    val n = 512
+    val l = Array.tabulate(n)(i => ((i * 13) % 4096 - 2048).toShort)
+    val stereo = Flac.encodeStereo(16000, l, l.clone())
+    val twoMono = Flac.encode(16000, l).length + Flac.encode(16000, l).length
+    assert(stereo.length < twoMono * 3 / 4,
+      s"stereo=${stereo.length} twoMono=$twoMono")
+  }
+
+  test("the 17-bit side channel survives extreme amplitudes " +
+      "(L=32767 vs R=-32768 -> side 65535)") {
+    val n = 80
+    val left = Array.fill(n)(32767.toShort)
+    val right = Array.fill(n)((-32768).toShort)
+    val (rate, chans) = Flac.decodeChannels(
+      Flac.encodeStereo(8000, left, right))
+    assert(rate === 8000)
+    assert(chans(0).forall(_ == 32767) && chans(1).forall(_ == -32768))
+  }
+
+  test("mono streams decode unchanged through the channel API, and " +
+      "decode() rejects stereo input") {
+    val src = Array.tabulate(100)(i => ((i * 37) % 1024 - 512).toShort)
+    val mono = Flac.encode(8000, src)
+    val (r1, chans) = Flac.decodeChannels(mono)
+    assert(r1 === 8000 && chans.length === 1)
+    assert(chans(0).toSeq === src.toSeq.map(_.toInt))
+    val stereo = Flac.encodeStereo(8000, src, src.clone())
+    val e = intercept[IllegalArgumentException](Flac.decode(stereo))
+    assert(e.getMessage.contains("mono"))
+  }
+
   test("corruption is detected, never silently decoded") {
     val src = Array.tabulate(150)(i => ((i * 31) % 2048 - 1024).toShort)
     val good = Flac.encode(8000, src)
