@@ -759,6 +759,14 @@ object MediaCodec {
         Flac.decodeChannels(bytes)
     }
 
+  /** Animated PNG: (w, h, frames, (delayNum, delayDen)) — see
+    * [[Apng.decode]]. */
+  def apng: MediaCodec[(Int, Int, Seq[Array[Int]], (Int, Int))] =
+    () => new Session[(Int, Int, Seq[Array[Int]], (Int, Int))] {
+      def decode(bytes: Array[Byte]): (Int, Int, Seq[Array[Int]], (Int, Int)) =
+        Apng.decode(bytes)
+    }
+
   /** REAL lossless compressed image: QOI (qoiformat.org spec — see
     * [[Qoi]]). Returns (w, h, row-major 0xRRGGBB pixels). QOI carries
     * no CRC, so the decoder enforces the structural surface (magic,

@@ -52,9 +52,11 @@ object Png {
     crc.getValue
   }
 
-  /** Encode row-major 0xRRGGBB pixels as an 8-bit truecolor PNG with
-    * per-row heuristic filter selection. */
-  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+  /** Filter the pixel rows (per-row min-sum-of-abs heuristic) and
+    * zlib-deflate — the scanline payload shared by a PNG IDAT stream
+    * and an APNG frame's fdAT stream ([[Apng]]). */
+  private[multimodal] def filterAndDeflate(width: Int, height: Int,
+                                           pixels: Array[Int]): Array[Byte] = {
     require(width > 0 && height > 0 && pixels.length == width * height,
       s"bad dimensions ${width}x$height for ${pixels.length} pixels")
     val stride = 3 * width
@@ -106,20 +108,11 @@ object Png {
     val tmp = new Array[Byte](8192)
     while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
     defl.end()
-    val idat = zbuf.toByteArray
+    zbuf.toByteArray
+  }
 
-    val out = new java.io.ByteArrayOutputStream(idat.length + 64)
-    out.write(Signature, 0, Signature.length)
-    def be32(v: Long): Unit = {
-      out.write(((v >>> 24) & 0xFF).toInt); out.write(((v >>> 16) & 0xFF).toInt)
-      out.write(((v >>> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
-    }
-    def chunk(tpe: String, data: Array[Byte]): Unit = {
-      be32(data.length.toLong)
-      out.write(tpe.getBytes("US-ASCII"), 0, 4)
-      out.write(data, 0, data.length)
-      be32(crcOf(tpe, data, data.length))
-    }
+  /** The 13 IHDR bytes for this codec's 8-bit truecolor subset. */
+  private[multimodal] def ihdrBytes(width: Int, height: Int): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     def put32(o: Int, v: Int): Unit = {
       ihdr(o) = ((v >>> 24) & 0xFF).toByte; ihdr(o + 1) = ((v >>> 16) & 0xFF).toByte
@@ -131,9 +124,33 @@ object Png {
     ihdr(10) = 0  // compression: deflate
     ihdr(11) = 0  // filter method 0
     ihdr(12) = 0  // no interlace
-    chunk("IHDR", ihdr)
-    chunk("IDAT", idat)
-    chunk("IEND", Array.emptyByteArray)
+    ihdr
+  }
+
+  /** Append one length+type+data+CRC chunk. */
+  private[multimodal] def writeChunk(out: java.io.ByteArrayOutputStream,
+                                     tpe: String, data: Array[Byte]): Unit = {
+    def be32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xFF).toInt); out.write(((v >>> 16) & 0xFF).toInt)
+      out.write(((v >>> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    be32(data.length.toLong)
+    out.write(tpe.getBytes("US-ASCII"), 0, 4)
+    out.write(data, 0, data.length)
+    be32(crcOf(tpe, data, data.length))
+  }
+
+  private[multimodal] val PngSignature: Array[Byte] = Signature
+
+  /** Encode row-major 0xRRGGBB pixels as an 8-bit truecolor PNG with
+    * per-row heuristic filter selection. */
+  def encode(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    val idat = filterAndDeflate(width, height, pixels)
+    val out = new java.io.ByteArrayOutputStream(idat.length + 64)
+    out.write(Signature, 0, Signature.length)
+    writeChunk(out, "IHDR", ihdrBytes(width, height))
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
@@ -207,11 +224,19 @@ object Png {
     }
     require(pos == bytes.length, "trailing bytes after IEND")
     require(z.size() > 0, "no IDAT data")
+    (width, height, inflateAndReconstruct(width, height, z.toByteArray))
+  }
 
+  /** Inflate one complete zlib scanline stream and undo the filters —
+    * the decode payload shared by PNG's IDAT and each APNG frame's
+    * fdAT stream ([[Apng]]). Enforces exact inflated length and the
+    * filter-byte range. */
+  private[multimodal] def inflateAndReconstruct(width: Int, height: Int,
+                                                z: Array[Byte]): Array[Int] = {
     val stride = 3 * width
     val raw = new Array[Byte](height * (1 + stride))
     val inf = new Inflater()
-    inf.setInput(z.toByteArray)
+    inf.setInput(z)
     var off = 0
     while (!inf.finished() && off < raw.length) {
       val n = inf.inflate(raw, off, raw.length - off)
@@ -254,7 +279,7 @@ object Png {
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    (width, height, px)
+    px
   }
 
   /** Re-inflate a PNG's IDAT stream and return the per-row filter

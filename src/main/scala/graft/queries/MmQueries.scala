@@ -352,6 +352,51 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ANIMATED PNG — the APNG extension over the same hand-rolled PNG
+    // layer: acTL/fcTL/fdAT with one strictly-consecutive sequence
+    // space, frame 0 in the IDAT stream, later frames as fdAT zlib
+    // streams. Each id animates 2-4 frames of the shared test image
+    // under per-frame CHANNEL ROTATION (r,g,b) -> shifted by the frame
+    // index: the all-frame channel mean is rotation-invariant (so the
+    // oracle reuses the four-region mean formula), while the LAST
+    // frame's per-channel sums select different SOURCE channels per
+    // rotation — a frame-order or rotation bug flips them value-red.
+    // `lossless` is every decoded frame == its source frame
+    // pixel-for-pixel; the per-frame delay round-trips through fcTL.
+    "mm_image_apng" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.apng.open()
+          it.map { id =>
+            val (w, h, src) = graft.multimodal.Qoi.testImage(id)
+            val n = 2 + (id % 3).toInt
+            def rot(p: Int, k: Int): Int = {
+              val ch = Array((p >>> 16) & 0xFF, (p >>> 8) & 0xFF, p & 0xFF)
+              (ch(k % 3) << 16) | (ch((k + 1) % 3) << 8) | ch((k + 2) % 3)
+            }
+            val frames = (0 until n).map(k => src.map(p => rot(p, k)))
+            val bytes = graft.multimodal.Apng.encode(w, h, frames,
+              delayNum = 1 + (id % 4).toInt, delayDen = 10)
+            val (dw, dh, dec, (dn, dd)) = codec.decode(bytes)
+            val lossless = dw == w && dh == h && dec.length == n &&
+              (0 until n).forall(k => dec(k).sameElements(frames(k)))
+            val sumAll = dec.foldLeft(0L)((a, fr) => a + fr.foldLeft(0L)(
+              (b, p) => b + ((p >>> 16) & 0xFF) + ((p >>> 8) & 0xFF) + (p & 0xFF)))
+            def chanSum(fr: Array[Int], shift: Int) =
+              fr.foldLeft(0L)((a, p) => a + ((p >>> shift) & 0xFF))
+            val last = dec.last
+            (id, dw, dh, n, sumAll / (3L * n * w * h),
+              chanSum(last, 16), chanSum(last, 8), chanSum(last, 0),
+              lossless, dn, dd)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "mean_rgb",
+          "sum_r_last", "sum_g_last", "sum_b_last", "lossless",
+          "delay_num", "delay_den")
+        .orderBy(col("doc_id"))
+    },
+
     "mm_audio_decode" -> { (s, dir) =>
       import s.implicits._
       codecIds(s, dir)
@@ -509,6 +554,53 @@ object MmQueries {
         |    AS mean_rgb,
         |  TRUE AS lossless
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // APNG is lossless per frame and the frame transform is a channel
+    // ROTATION, so the all-frame mean reuses the four-region formula
+    // (rotation-invariant) while the last frame's per-channel sums
+    // select source channels by (n-1) mod 3 — the per-channel sums
+    // sr/sg/sb are computed separately from the same region CASEs.
+    "mm_image_apng" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 16 AS w,
+        |    8 + (doc_id * 3) % 16 AS h,
+        |    (doc_id * 37) % 256 AS base,
+        |    2 + doc_id % 3 AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, n,
+        |    list_sum(list_transform(range(0, w*h), i -> CASE
+        |      WHEN i // w = 0 THEN base
+        |      WHEN i // w = 1 THEN (base + i % w) % 256
+        |      WHEN i // w = 2 THEN CASE WHEN (i % w) % 2 = 0 THEN base
+        |        ELSE (base + 97) % 256 END
+        |      ELSE (base + 3 * (i % w)) % 256 END)) AS sr,
+        |    list_sum(list_transform(range(0, w*h), i -> CASE
+        |      WHEN i // w = 0 THEN base
+        |      WHEN i // w = 1 THEN (base + i % w) % 256
+        |      WHEN i // w = 2 THEN CASE WHEN (i % w) % 2 = 0 THEN base
+        |        ELSE (base + 31) % 256 END
+        |      ELSE (base + 11 * (i // w)) % 256 END)) AS sg,
+        |    list_sum(list_transform(range(0, w*h), i -> CASE
+        |      WHEN i // w = 0 THEN base
+        |      WHEN i // w = 1 THEN (base + i % w) % 256
+        |      WHEN i // w = 2 THEN CASE WHEN (i % w) % 2 = 0 THEN base
+        |        ELSE (base + 13) % 256 END
+        |      ELSE (base + 5 * (i % w) + 7 * (i // w)) % 256 END)) AS sb
+        |  FROM p)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST((sr + sg + sb) // (3 * w * h) AS BIGINT) AS mean_rgb,
+        |  CAST(CASE (n - 1) % 3 WHEN 0 THEN sr WHEN 1 THEN sg ELSE sb END
+        |    AS BIGINT) AS sum_r_last,
+        |  CAST(CASE n % 3 WHEN 0 THEN sr WHEN 1 THEN sg ELSE sb END
+        |    AS BIGINT) AS sum_g_last,
+        |  CAST(CASE (n + 1) % 3 WHEN 0 THEN sr WHEN 1 THEN sg ELSE sb END
+        |    AS BIGINT) AS sum_b_last,
+        |  TRUE AS lossless,
+        |  CAST(1 + doc_id % 4 AS INT) AS delay_num,
+        |  CAST(10 AS INT) AS delay_den
+        |FROM s ORDER BY doc_id""".stripMargin,
     // PNG is lossless over the SAME test image as mm_image_qoi, so its
     // oracle is the identical four-region mean formula.
     "mm_image_png" ->
