@@ -203,11 +203,81 @@ object SimQueries {
     path
   }
 
+  /** The maintenance step the drift sidecar EXISTS to trigger: when a
+    * list has drifted heavy, SPLIT it — locally. Builds the same
+    * base+append layout as [[buildAppendedIvf]], reads the per-list
+    * counts, picks the heaviest list (deterministic: max count, then
+    * min cid), trains TWO sub-centroids on that list's own members
+    * (deterministic k-means — a LOCAL re-cluster, never a corpus-wide
+    * retrain), assigns only those members to the subs, appends the two
+    * new list directories and drops the old one. Every other list is
+    * untouched on disk, and its assignments stay STICKY — the defining
+    * semantics of incremental IVF maintenance (a vector near the new
+    * sub-centroid but living in another list does NOT move; FAISS
+    * behaves the same). Serving routes queries over the POST-rebalance
+    * centroid set (original minus hot, plus subs). The oracle mirrors
+    * the two-stage sticky assignment exactly, so a rebalance that
+    * moved the wrong rows, dropped a sub-list, or re-routed sticky
+    * members goes value-red. Crash note: the append-then-drop order
+    * can leave a duplicate window mid-build; the production form would
+    * stage behind a manifest swap like KvTable compaction — this build
+    * is ensureSetup-fresh per gate run. */
+  private def buildRebalancedIvf(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    val path = scratchDir("ann_rebalanced_model", dir)
+    lastDir = Some(dir)
+    ensureSetup(path) {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
+      Similarity.ivfAssign(corpus, cents)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assigned")
+      Similarity.ivfAssign(ivfAppendBatch(s, dir),
+          s.read.parquet(s"$path/cents"))
+        .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
+      // pick the heaviest list from the drift counts
+      val counts = s.read.parquet(s"$path/assigned")
+        .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.get(0).toString.toInt, r.getLong(1)))
+      val hot = counts.minBy { case (c, n) => (-n, c) }._1
+      require(counts.find(_._1 == hot).exists(_._2 >= 2),
+        "hot list too small to split")
+      val maxCid = counts.map(_._1).max
+      // the hot list's own members (partition-pruned read); vq/Scale
+      // re-quantizes to the identical integers
+      val hotCorpus = s.read.parquet(s"$path/assigned")
+        .filter(col("cid") === hot)
+        .select(col("id"), transform(col("vq"),
+          x => x.cast("double") / Similarity.Scale).as("vec"))
+      val subs = Similarity.kmeansCentroids(hotCorpus, k = 2, iters = 3)
+        .select((col("cid") + lit(maxCid + 1)).as("cid"), col("cvec"))
+      subs.write.mode("overwrite").parquet(s"$path/subs")
+      writeCentsSidecar(java.nio.file.Paths.get(path, "subs.txt"), subs)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "rebalance.txt"), hot.toString)
+      // split IN PLACE: append the two sub-lists, drop the old one
+      Similarity.ivfAssign(hotCorpus, s.read.parquet(s"$path/subs"))
+        .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
+      val hotDir = java.nio.file.Paths.get(s"$path/assigned", s"cid=$hot")
+      java.nio.file.Files.walk(hotDir).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      // post-rebalance routing set: original minus hot, plus subs
+      val cents2 = s.read.parquet(s"$path/cents")
+        .filter(col("cid") =!= hot).unionByName(s.read.parquet(s"$path/subs"))
+      cents2.write.mode("overwrite").parquet(s"$path/cents2")
+    }
+    path
+  }
+
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     checked("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivfpq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivf_served" -> ((s, d) => { buildServedIvf(s, d); () }),
       "ann_ivf_appended" -> ((s, d) => { buildAppendedIvf(s, d); () }),
+      "ann_ivf_rebalanced" -> ((s, d) => { buildRebalancedIvf(s, d); () }),
       "dedup_semantic" -> ((s, d) => { trainSemDedupModel(s, d); () }))
 
   val defs: Map[String, Q] = checked(
@@ -379,6 +449,23 @@ object SimQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfSearchAssigned(s.read.parquet(s"$path/assigned"),
           queries, s.read.parquet(s"$path/cents"), nprobe = 4, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Served AFTER a drift-triggered list SPLIT: the heaviest list's
+    // members re-cluster into two sub-lists (local 2-means, no
+    // corpus-wide retrain), queries route over the post-rebalance
+    // centroid set, every other list stays sticky on disk. The oracle
+    // recomputes the TWO-STAGE sticky assignment (original routing,
+    // then sub-routing for hot members only) over the union corpus —
+    // misrouted sticky members or a dropped sub-list go value-red.
+    "ann_ivf_rebalanced" -> { (s, dir) =>
+      val path = buildRebalancedIvf(s, dir)
+      val e = table(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfSearchAssigned(s.read.parquet(s"$path/assigned"),
+          queries, s.read.parquet(s"$path/cents2"), nprobe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -701,6 +788,58 @@ object SimQueries {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Post-rebalance mirror: assignment is TWO-STAGE STICKY — every
+    * vector routes over the ORIGINAL centroids; only members of the
+    * split (hot) list re-route over the two sub-centroids. Queries
+    * probe the post-rebalance set (original minus hot, plus subs).
+    * Mirrors [[buildRebalancedIvf]]'s semantics exactly — a global
+    * re-assignment over the new set would NOT match (sticky lists are
+    * the defining property of incremental maintenance). */
+  private def ivfRebalancedSql(orig: Seq[(Int, Seq[Long])],
+                               subs: Seq[(Int, Seq[Long])], hot: Int,
+                               corpusCte: String): String = {
+    val cos = cosSql _
+    s"""WITH cents0 AS (${centsValuesCte(orig)}),
+       |subs AS (${centsValuesCte(subs)}),
+       |cents2 AS (
+       |  SELECT * FROM cents0 WHERE cid <> $hot
+       |  UNION ALL SELECT * FROM subs),
+       |corpus AS ($corpusCte),
+       |a1 AS (
+       |  SELECT id, cid AS cid0, vq FROM (
+       |    SELECT c.id, ct.cid, c.vq,
+       |      row_number() OVER (PARTITION BY c.id
+       |        ORDER BY ${cos("c.vq", "ct.cq")} DESC, ct.cid) AS rn
+       |    FROM corpus c, cents0 ct)
+       |  WHERE rn = 1),
+       |assigned AS (
+       |  SELECT id, cid0 AS cid, vq FROM a1 WHERE cid0 <> $hot
+       |  UNION ALL
+       |  SELECT id, cid, vq FROM (
+       |    SELECT a.id, s.cid, a.vq,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${cos("a.vq", "s.cq")} DESC, s.cid) AS rn
+       |    FROM a1 a, subs s WHERE a.cid0 = $hot)
+       |  WHERE rn = 1),
+       |queries AS (
+       |  SELECT vec_id AS qid, $quantSql AS qq
+       |  FROM embeddings WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT qid, cid, qq FROM (
+       |    SELECT q.qid, ct.cid, q.qq,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos("q.qq", "ct.cq")} DESC, ct.cid) AS rn
+       |    FROM queries q, cents2 ct)
+       |  WHERE rn <= 4)
+       |SELECT qid, id, cosine, rank FROM (
+       |  SELECT p.qid, a.id, ${cos("p.qq", "a.vq")} AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cos("p.qq", "a.vq")} DESC, a.id) AS INT) AS rank
+       |  FROM probed p JOIN assigned a ON p.cid = a.cid
+       |  WHERE p.qid <> a.id)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   // Stride mirrors the query's k ≈ √n IVF rule IN SQL (max(40,
   // ⌊√(0.8·n)⌋)), so the oracle stays valid at ANY scale factor — a
   // literal 40 held only at the sf0.01/sf0.1 gate sizes and value-
@@ -875,6 +1014,18 @@ object SimQueries {
           appendedCents.map(ce =>
             "ann_ivf_appended" -> ivfSqlWithCents(centsValuesCte(ce),
               appendedCorpus)) ++
+          // two-stage sticky mirror over the same union corpus
+          (for {
+            orig <- readCentsSidecar(java.nio.file.Paths.get(
+              scratchDir("ann_rebalanced_model", dir), "cents.txt"))
+            subs <- readCentsSidecar(java.nio.file.Paths.get(
+              scratchDir("ann_rebalanced_model", dir), "subs.txt"))
+            hotF = java.nio.file.Paths.get(
+              scratchDir("ann_rebalanced_model", dir), "rebalance.txt")
+            if java.nio.file.Files.exists(hotF)
+            hot = java.nio.file.Files.readString(hotF).trim.toInt
+          } yield "ann_ivf_rebalanced" ->
+            ivfRebalancedSql(orig, subs, hot, appendedCorpus)) ++
           sdCents.map(ce =>
             "dedup_semantic" -> semDedupSql(centsValuesCte(ce)))).toMap
     }

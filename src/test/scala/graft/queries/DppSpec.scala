@@ -67,4 +67,33 @@ class DppSpec extends SparkSpec {
     assert(counts.forall { case (b, a) => a >= b },
       "appending removed rows from a list")
   }
+
+  test("ann_ivf_rebalanced splits the heaviest list IN PLACE: old list " +
+      "directory gone, two sub-lists present, total rows preserved, " +
+      "serving still partition-prunes over the post-rebalance routing") {
+    val dir = "/root/testdata/sf0.001"
+    SimQueries.prepares("ann_ivf_rebalanced")(spark, dir)
+    val df = SimQueries.defs("ann_ivf_rebalanced")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"rebalanced IVF scan lost its DynamicPruningSubquery:\n$plan")
+    assert(df.count() > 0)
+    val path = scratchDir("ann_rebalanced_model", dir)
+    val hot = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "rebalance.txt")).trim.toInt
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/assigned", s"cid=$hot")),
+      s"split list cid=$hot still on disk")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val cids = assigned.select("cid").distinct().collect()
+      .map(_.get(0).toString.toInt).toSet
+    val maxOrig = 15 // k = 16 original lists, cids 0..15
+    assert(!cids.contains(hot) &&
+      cids.contains(maxOrig + 1) && cids.contains(maxOrig + 2),
+      s"expected sub-lists ${maxOrig + 1},${maxOrig + 2} without $hot: $cids")
+    // rows preserved: corpus + batch (every-10th vector appended)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(assigned.count() === n + (n + 9) / 10,
+      "rebalance changed the total row count")
+  }
 }
