@@ -272,12 +272,44 @@ object SimQueries {
     path
   }
 
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  /** Train-once centroids + a 3-file source directory for the
+    * STREAMING ingest query: the corpus arrives as 3 micro-batches
+    * (maxFilesPerTrigger=1), the shape of a vector pipeline that never
+    * stops receiving embeddings. */
+  private def buildStreamIvfModel(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): String = {
+    val path = scratchDir("ann_stream_model", dir)
+    lastDir = Some(dir)
+    ensureSetup(path) {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
+      (0 until 3).foreach { i =>
+        e.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(s"$path/src")
+      }
+    }
+    path
+  }
+
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
     checked("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivfpq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivf_served" -> ((s, d) => { buildServedIvf(s, d); () }),
       "ann_ivf_appended" -> ((s, d) => { buildAppendedIvf(s, d); () }),
       "ann_ivf_rebalanced" -> ((s, d) => { buildRebalancedIvf(s, d); () }),
+      "ann_ivf_stream_ingest" -> ((s, d) => { buildStreamIvfModel(s, d); () }),
       "dedup_semantic" -> ((s, d) => { trainSemDedupModel(s, d); () }))
 
   val defs: Map[String, Q] = checked(
@@ -466,6 +498,45 @@ object SimQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfSearchAssigned(s.read.parquet(s"$path/assigned"),
           queries, s.read.parquet(s"$path/cents2"), nprobe = 4, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // STREAMING ingestion into the serving layout — the continuous
+    // form of ann_ivf_appended: a REAL Structured-Streaming query
+    // (file source, 3 micro-batches via maxFilesPerTrigger=1,
+    // AvailableNow) assigns each arriving batch to the EXISTING
+    // trained centroids inside foreachBatch and appends into the
+    // cid-partitioned layout; serving then reads the live index. The
+    // final state is batching-INSENSITIVE (assignment is stateless per
+    // vector), so the DuckDB mirror over the whole corpus gates a
+    // genuinely streaming execution value-level — the same trick as
+    // every stream_* query. The live layout resets per run (each run
+    // re-ingests); production ingestion would ride the kvtable epoch
+    // ledger for exactly-once (kv_stream_* queries pin that machinery).
+    "ann_ivf_stream_ingest" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val path = buildStreamIvfModel(s, dir)
+      val live = s"$path/assigned_live"
+      deleteRecursively(live)
+      val cents = s.read.parquet(s"$path/cents")
+      val e = table(s, dir, "embeddings")
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$path/src")
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.ivfAssign(
+              batch.select(col("vec_id").as("id"), col("embedding").as("vec")),
+              cents)
+            .write.mode("append").partitionBy("cid").parquet(live)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfSearchAssigned(s.read.parquet(live), queries, cents,
+          nprobe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1026,6 +1097,12 @@ object SimQueries {
             hot = java.nio.file.Files.readString(hotF).trim.toInt
           } yield "ann_ivf_rebalanced" ->
             ivfRebalancedSql(orig, subs, hot, appendedCorpus)) ++
+          // the streamed index's final state is batching-insensitive:
+          // the mirror is the plain trained-centroid search over the
+          // whole (default) corpus
+          readCentsSidecar(java.nio.file.Paths.get(
+            scratchDir("ann_stream_model", dir), "cents.txt")).map(ce =>
+            "ann_ivf_stream_ingest" -> ivfSqlWithCents(centsValuesCte(ce))) ++
           sdCents.map(ce =>
             "dedup_semantic" -> semDedupSql(centsValuesCte(ce)))).toMap
     }
