@@ -1212,6 +1212,11 @@ case class BloomMightContain(left: Expression, right: Expression)
     else if (left.dataType != BinaryType || right.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"expected (BINARY, BIGINT), got (${left.dataType}, ${right.dataType})")
+    else if (left.eval(null) == null)
+      // a foldable NULL would otherwise NPE inside BloomFilter.readFrom
+      // at first evaluation — fail at analysis time instead
+      TypeCheckResult.TypeCheckFailure(
+        "the serialized bloom filter must be a foldable non-NULL BINARY literal")
     else TypeCheckResult.TypeCheckSuccess
   @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(

@@ -44,6 +44,10 @@ object Apng {
     require(frames.forall(_.length == width * height),
       "every frame must be full-canvas")
     require(delayDen > 0 && delayNum >= 0 && numPlays >= 0, "bad timing")
+    // fcTL carries the delay in 16-bit fields; be16 would silently
+    // truncate larger values into a valid-but-different stream
+    require(delayNum <= 0xFFFF && delayDen <= 0xFFFF,
+      "fcTL delay fields are 16-bit")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Png.PngSignature, 0, Png.PngSignature.length)
     Png.writeChunk(out, "IHDR", Png.ihdrBytes(width, height))

@@ -86,7 +86,7 @@ object SimQueries {
     val pert = e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("id"),
         concat(array(element_at(asD, 1) + lit(0.05)),
-          slice(asD, 2, 63)).as("vec"))
+          slice(asD, lit(2), size(asD) - 1)).as("vec"))
     base.unionByName(pert)
   }
 
@@ -152,7 +152,7 @@ object SimQueries {
     e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + stride).as("id"),
         concat(array(element_at(asD, 1) + lit(0.05)),
-          slice(asD, 2, 63)).as("vec"))
+          slice(asD, lit(2), size(asD) - 1)).as("vec"))
   }
 
   /** Incremental maintenance for the persisted IVF index — the serving
@@ -588,7 +588,7 @@ object SimQueries {
       val pert = e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("id"),
           concat(array(element_at(asDouble, 1) + lit(0.05)),
-            slice(asDouble, 2, 63)).as("vec"))
+            slice(asDouble, lit(2), size(asDouble) - 1)).as("vec"))
       val n = e.count(); val corpusN = n + n / 10
       val bits = math.max(8,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, corpusN / 10 - 1)))
@@ -689,7 +689,7 @@ object SimQueries {
        |  UNION ALL
        |  SELECT vec_id + 1000000 AS id,
        |    [list_transform(embedding, x -> CAST(x AS DOUBLE))[1] + 0.05]
-       |      || list_transform(embedding, x -> CAST(x AS DOUBLE))[2:64] AS vec
+       |      || list_transform(embedding, x -> CAST(x AS DOUBLE))[2:len(embedding)] AS vec
        |  FROM embeddings WHERE vec_id % 10 = 0),
        |qv AS (
        |  SELECT id, list_transform(vec, x -> CAST(round(x*10000) AS BIGINT)) AS q
@@ -787,7 +787,7 @@ object SimQueries {
        |  UNION ALL
        |  SELECT vec_id + 1000000 AS id,
        |    [list_transform(embedding, x -> CAST(x AS DOUBLE))[1] + 0.05]
-       |      || list_transform(embedding, x -> CAST(x AS DOUBLE))[2:64] AS vec
+       |      || list_transform(embedding, x -> CAST(x AS DOUBLE))[2:len(embedding)] AS vec
        |  FROM embeddings WHERE vec_id % 10 = 0),
        |qv AS (
        |  SELECT id, list_transform(vec, x -> CAST(round(x*10000) AS BIGINT)) AS vq
@@ -1067,7 +1067,7 @@ object SimQueries {
              |    list_transform(list_concat(
              |      [list_transform(embedding, x -> CAST(x AS DOUBLE))[1]
              |         + 0.05],
-             |      list_transform(embedding, x -> CAST(x AS DOUBLE))[2:64]),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE))[2:len(embedding)]),
              |      x -> CAST(round(x*10000) AS BIGINT)) AS vq
              |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
         (cb.map(c => "ann_pq_topk" -> pqSql(c, rerank = 50)) ++

@@ -68,25 +68,29 @@ object TpchQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
-    // Q15 top supplier: naively self-joining the revenue CTE against
-    // its own MAX plans the lineitem aggregate TWICE (Catalyst inlines
-    // the branch; no exchange reuse — verified in PLANS.md), so the
-    // scalar MAX rides a single-partition window over the ALREADY
-    // AGGREGATED per-supplier rows instead: lineitem is scanned once,
-    // and the SinglePartition stage sees |suppliers| rows, not
-    // |lineitem|. Equality compares the DECIMAL (exact); only the
-    // output casts to double.
+    // Q15 top supplier: the scalar MAX is a one-row tree-aggregate of
+    // the per-supplier revenue, broadcast back via cross join. Both
+    // branches (per-supplier agg, global max-of-agg) share the identical
+    // shuffle-on-l_suppkey subtree, so ReuseExchange keeps lineitem to a
+    // SINGLE scan (plan-pinned in PlanGuardSpec); unlike the earlier
+    // `max().over(Window.partitionBy())` form, no stage ever funnels the
+    // |suppliers| dimension (SF×10k — ~10^9 rows at 100 TB) through one
+    // task. Equality compares the DECIMAL (exact); only the output casts
+    // to double.
     "q_tpch_q15" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val sup = table(s, dir, "supplier")
+      // the explicit isnotnull matches the join-side inferred filter, so
+      // BOTH branches' shuffle subtrees canonicalize identically and
+      // AQE's exchange reuse executes the lineitem scan+partial-agg ONCE
       val rev = table(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-07-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp") &&
+          col("l_suppkey").isNotNull)
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(dec4)).as("rev_dec"))
       val top = rev
-        .withColumn("max_rev", max(col("rev_dec")).over(Window.partitionBy()))
+        .crossJoin(broadcast(rev.agg(max(col("rev_dec")).as("max_rev"))))
         .filter(col("rev_dec") === col("max_rev"))
       sup.join(broadcast(top), col("s_suppkey") === col("supplier_no"))
         .select(col("s_suppkey"), col("s_name"),

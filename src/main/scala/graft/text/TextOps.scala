@@ -175,10 +175,14 @@ object TextOps {
     * df) collapse into ONE 1-row partial aggregate broadcast back via
     * cross join; the final top-k is TakeOrderedAndProject
     * (per-partition heads + driver merge — never a global sort). idf
-    * is the log-free Robertson ratio (N−df+0.5)/(df+0.5) —
-    * rank-equivalent to the log form for fixed terms, and it keeps
-    * every op an exactly-rounded IEEE +,·,/ both engines reproduce
-    * bit-for-bit (ln is not correctly rounded cross-engine); scores
+    * is the log-free Robertson ratio (N−df+0.5)/(df+0.5) — a
+    * deterministic BM25 VARIANT (per term the ratio is a monotone
+    * transform of the log idf, but a monotone per-term transform does
+    * not preserve the ranking of the multi-term SUM, so multi-term
+    * rankings can differ from log-idf BM25); engine and oracle compute
+    * the identical variant, and it keeps every op an exactly-rounded
+    * IEEE +,·,/ both engines reproduce bit-for-bit (ln is not
+    * correctly rounded cross-engine); scores
     * are floored to integer micro-units so the hash gate compares
     * integers. At 100 TB: two scans of a 2-column projection (stats,
     * then score) and a k-row result — scan-bound, embarrassingly

@@ -421,4 +421,48 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("stack"),
       s"q_expectations lost its stack pivot:\n$p")
   }
+
+  test("q_tpch_q15 never funnels the supplier dimension through one " +
+      "task: no window at all, ONE executed lineitem scan (the scalar " +
+      "max rides AQE exchange reuse of the per-supplier shuffle), and " +
+      "every SinglePartition exchange carries only partial-max rows " +
+      "(≤ shuffle partitions), never per-supplier data") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    assert(windows("q_tpch_q15").isEmpty,
+      "q_tpch_q15 regressed to a window-based scalar max")
+    // execute so the ADAPTIVE plan is final — exchange reuse is a
+    // runtime decision, invisible in the static plan
+    val df = audited("q_tpch_q15")(spark, dir)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        // materialized AQE stages hang their plan off .plan, not
+        // .children; a ReusedExchangeExec's referenced exchange is NOT
+        // descended (that would double-count the reused scan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      p +: (below ++ p.subqueries.flatMap(walk))
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val lineitemScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",")
+            .contains("lineitem") => f
+    }
+    assert(lineitemScans.size === 1,
+      s"q_tpch_q15 executed ${lineitemScans.size} lineitem scans")
+    assert(nodes.exists(_.isInstanceOf[ReusedExchangeExec]),
+      "q_tpch_q15 lost the per-supplier exchange reuse")
+    nodes.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.numPartitions == 1 =>
+        assert(e.child.treeString.contains("partial_max"),
+          s"SinglePartition exchange over non-scalar rows:\n${e.treeString}")
+    }
+  }
 }
