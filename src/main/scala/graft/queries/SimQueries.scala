@@ -203,71 +203,145 @@ object SimQueries {
     path
   }
 
+  /** Atomically publish `target` (a centroid-parquet dir name under
+    * `path`) as the CURRENT routing set. The ROUTING file is the
+    * index's manifest: serving resolves centroids through it, so a
+    * vector is visible iff its list's cid is in the routed set, and
+    * visibility flips with one ATOMIC_MOVE — the same manifest-swap
+    * discipline as KvTable compaction. */
+  private[queries] def publishRouting(path: String, target: String): Unit = {
+    val tmp = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "ROUTING.tmp"), target)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "ROUTING"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The centroid set the ROUTING manifest currently points at. */
+  private[queries] def routedCentroids(s: org.apache.spark.sql.SparkSession,
+                                       path: String): org.apache.spark.sql.DataFrame = {
+    val name = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "ROUTING")).trim
+    s.read.parquet(s"$path/$name")
+  }
+
+  /** Delete every `cid=*` list directory the ROUTING manifest does not
+    * reference. Doubles as CRASH RECOVERY (a crash between sub-list
+    * append and the routing swap leaves orphan, never-served dirs —
+    * this removes them before the next maintenance attempt) and as the
+    * post-swap GC of the split-away hot list. Safe at any moment:
+    * unrouted dirs are invisible to serving by construction. */
+  private[queries] def gcUnroutedLists(s: org.apache.spark.sql.SparkSession,
+                                       path: String): Unit = {
+    val routed = routedCentroids(s, path).select(col("cid")).collect()
+      .map(_.get(0).toString.toInt).toSet
+    val assigned = java.nio.file.Paths.get(s"$path/assigned")
+    if (java.nio.file.Files.isDirectory(assigned)) {
+      val ls = java.nio.file.Files.list(assigned)
+      val entries = try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toList
+      } finally ls.close()
+      entries.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("cid=") && !routed(n.stripPrefix("cid=").toInt))
+          java.nio.file.Files.walk(p).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
+  }
+
+  /** Base + appended-batch index with the ROUTING manifest initialized
+    * to the trained centroid set — the state a drift-triggered split
+    * starts from. Factored from the gate build so the crash spec can
+    * drive [[rebalanceHotList]] against it directly. */
+  private[queries] def buildRebalanceBase(s: org.apache.spark.sql.SparkSession,
+                                          dir: String, path: String): Unit = {
+    val e = table(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
+    Similarity.ivfAssign(corpus, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assigned")
+    Similarity.ivfAssign(ivfAppendBatch(s, dir),
+        s.read.parquet(s"$path/cents"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
+    publishRouting(path, "cents")
+  }
+
   /** The maintenance step the drift sidecar EXISTS to trigger: when a
-    * list has drifted heavy, SPLIT it — locally. Builds the same
-    * base+append layout as [[buildAppendedIvf]], reads the per-list
-    * counts, picks the heaviest list (deterministic: max count, then
-    * min cid), trains TWO sub-centroids on that list's own members
-    * (deterministic k-means — a LOCAL re-cluster, never a corpus-wide
-    * retrain), assigns only those members to the subs, appends the two
-    * new list directories and drops the old one. Every other list is
-    * untouched on disk, and its assignments stay STICKY — the defining
-    * semantics of incremental IVF maintenance (a vector near the new
-    * sub-centroid but living in another list does NOT move; FAISS
-    * behaves the same). Serving routes queries over the POST-rebalance
-    * centroid set (original minus hot, plus subs). The oracle mirrors
-    * the two-stage sticky assignment exactly, so a rebalance that
-    * moved the wrong rows, dropped a sub-list, or re-routed sticky
-    * members goes value-red. Crash note: the append-then-drop order
-    * can leave a duplicate window mid-build; the production form would
-    * stage behind a manifest swap like KvTable compaction — this build
-    * is ensureSetup-fresh per gate run. */
+    * list has drifted heavy, SPLIT it — locally. Reads the per-list
+    * counts over the ROUTED lists, picks the heaviest (deterministic:
+    * max count, then min cid), trains TWO sub-centroids on that list's
+    * own members (deterministic k-means — a LOCAL re-cluster, never a
+    * corpus-wide retrain), assigns only those members to the subs.
+    * Every other list is untouched on disk, and its assignments stay
+    * STICKY — the defining semantics of incremental IVF maintenance (a
+    * vector near the new sub-centroid but living in another list does
+    * NOT move; FAISS behaves the same).
+    *
+    * CRASH-ATOMIC by the ROUTING manifest ([[publishRouting]]): the
+    * sub-lists land under NEW cids while ROUTING still names the
+    * pre-split set (hot routed, subs invisible); one atomic manifest
+    * swap flips to `cents2` = routed − hot + subs (hot invisible, subs
+    * served); only then is the hot dir GC'd. A crash at ANY point
+    * leaves every vector visible through EXACTLY one routed list, and
+    * re-running recovers: [[gcUnroutedLists]] first removes any orphan
+    * sub-dirs a previous attempt appended. IvfRebalanceCrashSpec
+    * injects kills at each stage and asserts exact-once serving.
+    * `crashAt` is the spec's injection hook (no-op in production). */
+  private[queries] def rebalanceHotList(s: org.apache.spark.sql.SparkSession,
+                                        path: String,
+                                        crashAt: String => Unit = _ => ()): Unit = {
+    // recovery: drop anything a crashed prior attempt staged
+    gcUnroutedLists(s, path)
+    val routed = routedCentroids(s, path)
+    val routedCids = routed.select(col("cid")).collect()
+      .map(_.get(0).toString.toInt).toSet
+    // drift counts over ROUTED lists only
+    val counts = s.read.parquet(s"$path/assigned")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0).toString.toInt, r.getLong(1)))
+      .filter(c => routedCids(c._1))
+    val hot = counts.minBy { case (c, n) => (-n, c) }._1
+    require(counts.find(_._1 == hot).exists(_._2 >= 2),
+      "hot list too small to split")
+    val maxCid = counts.map(_._1).max
+    // the hot list's own members (partition-pruned read); vq/Scale
+    // re-quantizes to the identical integers
+    val hotCorpus = s.read.parquet(s"$path/assigned")
+      .filter(col("cid") === hot)
+      .select(col("id"), transform(col("vq"),
+        x => x.cast("double") / Similarity.Scale).as("vec"))
+    val subs = Similarity.kmeansCentroids(hotCorpus, k = 2, iters = 3)
+      .select((col("cid") + lit(maxCid + 1)).as("cid"), col("cvec"))
+    subs.write.mode("overwrite").parquet(s"$path/subs")
+    writeCentsSidecar(java.nio.file.Paths.get(path, "subs.txt"), subs)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "rebalance.txt"), hot.toString)
+    // stage the sub-lists under UNROUTED cids — invisible to serving
+    Similarity.ivfAssign(hotCorpus, s.read.parquet(s"$path/subs"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
+    crashAt("staged")
+    // post-rebalance routing set: routed minus hot, plus subs
+    routed.filter(col("cid") =!= hot)
+      .unionByName(s.read.parquet(s"$path/subs"))
+      .write.mode("overwrite").parquet(s"$path/cents2")
+    crashAt("cents2-written")
+    publishRouting(path, "cents2") // the atomic visibility flip
+    crashAt("published")
+    gcUnroutedLists(s, path) // drops the now-unrouted hot dir
+  }
+
   private def buildRebalancedIvf(s: org.apache.spark.sql.SparkSession,
                                  dir: String): String = {
     val path = scratchDir("ann_rebalanced_model", dir)
     lastDir = Some(dir)
     ensureSetup(path) {
-      val e = table(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
-      cents.write.mode("overwrite").parquet(s"$path/cents")
-      writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
-      Similarity.ivfAssign(corpus, cents)
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assigned")
-      Similarity.ivfAssign(ivfAppendBatch(s, dir),
-          s.read.parquet(s"$path/cents"))
-        .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
-      // pick the heaviest list from the drift counts
-      val counts = s.read.parquet(s"$path/assigned")
-        .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.get(0).toString.toInt, r.getLong(1)))
-      val hot = counts.minBy { case (c, n) => (-n, c) }._1
-      require(counts.find(_._1 == hot).exists(_._2 >= 2),
-        "hot list too small to split")
-      val maxCid = counts.map(_._1).max
-      // the hot list's own members (partition-pruned read); vq/Scale
-      // re-quantizes to the identical integers
-      val hotCorpus = s.read.parquet(s"$path/assigned")
-        .filter(col("cid") === hot)
-        .select(col("id"), transform(col("vq"),
-          x => x.cast("double") / Similarity.Scale).as("vec"))
-      val subs = Similarity.kmeansCentroids(hotCorpus, k = 2, iters = 3)
-        .select((col("cid") + lit(maxCid + 1)).as("cid"), col("cvec"))
-      subs.write.mode("overwrite").parquet(s"$path/subs")
-      writeCentsSidecar(java.nio.file.Paths.get(path, "subs.txt"), subs)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(path, "rebalance.txt"), hot.toString)
-      // split IN PLACE: append the two sub-lists, drop the old one
-      Similarity.ivfAssign(hotCorpus, s.read.parquet(s"$path/subs"))
-        .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
-      val hotDir = java.nio.file.Paths.get(s"$path/assigned", s"cid=$hot")
-      java.nio.file.Files.walk(hotDir).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-      // post-rebalance routing set: original minus hot, plus subs
-      val cents2 = s.read.parquet(s"$path/cents")
-        .filter(col("cid") =!= hot).unionByName(s.read.parquet(s"$path/subs"))
-      cents2.write.mode("overwrite").parquet(s"$path/cents2")
+      buildRebalanceBase(s, dir, path)
+      rebalanceHotList(s, path)
     }
     path
   }
@@ -491,13 +565,16 @@ object SimQueries {
     // recomputes the TWO-STAGE sticky assignment (original routing,
     // then sub-routing for hot members only) over the union corpus —
     // misrouted sticky members or a dropped sub-list go value-red.
+    // Serving resolves centroids through the ROUTING manifest, the
+    // crash-atomicity seam (IvfRebalanceCrashSpec): a vector is served
+    // iff its list is routed, and routing swaps atomically.
     "ann_ivf_rebalanced" -> { (s, dir) =>
       val path = buildRebalancedIvf(s, dir)
       val e = table(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfSearchAssigned(s.read.parquet(s"$path/assigned"),
-          queries, s.read.parquet(s"$path/cents2"), nprobe = 4, k = 5)
+          queries, routedCentroids(s, path), nprobe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 
