@@ -56,6 +56,44 @@ object TableFns {
           s.read.parquet(str(es(0), "docsParquetPath")),
           "doc_id", "text", int(es(1), "chunkTokens"))
         .queryExecution.analyzed
+    }),
+    // Top-k similarity search over a persisted IVF index — the
+    // operator a retrieval user actually calls, reachable from SQL:
+    //   SELECT * FROM graft_ann_topk('<indexPath>', '<queriesParquet>', 4, 5)
+    //   SELECT * FROM graft_ann_topk('<indexPath>', '0.12,-0.3,...', 4, 5)
+    // The second argument is either a parquet of (qid, qvec) query
+    // rows or ONE literal vector as a comma-separated number list
+    // (qid 0). Centroids resolve through the index's ROUTING manifest
+    // when present (so the TVF serves appended/rebalanced indexes at
+    // their crash-atomic current state — see SimQueries.publishRouting),
+    // falling back to the build-time `cents` set. Expands to
+    // Similarity.ivfSearchAssigned's plan: broadcast probe join +
+    // dynamic partition pruning over the cid-partitioned layout —
+    // identical physical shape to the DataFrame surface (SqlSurfaceSpec).
+    "graft_ann_topk" -> (es => {
+      require(es.length == 4,
+        "usage: graft_ann_topk(indexPath, queriesParquetPath | " +
+          "'v1,v2,...', nprobe, k)")
+      val s = SparkSession.active
+      Native.register(s)
+      val idx = str(es(0), "indexPath")
+      val qarg = str(es(1), "queries")
+      val queries =
+        if (qarg.contains(",")) {
+          import org.apache.spark.sql.functions.{array, lit}
+          val vec = qarg.split(",").map(v => lit(v.trim.toDouble))
+          s.range(1).select(lit(0L).as("qid"), array(vec.toSeq: _*).as("qvec"))
+        } else s.read.parquet(qarg)
+      val routingF = java.nio.file.Paths.get(idx, "ROUTING")
+      val centsDir =
+        if (java.nio.file.Files.exists(routingF))
+          java.nio.file.Files.readString(routingF).trim
+        else "cents"
+      graft.similarity.Similarity.ivfSearchAssigned(
+          s.read.parquet(s"$idx/assigned"), queries,
+          s.read.parquet(s"$idx/$centsDir"),
+          nprobe = int(es(2), "nprobe"), k = int(es(3), "k"))
+        .queryExecution.analyzed
     }))
 
   /** Idempotent per-session registration (the [[Native.register]]

@@ -133,6 +133,11 @@ object SimQueries {
       Similarity.ivfAssign(corpus, cents)
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$path/assigned")
+      // the standing query set for the SQL surface (graft_ann_topk
+      // takes a queries-parquet path; ann_topk_sql points it here)
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .write.mode("overwrite").parquet(s"$path/queries")
     }
     path
   }
@@ -381,6 +386,7 @@ object SimQueries {
     checked("ann_pq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivfpq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivf_served" -> ((s, d) => { buildServedIvf(s, d); () }),
+      "ann_topk_sql" -> ((s, d) => { buildServedIvf(s, d); () }),
       "ann_ivf_appended" -> ((s, d) => { buildAppendedIvf(s, d); () }),
       "ann_ivf_rebalanced" -> ((s, d) => { buildRebalancedIvf(s, d); () }),
       "ann_ivf_stream_ingest" -> ((s, d) => { buildStreamIvfModel(s, d); () }),
@@ -539,6 +545,20 @@ object SimQueries {
       Similarity.ivfSearchAssigned(s.read.parquet(s"$path/assigned"),
           queries, s.read.parquet(s"$path/cents"), nprobe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // The SAME served-IVF retrieval reached through SQL — graft_ann_topk
+    // is a registered TABLE function (graft.functions.TableFns /
+    // GraftExtensions) expanding to ivfSearchAssigned's plan at
+    // analysis, so SQL users get the identical partition-pruned probe
+    // shape and the gate runs the identical ann_ivf_served oracle
+    // end-to-end through spark.sql(...). SqlSurfaceSpec additionally
+    // pins SQL == DataFrame row-for-row and the literal-vector form.
+    "ann_topk_sql" -> { (s, dir) =>
+      val path = buildServedIvf(s, dir)
+      graft.functions.TableFns.register(s)
+      s.sql(s"SELECT * FROM graft_ann_topk('$path', '$path/queries', 4, 5) " +
+        "ORDER BY qid, rank")
     },
 
     // IVF-flat served AFTER an incremental append — same serving code
@@ -1156,6 +1176,10 @@ object SimQueries {
           // sidecar: the gate asserts served-from-disk == recomputed
           servedCents.map(ce =>
             "ann_ivf_served" -> ivfSqlWithCents(centsValuesCte(ce))) ++
+          // the SQL TVF serves the same index with the same queries, so
+          // it shares ann_ivf_served's recomputed mirror verbatim
+          servedCents.map(ce =>
+            "ann_topk_sql" -> ivfSqlWithCents(centsValuesCte(ce))) ++
           // served-after-append == recomputed-over-union: the mirror
           // re-derives every assignment (base AND batch) from the
           // sidecar centroids over the union corpus

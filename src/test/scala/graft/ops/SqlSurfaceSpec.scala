@@ -80,4 +80,55 @@ class SqlSurfaceSpec extends SparkSpec {
       actBefore.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("graft_ann_topk serves a persisted IVF index from SQL with the " +
+      "rows the DataFrame surface returns, and accepts one literal " +
+      "vector as the query argument") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.Native.register(spark)
+    graft.functions.TableFns.register(spark)
+    // build a tiny served index (the graft_ann_topk layout contract:
+    // assigned/ partitioned by cid + a centroid dir)
+    val idx = graft.TestSpark.scratch("ann_tvf_idx")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.similarity.Similarity.kmeansCentroids(corpus, k = 4,
+      iters = 2)
+    cents.write.parquet(s"$idx/cents")
+    graft.similarity.Similarity.ivfAssign(corpus, cents)
+      .write.partitionBy("cid").parquet(s"$idx/assigned")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    queries.write.parquet(s"$idx/queries")
+
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_ann_topk('$idx', '$idx/queries', 2, 3) " +
+        "ORDER BY qid, rank").collect().toSeq
+    val viaDf = graft.similarity.Similarity.ivfSearchAssigned(
+        spark.read.parquet(s"$idx/assigned"), queries,
+        spark.read.parquet(s"$idx/cents"), nprobe = 2, k = 3)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(viaSql === viaDf)
+
+    // one literal vector (served as qid 0, no self-exclusion since the
+    // external query is not a corpus row): row-identical to the
+    // DataFrame surface given the same single-query frame
+    import org.apache.spark.sql.functions.{array, lit}
+    val q0 = e.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Any](0)
+    val lit0 = q0.map(_.toString).mkString(",")
+    val viaLit = spark.sql(
+      s"SELECT * FROM graft_ann_topk('$idx', '$lit0', 2, 3) " +
+        "ORDER BY rank").collect().toSeq
+    val oneQuery = spark.range(1).select(lit(0L).as("qid"),
+      array(lit0.split(",").map(v => lit(v.trim.toDouble)).toSeq: _*).as("qvec"))
+    val expect = graft.similarity.Similarity.ivfSearchAssigned(
+        spark.read.parquet(s"$idx/assigned"), oneQuery,
+        spark.read.parquet(s"$idx/cents"), nprobe = 2, k = 3)
+      .orderBy(col("rank")).collect().toSeq
+    assert(viaLit === expect)
+    // the query vector IS corpus row 3, so the index must surface it
+    // at rank 1 — proves the literal actually reached the search
+    assert(viaLit.head.getLong(1) === 3L)
+  }
 }
