@@ -788,6 +788,24 @@ object MediaCodec {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = Png.decode(bytes)
     }
 
+  /** REAL uncompressed interchange image: 24-bpp Windows BMP (see
+    * [[Bmp]]) — raw padded BGR rows behind a little-endian header,
+    * the image analogue of [[wavPcm]]. No CRC in the format, so the
+    * caller proves losslessness by decoded==source. */
+  def bmp: MediaCodec[(Int, Int, Array[Int])] =
+    () => new Session[(Int, Int, Array[Int])] {
+      def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = Bmp.decode(bytes)
+    }
+
+  /** REAL icon container: ICO (see [[Ico]]) — a directory whose
+    * entries are DIB planes or whole PNG streams, so one payload
+    * exercises both decode arms. Returns every entry. */
+  def ico: MediaCodec[Seq[(Int, Int, Array[Int], String)]] =
+    () => new Session[Seq[(Int, Int, Array[Int], String)]] {
+      def decode(bytes: Array[Byte]): Seq[(Int, Int, Array[Int], String)] =
+        Ico.decode(bytes)
+    }
+
   def wavAdpcm: MediaCodec[(Int, Int, Array[Short])] =
     () => new Session[(Int, Int, Array[Short])] {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {

@@ -325,6 +325,64 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // UNCOMPRESSED interchange image: 24-bpp BMP round trip over the
+    // SAME test image as mm_image_qoi/png (shared oracle arithmetic).
+    // BMP is raw padded BGR rows — the format's value here is the
+    // interop edge cases: the 8..23-px widths sweep every 4-byte row
+    // padding residue, and BmpIcoSpec pins top-down (negative-height)
+    // decode plus forged-header rejection.
+    "mm_image_bmp" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.bmp.open()
+          it.map { id =>
+            val (w, h, src) = graft.multimodal.Qoi.testImage(id)
+            val (dw, dh, px) = codec.decode(
+              graft.multimodal.Bmp.encode(w, h, src))
+            val lossless = dw == w && dh == h && px.sameElements(src)
+            val sum = px.foldLeft(0L)((acc, p) => acc +
+              ((p >>> 16) & 0xFF) + ((p >>> 8) & 0xFF) + (p & 0xFF))
+            (id, dw, dh, sum / (3L * px.length), lossless)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_rgb", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
+    // ICON container — the Apng move again: the ICO directory wraps
+    // the SAME test image twice, once as a DIB (doubled-height
+    // XOR+AND planes) and once as a whole PNG stream, so one payload
+    // exercises BOTH decode arms against one source. `lossless` is
+    // both entries == source pixel-for-pixel; `forms` pins the
+    // per-entry container form the decoder detected; the directory's
+    // dimension bytes are cross-checked against the decoded images
+    // inside Ico.decode (a lying directory rejects).
+    "mm_image_ico" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.ico.open()
+          it.map { id =>
+            val (w, h, src) = graft.multimodal.Qoi.testImage(id)
+            val entries = codec.decode(graft.multimodal.Ico.encode(Seq(
+              graft.multimodal.Ico.Entry(w, h, src, asPng = false),
+              graft.multimodal.Ico.Entry(w, h, src, asPng = true))))
+            val lossless = entries.length == 2 && entries.forall {
+              case (dw, dh, px, _) =>
+                dw == w && dh == h && px.sameElements(src)
+            }
+            val sum = entries.head._3.foldLeft(0L)((acc, p) => acc +
+              ((p >>> 16) & 0xFF) + ((p >>> 8) & 0xFF) + (p & 0xFF))
+            (id, entries.length, w, h, sum / (3L * w * h),
+              entries.map(_._4).mkString(","), lossless)
+          }
+        }
+        .toDF("doc_id", "n_entries", "width", "height", "mean_rgb",
+          "forms", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
     // Fourth compressed-image format and the interchange flagship:
     // PNG round trip over the SAME [[graft.multimodal.Qoi.testImage]]
     // pixels as mm_image_qoi, so the two codecs certify losslessness
@@ -503,7 +561,52 @@ object MmQueries {
     }
   )
 
+  /** The four-region per-pixel channel-byte MEAN of Qoi.testImage as a
+    * DuckDB expression (the formula the qoi/png oracles spell inline) —
+    * shared by the bmp/ico oracles so a formula edit cannot drift
+    * between lossless-image gates. */
+  private val fourRegionMeanSql: String =
+    """CAST(list_sum(list_transform(
+      |      range(0, (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)),
+      |      i -> CASE
+      |        WHEN i // (8 + doc_id % 16) = 0
+      |          THEN 3 * ((doc_id * 37) % 256)
+      |        WHEN i // (8 + doc_id % 16) = 1
+      |          THEN 3 * (((doc_id * 37) % 256 + i % (8 + doc_id % 16)) % 256)
+      |        WHEN i // (8 + doc_id % 16) = 2
+      |          THEN CASE WHEN (i % (8 + doc_id % 16)) % 2 = 0
+      |            THEN 3 * ((doc_id * 37) % 256)
+      |            ELSE ((doc_id * 37) % 256 + 97) % 256
+      |               + ((doc_id * 37) % 256 + 31) % 256
+      |               + ((doc_id * 37) % 256 + 13) % 256 END
+      |        ELSE ((doc_id * 37) % 256 + 3 * (i % (8 + doc_id % 16))) % 256
+      |           + ((doc_id * 37) % 256 + 11 * (i // (8 + doc_id % 16))) % 256
+      |           + ((doc_id * 37) % 256 + 5 * (i % (8 + doc_id % 16))
+      |              + 7 * (i // (8 + doc_id % 16))) % 256 END))
+      |    // (3 * (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)) AS BIGINT)"""
+      .stripMargin
+
   val oracles: Map[String, String] = checked(
+    // BMP is lossless over the SAME test image — identical four-region
+    // mean formula as qoi/png.
+    "mm_image_bmp" ->
+      s"""SELECT doc_id,
+         |  CAST(8 + doc_id % 16 AS INT) AS width,
+         |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+         |  $fourRegionMeanSql AS mean_rgb,
+         |  TRUE AS lossless
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The ICO wraps the same image twice (DIB + PNG entries), both
+    // lossless; the decoder must report exactly those two forms.
+    "mm_image_ico" ->
+      s"""SELECT doc_id,
+         |  CAST(2 AS INT) AS n_entries,
+         |  CAST(8 + doc_id % 16 AS INT) AS width,
+         |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+         |  $fourRegionMeanSql AS mean_rgb,
+         |  'dib,png' AS forms,
+         |  TRUE AS lossless
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_image_decode" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 16 AS INT) AS width,
