@@ -130,5 +130,24 @@ class SqlSurfaceSpec extends SparkSpec {
     // the query vector IS corpus row 3, so the index must surface it
     // at rank 1 — proves the literal actually reached the search
     assert(viaLit.head.getLong(1) === 3L)
+
+    // one operator, two spellings, ONE plan: the TVF expands to the
+    // DataFrame surface's logical plan, so the optimized plans must be
+    // structurally identical (modulo expression ids — sameResult is
+    // over-strict with lambda-bearing custom expressions, so compare
+    // id-stripped tree strings). A drift between the surfaces
+    // (different nprobe, lost dynamic pruning, extra exchange) fails
+    // here even if the rows happen to agree.
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.treeString
+        .replaceAll("#\\d+", "").replaceAll("x_\\d+", "x_")
+    val sqlShape = shape(spark.sql(
+      s"SELECT * FROM graft_ann_topk('$idx', '$idx/queries', 2, 3)"))
+    val dfShape = shape(graft.similarity.Similarity.ivfSearchAssigned(
+      spark.read.parquet(s"$idx/assigned"),
+      spark.read.parquet(s"$idx/queries"),
+      spark.read.parquet(s"$idx/cents"), nprobe = 2, k = 3))
+    assert(sqlShape === dfShape,
+      s"TVF and DataFrame plans diverged:\n$sqlShape\nvs\n$dfShape")
   }
 }
