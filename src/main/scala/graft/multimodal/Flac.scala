@@ -232,14 +232,82 @@ object Flac {
   }
 
   private def encodeChannels(sampleRate: Int,
-                             chans: Array[Array[Int]]): Array[Byte] = {
+                             chans: Array[Array[Int]]): Array[Byte] =
+    encodeChannelsMeta(sampleRate, chans, seekEveryFrames = 0, Nil, "", 0L)
+
+  /** One SEEKTABLE entry (RFC 9639 §8.4): first sample of a frame, the
+    * frame's byte offset relative to the first frame header, and its
+    * sample count. */
+  final case class SeekPoint(sampleNumber: Long, byteOffset: Long,
+                             frameSamples: Int)
+
+  /** One CUESHEET track (RFC 9639 §8.5): first sample and track
+    * number; ISRC optional (12 ASCII chars or empty). */
+  final case class CueTrack(offsetSamples: Long, number: Int,
+                            isrc: String = "")
+
+  /** Parsed + validated stream metadata (see [[readMeta]]). */
+  final case class StreamMeta(seekPoints: Seq[SeekPoint], catalog: String,
+                              leadIn: Long, cueTracks: Seq[CueTrack],
+                              firstFramePos: Int)
+
+  /** The non-CD lead-out track number (RFC 9639: 255; CD cue sheets
+    * use 170). [[encodeChannelsMeta]] appends the lead-out
+    * automatically; [[readMeta]] requires it last. */
+  val LeadOutTrack = 255
+
+  /** [[encode]] plus optional SEEKTABLE / CUESHEET metadata blocks. A
+    * seek table every `seekEveryFrames` frames lets [[decodeAt]] start
+    * mid-stream without walking prior frames — the random-access
+    * primitive a 100 TB audio corpus needs (decode only the window you
+    * sample). With both params at their defaults the byte stream is
+    * IDENTICAL to [[encode]]'s (FlacMetaSpec pins it), so the existing
+    * gate queries are untouched by this extension. */
+  def encodeWithMeta(sampleRate: Int, samples: Array[Short],
+                     seekEveryFrames: Int = 0,
+                     cueTracks: Seq[CueTrack] = Nil,
+                     catalog: String = "", leadIn: Long = 0L): Array[Byte] = {
+    require(samples.nonEmpty, "empty audio payload")
+    encodeChannelsMeta(sampleRate, Array(samples.map(_.toInt)),
+      seekEveryFrames, cueTracks, catalog, leadIn)
+  }
+
+  def encodeStereoWithMeta(sampleRate: Int, left: Array[Short],
+                           right: Array[Short], seekEveryFrames: Int = 0,
+                           cueTracks: Seq[CueTrack] = Nil,
+                           catalog: String = "", leadIn: Long = 0L): Array[Byte] = {
+    require(left.nonEmpty && left.length == right.length,
+      "stereo payload needs equal-length non-empty channels")
+    encodeChannelsMeta(sampleRate,
+      Array(left.map(_.toInt), right.map(_.toInt)),
+      seekEveryFrames, cueTracks, catalog, leadIn)
+  }
+
+  private def encodeChannelsMeta(sampleRate: Int, chans: Array[Array[Int]],
+                                 seekEveryFrames: Int,
+                                 cueTracks: Seq[CueTrack], catalog: String,
+                                 leadIn: Long): Array[Byte] = {
     val nCh = chans.length
     require(nCh == 1 || nCh == 2, "encoder handles 1 or 2 channels")
+    require(seekEveryFrames >= 0, "seekEveryFrames must be >= 0")
+    require(catalog.length <= 128 && catalog.forall(c => c >= 0x20 && c <= 0x7E),
+      "catalog number is up to 128 printable ASCII chars")
+    cueTracks.foreach { t =>
+      require(t.number >= 1 && t.number <= 99,
+        s"cue track numbers are 1..99, got ${t.number}")
+      require(t.isrc.isEmpty || (t.isrc.length == 12 &&
+        t.isrc.forall(c => c >= 0x20 && c <= 0x7E)),
+        "ISRC is empty or exactly 12 printable ASCII chars")
+    }
+    require(cueTracks.map(_.number).distinct.length == cueTracks.length,
+      "duplicate cue track numbers")
+    require(cueTracks.map(_.offsetSamples) == cueTracks.map(_.offsetSamples).sorted,
+      "cue track offsets must be non-decreasing")
     val total = chans(0).length
     val B = 64
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
-    // STREAMINFO (last metadata block, type 0, length 34)
+    // STREAMINFO (type 0, length 34; last-block only if no other meta)
     val si = new BitWriter
     si.write(B, 16); si.write(B, 16)          // min/max blocksize
     si.write(0, 24); si.write(0, 24)          // min/max framesize unknown
@@ -261,9 +329,20 @@ object Flac {
     }
     md5.digest().foreach(b => si.write(b & 0xFFL, 8))
     val siBytes = si.toBytes
-    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length) // 0x80 = last-block | type 0
+    val hasSeek = seekEveryFrames > 0
+    val hasCue = cueTracks.nonEmpty
+    def blockHeader(bt: Int, len: Int, isLast: Boolean): Unit = {
+      out.write((if (isLast) 0x80 else 0) | bt)
+      out.write((len >> 16) & 0xFF); out.write((len >> 8) & 0xFF)
+      out.write(len & 0xFF)
+    }
+    blockHeader(0, siBytes.length, isLast = !hasSeek && !hasCue)
     out.write(siBytes, 0, siBytes.length)
 
+    // frames render FIRST into their own buffer so seek points carry
+    // real first-frame-relative byte offsets (two-pass composition)
+    val frames = new java.io.ByteArrayOutputStream()
+    val seekPts = scala.collection.mutable.ArrayBuffer.empty[SeekPoint]
     var off = 0
     var frameIx = 0L
     while (off < total) {
@@ -311,12 +390,252 @@ object Flac {
       fw.alignByte()
       val frameBytes = fw.toBytes
       val crcF = crc16(frameBytes, 0, frameBytes.length)
-      out.write(frameBytes, 0, frameBytes.length)
-      out.write((crcF >> 8) & 0xFF); out.write(crcF & 0xFF)
+      if (hasSeek && frameIx % seekEveryFrames == 0)
+        seekPts += SeekPoint(off.toLong, frames.size.toLong, n)
+      frames.write(frameBytes, 0, frameBytes.length)
+      frames.write((crcF >> 8) & 0xFF); frames.write(crcF & 0xFF)
       off += n
       frameIx += 1
     }
+
+    if (hasSeek) {
+      val st = new BitWriter
+      seekPts.foreach { p =>
+        st.write(0, 28); st.write(p.sampleNumber, 36) // u64 sample number
+        st.write(0, 32); st.write(p.byteOffset, 32)   // u64 byte offset
+        st.write(p.frameSamples, 16)
+      }
+      val stBytes = st.toBytes
+      blockHeader(3, stBytes.length, isLast = !hasCue)
+      out.write(stBytes, 0, stBytes.length)
+    }
+    if (hasCue) {
+      val cs = new BitWriter
+      val cat = catalog.padTo(128, ' ')
+      cat.foreach(c => cs.write(c.toLong & 0xFF, 8))
+      cs.write(0, 32); cs.write(leadIn, 32)           // u64 lead-in
+      cs.write(0, 8)                                  // is-CD=0 + 7 reserved
+      (0 until 258).foreach(_ => cs.write(0, 8))      // reserved
+      val all = cueTracks :+ CueTrack(total.toLong, LeadOutTrack)
+      cs.write(all.length, 8)
+      all.foreach { t =>
+        cs.write(0, 32); cs.write(t.offsetSamples, 32) // u64 track offset
+        cs.write(t.number, 8)
+        t.isrc.padTo(12, ' ').foreach(c => cs.write(c.toLong & 0xFF, 8))
+        cs.write(0, 8)                                 // type=0, no pre-emph, 6 reserved
+        (0 until 13).foreach(_ => cs.write(0, 8))      // reserved
+        val nIdx = if (t.number == LeadOutTrack) 0 else 1
+        cs.write(nIdx, 8)
+        if (nIdx == 1) {
+          cs.write(0, 32); cs.write(0, 32)             // index offset 0
+          cs.write(1, 8)                               // index number 1
+          (0 until 3).foreach(_ => cs.write(0, 8))     // reserved
+        }
+      }
+      val csBytes = cs.toBytes
+      blockHeader(5, csBytes.length, isLast = true)
+      out.write(csBytes, 0, csBytes.length)
+    }
+    val fb = frames.toByteArray
+    out.write(fb, 0, fb.length)
     out.toByteArray
+  }
+
+  /** Parse + VALIDATE the stream's SEEKTABLE / CUESHEET metadata.
+    * Rejections: a seek-table length not a multiple of 18, seek points
+    * not strictly increasing in sample number, a byte offset that does
+    * not land on a frame-sync boundary inside the stream, a cue sheet
+    * without the mandatory trailing lead-out track, or track offsets
+    * out of order — a directory that lies about the stream is an
+    * error, not a hint (the [[Ico]] discipline). */
+  def readMeta(bytes: Array[Byte]): StreamMeta = {
+    require(bytes.length > 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "payload is not FLAC")
+    var pos = 4
+    var last = false
+    var seek = Seq.empty[SeekPoint]
+    var cat = ""; var leadIn = 0L; var tracks = Seq.empty[CueTrack]
+    while (!last) {
+      val h = bytes(pos) & 0xFF
+      last = (h & 0x80) != 0
+      val btype = h & 0x7F
+      val len = ((bytes(pos + 1) & 0xFF) << 16) |
+        ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      if (btype == 3) {
+        require(len % 18 == 0, "SEEKTABLE length not a multiple of 18")
+        val r = new BitReader(bytes, pos + 4)
+        seek = (0 until len / 18).map { _ =>
+          val sn = (r.read(32) << 32) | r.read(32)
+          val bo = (r.read(32) << 32) | r.read(32)
+          SeekPoint(sn, bo, r.read(16).toInt)
+        }.filter(_.sampleNumber != -1L) // placeholder points skip
+        require(seek.map(_.sampleNumber) ==
+          seek.map(_.sampleNumber).sorted.distinct,
+          "seek points must be strictly increasing")
+      } else if (btype == 5) {
+        val r = new BitReader(bytes, pos + 4)
+        cat = (0 until 128).map(_ => r.read(8).toChar)
+          .mkString.takeWhile(_ != ' ')
+        leadIn = (r.read(32) << 32) | r.read(32)
+        r.read(8); (0 until 258).foreach(_ => r.read(8))
+        val n = r.read(8).toInt
+        require(n >= 1, "cue sheet needs at least the lead-out track")
+        tracks = (0 until n).map { _ =>
+          val o = (r.read(32) << 32) | r.read(32)
+          val num = r.read(8).toInt
+          val isrc = (0 until 12).map(_ => r.read(8).toChar)
+            .mkString.takeWhile(_ != ' ')
+          r.read(8); (0 until 13).foreach(_ => r.read(8))
+          val nIdx = r.read(8).toInt
+          (0 until nIdx).foreach { _ =>
+            r.read(32); r.read(32); r.read(8)
+            (0 until 3).foreach(_ => r.read(8))
+          }
+          CueTrack(o, num, isrc)
+        }
+        require(tracks.last.number == LeadOutTrack || tracks.last.number == 170,
+          "cue sheet must end with the lead-out track")
+        require(tracks.map(_.offsetSamples) ==
+          tracks.map(_.offsetSamples).sorted,
+          "cue track offsets out of order")
+      }
+      pos += 4 + len
+    }
+    // every seek point must land on a frame-sync boundary
+    seek.foreach { p =>
+      val o = pos + p.byteOffset
+      require(o >= pos && o + 1 < bytes.length &&
+        (bytes(o.toInt) & 0xFF) == 0xFF &&
+        (bytes(o.toInt + 1) & 0xFC) == 0xF8,
+        s"seek point ${p.sampleNumber} does not land on a frame sync")
+    }
+    StreamMeta(seek, cat, leadIn, tracks, pos)
+  }
+
+  /** Random access via the SEEKTABLE: decode from the greatest seek
+    * point at or before `targetSample` to the end of the stream,
+    * WITHOUT touching any earlier frame's bytes. Returns (sample rate,
+    * first decoded sample index, per-channel samples from there).
+    * Frame sync + CRC-8 + CRC-16 verify on every decoded frame, and
+    * each frame's coded number must agree with the sample position —
+    * the stream-level MD5 cannot cover a partial decode, so the
+    * per-frame integrity surface is the guarantee (FlacMetaSpec pins
+    * suffix-equality against a full decode). */
+  def decodeAt(bytes: Array[Byte], targetSample: Long)
+      : (Int, Long, Array[Array[Int]]) = {
+    val meta = readMeta(bytes)
+    require(meta.seekPoints.nonEmpty, "stream has no seek table")
+    val r0 = new BitReader(bytes, headerStreamInfoPos(bytes) + 4)
+    val minBlock = r0.read(16).toInt
+    r0.read(16); r0.read(24); r0.read(24)
+    val rate = r0.read(20).toInt
+    val nCh = r0.read(3).toInt + 1
+    r0.read(5)
+    val total = r0.read(36)
+    val start = meta.seekPoints.filter(_.sampleNumber <= targetSample)
+      .lastOption.getOrElse(meta.seekPoints.head)
+    var pos = meta.firstFramePos + start.byteOffset.toInt
+    val outs = Array.fill(nCh)(new java.util.ArrayList[Int]())
+    var sampleAt = start.sampleNumber
+    while (sampleAt + outs(0).size < total) {
+      val (chansOut, blockSize, codedIx, _, nextPos) =
+        decodeFrame(bytes, pos, nCh)
+      require(codedIx * minBlock == sampleAt + outs(0).size,
+        "frame coded number disagrees with seek position")
+      var i = 0
+      while (i < blockSize && sampleAt + outs(0).size < total) {
+        var c = 0
+        while (c < nCh) { outs(c).add(chansOut(c)(i)); c += 1 }
+        i += 1
+      }
+      pos = nextPos
+    }
+    (rate, sampleAt, outs.map(b => Array.tabulate(b.size)(b.get)))
+  }
+
+  /** Decode ONE frame at `frameStart` with full integrity checks
+    * (sync, header CRC-8, frame CRC-16). Returns (per-channel samples,
+    * block size, coded frame number, channel assignment, next byte
+    * position). Shared by the sequential [[decodeAll]] walk and the
+    * seek-table random access of [[decodeAt]]. */
+  private def decodeFrame(bytes: Array[Byte], frameStart: Int, nCh: Int)
+      : (Array[Array[Int]], Int, Long, Int, Int) = {
+    val r = new BitReader(bytes, frameStart)
+    require(r.read(14) == 0x3FFE, "lost frame sync")
+    r.read(1) // reserved
+    r.read(1) // blocking strategy
+    val bsCode = r.read(4).toInt
+    val srCode = r.read(4).toInt
+    val chan = r.read(4).toInt
+    val ssCode = r.read(3).toInt
+    r.read(1)
+    require(ssCode == 4, "decoder handles 16-bit frames")
+    // subframe widths per assignment: the SIDE subframe carries one
+    // extra bit (left/side: ch1; right/side: ch0; mid/side: ch1)
+    val widths: Seq[Int] = chan match {
+      case 0 => Seq(16)
+      case 1 => Seq(16, 16)
+      case 8 => Seq(16, 17)
+      case 9 => Seq(17, 16)
+      case 10 => Seq(16, 17)
+      case c => sys.error(s"unsupported channel assignment $c")
+    }
+    require(widths.length == nCh,
+      "frame channel assignment disagrees with STREAMINFO")
+    val codedIx = readCodedNumber(r)
+    val blockSize = bsCode match {
+      case 6 => r.read(8).toInt + 1
+      case 7 => r.read(16).toInt + 1
+      case c if c >= 1 => BlockSizes(c)
+      case _ => sys.error("reserved blocksize code")
+    }
+    srCode match {
+      case 0 => ()
+      case 12 => r.read(8)
+      case 13 | 14 => r.read(16)
+      case c if c <= 11 => ()
+      case _ => sys.error("invalid sample rate code")
+    }
+    val headerEnd = r.bytePos
+    val hCrc = r.read(8).toInt
+    require(hCrc == crc8(bytes, frameStart, headerEnd), "frame header CRC-8 mismatch")
+    val subs = widths.map(wd => readSubframe(r, blockSize, wd)).toArray
+    // reconstruct L/R from the side assignments (RFC 9639 §4.2)
+    val chansOut: Array[Array[Int]] = chan match {
+      case 0 | 1 => subs
+      case 8 => // left/side: R = L - side
+        Array(subs(0), Array.tabulate(blockSize)(i => subs(0)(i) - subs(1)(i)))
+      case 9 => // right/side: L = R + side
+        Array(Array.tabulate(blockSize)(i => subs(1)(i) + subs(0)(i)), subs(1))
+      case 10 => // mid/side: m2 = (mid<<1)|(side&1); L=(m2+s)/2, R=(m2-s)/2
+        val mid = subs(0); val side = subs(1)
+        val l = new Array[Int](blockSize); val rr = new Array[Int](blockSize)
+        var i = 0
+        while (i < blockSize) {
+          val m2 = (mid(i) << 1) | (side(i) & 1)
+          l(i) = (m2 + side(i)) >> 1
+          rr(i) = (m2 - side(i)) >> 1
+          i += 1
+        }
+        Array(l, rr)
+    }
+    r.alignByte()
+    val footerStart = r.bytePos
+    val fCrc = r.read(16).toInt
+    require(fCrc == crc16(bytes, frameStart, footerStart), "frame CRC-16 mismatch")
+    (chansOut, blockSize, codedIx, chan, r.bytePos)
+  }
+
+  private def headerStreamInfoPos(bytes: Array[Byte]): Int = {
+    var pos = 4
+    while (true) {
+      val h = bytes(pos) & 0xFF
+      if ((h & 0x7F) == 0) return pos
+      pos += 4 + (((bytes(pos + 1) & 0xFF) << 16) |
+        ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF))
+      require((h & 0x80) == 0, "no STREAMINFO")
+    }
+    -1
   }
 
   private val BlockSizes = Array(-1, 192, 576, 1152, 2304, 4608, -8, -16,
@@ -444,70 +763,7 @@ object Flac {
     val outs = Array.fill(nCh)(new java.util.ArrayList[Int]())
     val assigns = new java.util.ArrayList[Int]()
     while (outs(0).size < totalSamples) {
-      val frameStart = pos
-      val r = new BitReader(bytes, pos)
-      require(r.read(14) == 0x3FFE, "lost frame sync")
-      r.read(1) // reserved
-      r.read(1) // blocking strategy
-      val bsCode = r.read(4).toInt
-      val srCode = r.read(4).toInt
-      val chan = r.read(4).toInt
-      val ssCode = r.read(3).toInt
-      r.read(1)
-      require(ssCode == 4, "decoder handles 16-bit frames")
-      // subframe widths per assignment: the SIDE subframe carries one
-      // extra bit (left/side: ch1; right/side: ch0; mid/side: ch1)
-      val widths: Seq[Int] = chan match {
-        case 0 => Seq(16)
-        case 1 => Seq(16, 16)
-        case 8 => Seq(16, 17)
-        case 9 => Seq(17, 16)
-        case 10 => Seq(16, 17)
-        case c => sys.error(s"unsupported channel assignment $c")
-      }
-      require(widths.length == nCh,
-        "frame channel assignment disagrees with STREAMINFO")
-      readCodedNumber(r)
-      val blockSize = bsCode match {
-        case 6 => r.read(8).toInt + 1
-        case 7 => r.read(16).toInt + 1
-        case c if c >= 1 => BlockSizes(c)
-        case _ => sys.error("reserved blocksize code")
-      }
-      srCode match {
-        case 0 => ()
-        case 12 => r.read(8)
-        case 13 | 14 => r.read(16)
-        case c if c <= 11 => ()
-        case _ => sys.error("invalid sample rate code")
-      }
-      val headerEnd = r.bytePos
-      val hCrc = r.read(8).toInt
-      require(hCrc == crc8(bytes, frameStart, headerEnd), "frame header CRC-8 mismatch")
-      val subs = widths.map(wd => readSubframe(r, blockSize, wd)).toArray
-      // reconstruct L/R from the side assignments (RFC 9639 §4.2)
-      val chansOut: Array[Array[Int]] = chan match {
-        case 0 | 1 => subs
-        case 8 => // left/side: R = L - side
-          Array(subs(0), Array.tabulate(blockSize)(i => subs(0)(i) - subs(1)(i)))
-        case 9 => // right/side: L = R + side
-          Array(Array.tabulate(blockSize)(i => subs(1)(i) + subs(0)(i)), subs(1))
-        case 10 => // mid/side: m2 = (mid<<1)|(side&1); L=(m2+s)/2, R=(m2-s)/2
-          val mid = subs(0); val side = subs(1)
-          val l = new Array[Int](blockSize); val rr = new Array[Int](blockSize)
-          var i = 0
-          while (i < blockSize) {
-            val m2 = (mid(i) << 1) | (side(i) & 1)
-            l(i) = (m2 + side(i)) >> 1
-            rr(i) = (m2 - side(i)) >> 1
-            i += 1
-          }
-          Array(l, rr)
-      }
-      r.alignByte()
-      val footerStart = r.bytePos
-      val fCrc = r.read(16).toInt
-      require(fCrc == crc16(bytes, frameStart, footerStart), "frame CRC-16 mismatch")
+      val (chansOut, blockSize, _, chan, nextPos) = decodeFrame(bytes, pos, nCh)
       assigns.add(chan)
       var i = 0
       while (i < blockSize && outs(0).size < totalSamples) {
@@ -515,7 +771,7 @@ object Flac {
         while (c < nCh) { outs(c).add(chansOut(c)(i)); c += 1 }
         i += 1
       }
-      pos = r.bytePos
+      pos = nextPos
     }
     val chansArr = outs.map(b => Array.tabulate(b.size)(b.get))
     val md5 = java.security.MessageDigest.getInstance("MD5")
