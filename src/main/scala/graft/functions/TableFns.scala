@@ -60,35 +60,39 @@ object TableFns {
     // Top-k similarity search over a persisted IVF index — the
     // operator a retrieval user actually calls, reachable from SQL:
     //   SELECT * FROM graft_ann_topk('<indexPath>', '<queriesParquet>', 4, 5)
-    //   SELECT * FROM graft_ann_topk('<indexPath>', '0.12,-0.3,...', 4, 5)
+    //   SELECT * FROM graft_ann_topk('<indexPath>', 'vec:0.12,-0.3,...', 4, 5)
     // The second argument is either a parquet of (qid, qvec) query
-    // rows or ONE literal vector as a comma-separated number list
-    // (qid 0). Centroids resolve through the index's ROUTING manifest
-    // when present (so the TVF serves appended/rebalanced indexes at
-    // their crash-atomic current state — see SimQueries.publishRouting),
-    // falling back to the build-time `cents` set. Expands to
+    // rows or ONE literal vector behind an explicit 'vec:' marker
+    // (served as qid 0) — an explicit marker, not sniffing for a
+    // comma, because a path may legally contain one and a 1-element
+    // vector contains none (ADVICE r10). Centroids resolve through
+    // the index's ROUTING manifest when present (so the TVF serves
+    // appended/rebalanced indexes at their crash-atomic current
+    // state — see SimQueries.publishRouting), via the session's
+    // Hadoop FS so hdfs://s3a://file: index paths all work; ONLY a
+    // genuinely absent manifest falls back to the build-time `cents`
+    // set (an unreadable one fails loudly — a silent fallback on a
+    // rebalanced index would route probes to GC'd lists). Expands to
     // Similarity.ivfSearchAssigned's plan: broadcast probe join +
     // dynamic partition pruning over the cid-partitioned layout —
     // identical physical shape to the DataFrame surface (SqlSurfaceSpec).
     "graft_ann_topk" -> (es => {
       require(es.length == 4,
         "usage: graft_ann_topk(indexPath, queriesParquetPath | " +
-          "'v1,v2,...', nprobe, k)")
+          "'vec:v1,v2,...', nprobe, k)")
       val s = SparkSession.active
       Native.register(s)
       val idx = str(es(0), "indexPath")
       val qarg = str(es(1), "queries")
       val queries =
-        if (qarg.contains(",")) {
+        if (qarg.startsWith("vec:")) {
           import org.apache.spark.sql.functions.{array, lit}
-          val vec = qarg.split(",").map(v => lit(v.trim.toDouble))
+          val vec = qarg.stripPrefix("vec:").split(",")
+            .map(v => lit(v.trim.toDouble))
           s.range(1).select(lit(0L).as("qid"), array(vec.toSeq: _*).as("qvec"))
         } else s.read.parquet(qarg)
-      val routingF = java.nio.file.Paths.get(idx, "ROUTING")
       val centsDir =
-        if (java.nio.file.Files.exists(routingF))
-          java.nio.file.Files.readString(routingF).trim
-        else "cents"
+        graft.queries.SimQueries.routingTarget(s, idx).getOrElse("cents")
       graft.similarity.Similarity.ivfSearchAssigned(
           s.read.parquet(s"$idx/assigned"), queries,
           s.read.parquet(s"$idx/$centsDir"),

@@ -456,11 +456,15 @@ object Flac {
     var seek = Seq.empty[SeekPoint]
     var cat = ""; var leadIn = 0L; var tracks = Seq.empty[CueTrack]
     while (!last) {
+      require(pos + 4 <= bytes.length,
+        "metadata block header truncated")
       val h = bytes(pos) & 0xFF
       last = (h & 0x80) != 0
       val btype = h & 0x7F
       val len = ((bytes(pos + 1) & 0xFF) << 16) |
         ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      require(pos + 4 + len <= bytes.length,
+        s"metadata block (type $btype, length $len) overruns the stream")
       if (btype == 3) {
         require(len % 18 == 0, "SEEKTABLE length not a multiple of 18")
         val r = new BitReader(bytes, pos + 4)
@@ -532,8 +536,11 @@ object Flac {
     val nCh = r0.read(3).toInt + 1
     r0.read(5)
     val total = r0.read(36)
-    val start = meta.seekPoints.filter(_.sampleNumber <= targetSample)
-      .lastOption.getOrElse(meta.seekPoints.head)
+    require(meta.seekPoints.head.sampleNumber <= targetSample,
+      s"targetSample $targetSample precedes the first seek point " +
+        s"(${meta.seekPoints.head.sampleNumber}); a window starting " +
+        "after the target would be silently wrong")
+    val start = meta.seekPoints.filter(_.sampleNumber <= targetSample).last
     var pos = meta.firstFramePos + start.byteOffset.toInt
     val outs = Array.fill(nCh)(new java.util.ArrayList[Int]())
     var sampleAt = start.sampleNumber

@@ -212,21 +212,52 @@ object SimQueries {
     * `path`) as the CURRENT routing set. The ROUTING file is the
     * index's manifest: serving resolves centroids through it, so a
     * vector is visible iff its list's cid is in the routed set, and
-    * visibility flips with one ATOMIC_MOVE — the same manifest-swap
-    * discipline as KvTable compaction. */
-  private[queries] def publishRouting(path: String, target: String): Unit = {
-    val tmp = java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "ROUTING.tmp"), target)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "ROUTING"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    * visibility flips with one atomic rename — the same manifest-swap
+    * discipline as KvTable compaction. All manifest I/O goes through
+    * the session's Hadoop FS (the index may live on hdfs:// or s3a://,
+    * not just a local path — ADVICE r10); the swap is
+    * FileContext.rename(OVERWRITE), atomic on HDFS and on the local
+    * FS, the contract ATOMIC_MOVE gave the java.nio version. */
+  private[queries] def publishRouting(s: org.apache.spark.sql.SparkSession,
+                                      path: String, target: String): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(path, "ROUTING")
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, "ROUTING.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(dst).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The centroid-dir name the ROUTING manifest currently points at,
+    * or None when the index has no manifest (a plain build-time index
+    * that never saw maintenance). Read through the Hadoop FS so
+    * hdfs://, s3a:// and file: paths all resolve; an unREADABLE
+    * manifest propagates its IOException — serving a rebalanced index
+    * from a stale centroid set because the manifest read failed would
+    * silently route probes to GC'd lists. */
+  private[graft] def routingTarget(s: org.apache.spark.sql.SparkSession,
+                                   path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "ROUTING")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
   }
 
   /** The centroid set the ROUTING manifest currently points at. */
   private[queries] def routedCentroids(s: org.apache.spark.sql.SparkSession,
                                        path: String): org.apache.spark.sql.DataFrame = {
-    val name = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "ROUTING")).trim
+    val name = routingTarget(s, path).getOrElse(
+      sys.error(s"no ROUTING manifest at $path"))
     s.read.parquet(s"$path/$name")
   }
 
@@ -240,19 +271,13 @@ object SimQueries {
                                        path: String): Unit = {
     val routed = routedCentroids(s, path).select(col("cid")).collect()
       .map(_.get(0).toString.toInt).toSet
-    val assigned = java.nio.file.Paths.get(s"$path/assigned")
-    if (java.nio.file.Files.isDirectory(assigned)) {
-      val ls = java.nio.file.Files.list(assigned)
-      val entries = try {
-        import scala.jdk.CollectionConverters._
-        ls.iterator().asScala.toList
-      } finally ls.close()
-      entries.foreach { p =>
-        val n = p.getFileName.toString
+    val assigned = new org.apache.hadoop.fs.Path(path, "assigned")
+    val fs = assigned.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.isDirectory(assigned)) {
+      fs.listStatus(assigned).foreach { st =>
+        val n = st.getPath.getName
         if (n.startsWith("cid=") && !routed(n.stripPrefix("cid=").toInt))
-          java.nio.file.Files.walk(p).sorted(
-              java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.delete(f))
+          fs.delete(st.getPath, true)
       }
     }
   }
@@ -273,7 +298,7 @@ object SimQueries {
     Similarity.ivfAssign(ivfAppendBatch(s, dir),
         s.read.parquet(s"$path/cents"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
-    publishRouting(path, "cents")
+    publishRouting(s, path, "cents")
   }
 
   /** The maintenance step the drift sidecar EXISTS to trigger: when a
@@ -290,13 +315,21 @@ object SimQueries {
     * CRASH-ATOMIC by the ROUTING manifest ([[publishRouting]]): the
     * sub-lists land under NEW cids while ROUTING still names the
     * pre-split set (hot routed, subs invisible); one atomic manifest
-    * swap flips to `cents2` = routed − hot + subs (hot invisible, subs
-    * served); only then is the hot dir GC'd. A crash at ANY point
-    * leaves every vector visible through EXACTLY one routed list, and
-    * re-running recovers: [[gcUnroutedLists]] first removes any orphan
-    * sub-dirs a previous attempt appended. IvfRebalanceCrashSpec
-    * injects kills at each stage and asserts exact-once serving.
-    * `crashAt` is the spec's injection hook (no-op in production). */
+    * swap flips to the next GENERATION `cents_g<n+1>` = routed − hot
+    * + subs (hot invisible, subs served); only then is the hot dir
+    * GC'd. The target dir name is derived from the CURRENT manifest
+    * value, never fixed — a fixed name would make the second split
+    * read and overwrite the same parquet path (Spark rejects that),
+    * capping maintenance at one split per index (ADVICE r10). A crash
+    * at ANY point leaves every vector visible through EXACTLY one
+    * routed list, and re-running recovers: [[gcUnroutedLists]] first
+    * removes any orphan sub-dirs a previous attempt appended (an
+    * orphan next-generation centroid dir is simply overwritten — the
+    * manifest still names the previous generation, so nothing reads
+    * it). IvfRebalanceCrashSpec injects kills at each stage — and
+    * runs a SECOND split on a published index — asserting exact-once
+    * serving. `crashAt` is the spec's injection hook (no-op in
+    * production). */
   private[queries] def rebalanceHotList(s: org.apache.spark.sql.SparkSession,
                                         path: String,
                                         crashAt: String => Unit = _ => ()): Unit = {
@@ -330,12 +363,20 @@ object SimQueries {
     Similarity.ivfAssign(hotCorpus, s.read.parquet(s"$path/subs"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
     crashAt("staged")
-    // post-rebalance routing set: routed minus hot, plus subs
+    // post-rebalance routing set: routed minus hot, plus subs — into
+    // the NEXT generation dir (current manifest value + 1), so the
+    // write never targets the dir `routed` lazily reads from
+    val Gen = "cents_g(\\d+)".r
+    val nextName = routingTarget(s, path).getOrElse(
+        sys.error(s"no ROUTING manifest at $path")) match {
+      case Gen(n) => s"cents_g${n.toInt + 1}"
+      case _ => "cents_g1"
+    }
     routed.filter(col("cid") =!= hot)
       .unionByName(s.read.parquet(s"$path/subs"))
-      .write.mode("overwrite").parquet(s"$path/cents2")
-    crashAt("cents2-written")
-    publishRouting(path, "cents2") // the atomic visibility flip
+      .write.mode("overwrite").parquet(s"$path/$nextName")
+    crashAt("next-cents-written")
+    publishRouting(s, path, nextName) // the atomic visibility flip
     crashAt("published")
     gcUnroutedLists(s, path) // drops the now-unrouted hot dir
   }

@@ -118,7 +118,7 @@ class SqlSurfaceSpec extends SparkSpec {
       .select(col("embedding")).head.getSeq[Any](0)
     val lit0 = q0.map(_.toString).mkString(",")
     val viaLit = spark.sql(
-      s"SELECT * FROM graft_ann_topk('$idx', '$lit0', 2, 3) " +
+      s"SELECT * FROM graft_ann_topk('$idx', 'vec:$lit0', 2, 3) " +
         "ORDER BY rank").collect().toSeq
     val oneQuery = spark.range(1).select(lit(0L).as("qid"),
       array(lit0.split(",").map(v => lit(v.trim.toDouble)).toSeq: _*).as("qvec"))

@@ -114,11 +114,11 @@ class IvfRebalanceCrashSpec extends SparkSpec {
   test("killed after writing the post-split centroid set but before " +
       "the swap: still the pre-split view; recovery converges to the " +
       "clean result") {
-    val path = freshPath("cents2")
+    val path = freshPath("nextcents")
     SimQueries.buildRebalanceBase(spark, dir, path)
     val before = servedIds(path)
     intercept[Injected] {
-      SimQueries.rebalanceHotList(spark, path, crashAt("cents2-written"))
+      SimQueries.rebalanceHotList(spark, path, crashAt("next-cents-written"))
     }
     assert(java.nio.file.Files.readString(
         java.nio.file.Paths.get(path, "ROUTING")).trim === "cents",
@@ -131,5 +131,50 @@ class IvfRebalanceCrashSpec extends SparkSpec {
     SimQueries.rebalanceHotList(spark, clean)
     assert(serve(path) === serve(clean),
       "recovered index serves differently from a clean one")
+  }
+
+  test("rebalance is NOT one-shot: a second split on a published index " +
+      "targets the next manifest generation (never the dir it reads), " +
+      "keeps serving exact-once, and a crash during it still recovers") {
+    val path = freshPath("twice")
+    SimQueries.buildRebalanceBase(spark, dir, path)
+    val before = servedIds(path)
+
+    // first split publishes generation 1
+    SimQueries.rebalanceHotList(spark, path)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "ROUTING")).trim === "cents_g1")
+
+    // the r10-ADVICE failure mode: a SECOND split on the published
+    // index. With a fixed target dir this threw "Cannot overwrite a
+    // path that is also being read from" after orphan sub-lists were
+    // already staged; generational targets make it just work.
+    SimQueries.rebalanceHotList(spark, path)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "ROUTING")).trim === "cents_g2")
+    val afterTwo = servedIds(path)
+    assert(afterTwo.sorted === before.sorted,
+      "second split lost or duplicated vectors")
+
+    // and a crash DURING a third split (post-staging) still holds the
+    // exact-once contract and recovers to the clean three-split state
+    intercept[Injected] {
+      SimQueries.rebalanceHotList(spark, path, crashAt("staged"))
+    }
+    assert(servedIds(path).sorted === before.sorted,
+      "crash during third split changed the visible set")
+    SimQueries.rebalanceHotList(spark, path)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "ROUTING")).trim === "cents_g3")
+    assert(servedIds(path).sorted === before.sorted,
+      "recovered third split lost or duplicated vectors")
+
+    val clean = freshPath("twiceclean")
+    SimQueries.buildRebalanceBase(spark, dir, clean)
+    SimQueries.rebalanceHotList(spark, clean)
+    SimQueries.rebalanceHotList(spark, clean)
+    SimQueries.rebalanceHotList(spark, clean)
+    assert(serve(path) === serve(clean),
+      "crash-recovered triple split serves differently from a clean one")
   }
 }
