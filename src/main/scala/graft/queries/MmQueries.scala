@@ -298,6 +298,51 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // RANDOM ACCESS into compressed audio — the primitive for sampling
+    // training windows out of a large FLAC corpus without decoding the
+    // prefix. Each id encodes a 15-18 frame stream WITH a SEEKTABLE
+    // (seek point every 4 frames = every 256 samples at the encoder's
+    // fixed 64-sample block size), then [[graft.multimodal.Flac
+    // .decodeAt]] decodes ONLY the suffix from the greatest seek point
+    // <= a per-id target sample. `start_sample` proves the seek landed
+    // on the right grid point — the oracle independently recomputes
+    // (target // 256) * 256 — `suffix_len` proves exactly the suffix
+    // was produced, and the 64-sample window at the target is checked
+    // sample-for-sample against the source formula Spark-side (FLAC is
+    // lossless) with its abs-sum value-gated in SQL: a wrong seek
+    // offset, a mis-decoded suffix frame, or a window starting after
+    // the target all go red.
+    "mm_audio_seek" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 960 + (id % 4).toInt * 64
+            val rate = 8000 + (id % 8).toInt * 1000
+            val src = Array.tabulate(n) { i =>
+              if (id % 4 == 0 && i < 64) 512.toShort
+              else (((id * 31 + i.toLong * i * 7) % 4096) - 2048).toShort
+            }
+            val bytes = graft.multimodal.Flac.encodeWithMeta(rate, src,
+              seekEveryFrames = 4)
+            val w = 64
+            val target = (id * 131) % (n - w)
+            val (r, first, chans) =
+              graft.multimodal.Flac.decodeAt(bytes, target)
+            val off = (target - first).toInt
+            val window = chans(0).slice(off, off + w)
+            val lossless = r == rate && window.length == w &&
+              (0 until w).forall(j =>
+                window(j) == src((target + j).toInt).toInt)
+            val sumAbs = window.foldLeft(0L)((a, v) => a + math.abs(v.toLong))
+            (id, r, target, first, chans(0).length.toLong, sumAbs, lossless)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "target_sample", "start_sample",
+          "suffix_len", "window_sum_abs", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
     // Third COMPRESSED-image format, this time a HAND-ROLLED public
     // spec (qoiformat.org) rather than a JDK writer: QOI round trip
     // over [[graft.multimodal.Qoi.testImage]], whose four regions make
@@ -810,6 +855,29 @@ object MmQueries {
         |    // (96 + doc_id % 64) AS BIGINT) AS mean_abs_r,
         |  TRUE AS lossless
         |FROM sig ORDER BY doc_id""".stripMargin,
+    // Seek-table random access is lossless like the full decode, so
+    // the oracle recomputes the target window's abs-sum from the
+    // SOURCE formula and — independently of the decoder — where the
+    // suffix must START: the greatest 256-sample seek-grid point at
+    // or below the per-id target ((t // 256) * 256; non-negative
+    // operands, so DuckDB's flooring // and Spark's truncating / agree).
+    "mm_audio_seek" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    960 + (doc_id % 4) * 64 AS n,
+        |    (doc_id * 131) % (960 + (doc_id % 4) * 64 - 64) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(t AS BIGINT) AS target_sample,
+        |  CAST((t // 256) * 256 AS BIGINT) AS start_sample,
+        |  CAST(n - (t // 256) * 256 AS BIGINT) AS suffix_len,
+        |  CAST(list_sum(list_transform(range(t, t + 64),
+        |    i -> abs(CASE WHEN doc_id % 4 = 0 AND i < 64 THEN 512
+        |             ELSE (doc_id * 31 + i * i * 7) % 4096 - 2048 END)))
+        |    AS BIGINT) AS window_sum_abs,
+        |  TRUE AS lossless
+        |FROM p ORDER BY doc_id""".stripMargin,
     // μ-law: per sample, the mirror recomputes decode(encode(x)) in
     // pure integer SQL — biased magnitude m = min(|x|,32635)+132,
     // segment e from m's leading bit, decoded |amplitude| =
