@@ -428,6 +428,7 @@ object SimQueries {
       "ann_ivfpq_topk" -> ((s, d) => { trainPqModel(s, d); () }),
       "ann_ivf_served" -> ((s, d) => { buildServedIvf(s, d); () }),
       "ann_topk_sql" -> ((s, d) => { buildServedIvf(s, d); () }),
+      "ann_mmr_ivf" -> ((s, d) => { buildServedIvf(s, d); () }),
       "ann_ivf_appended" -> ((s, d) => { buildAppendedIvf(s, d); () }),
       "ann_ivf_rebalanced" -> ((s, d) => { buildRebalancedIvf(s, d); () }),
       "ann_ivf_stream_ingest" -> ((s, d) => { buildStreamIvfModel(s, d); () }),
@@ -456,6 +457,27 @@ object SimQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.mmrRerank(queries, corpus, k = 5, pool = 20)
+    },
+
+    // MMR at the 100 TB shape: the candidate pool is drawn from the
+    // SERVED IVF index (broadcast probe join + DPP-pruned read of only
+    // the probed list directories — DppSpec pins the pruning subquery)
+    // instead of ann_mmr's brute-force corpus scoring, and the pool
+    // rows carry their quantized vectors out of the index so the
+    // greedy unroll never re-touches the corpus. ann_mmr stays the
+    // exact-pool baseline; this is the path that scales (pool quality
+    // = the index's recall at nprobe=4). Oracle: the served-centroid
+    // IVF mirror builds the same pool, then the same CTE-for-CTE
+    // greedy unroll as ann_mmr.
+    "ann_mmr_ivf" -> { (s, dir) =>
+      val path = buildServedIvf(s, dir)
+      val pool = Similarity.ivfSearchAssigned(
+        s.read.parquet(s"$path/assigned"),
+        s.read.parquet(s"$path/queries"),
+        s.read.parquet(s"$path/cents"), nprobe = 4, k = 20, keepVec = true)
+      Similarity.mmrRerankPool(
+        pool.select(col("qid"), col("id"), col("vq").as("cq"),
+          col("cosine").as("rel")), k = 5)
     },
 
     // Hard-negative mining for the first 10 query vectors: top-5
@@ -863,7 +885,13 @@ object SimQueries {
     * (sel1 = argmax rel; selT = selT-1 + argmax 0.7·rel − 0.3·max sim
     * to selT-1, ties by id) over the identical quantized-cosine
     * candidate/pair tables. */
-  private val mmrSql: String = {
+  /** The k-step greedy MMR unroll, CTE-for-CTE against
+    * [[Similarity.mmrRerankPool]], parameterized only by the upstream
+    * `cand` (qid, id, cq, rel) CTE — shared by the brute-force-pooled
+    * mirror (ann_mmr) and the IVF-pooled one (ann_mmr_ivf). Expects a
+    * WITH list already open; emits `pair`, `sel1..sel$k` and the
+    * final SELECT. */
+  private def mmrGreedySql(k: Int): String = {
     def step(t: Int): String =
       s"""pick$t AS (
          |  SELECT qid, id, $t AS mmr_rank, rel FROM (
@@ -880,6 +908,22 @@ object SimQueries {
          |  WHERE rk = 1),
          |sel$t AS (SELECT * FROM sel${t - 1}
          |          UNION ALL SELECT * FROM pick$t)""".stripMargin
+    s"""pair AS MATERIALIZED (
+       |  SELECT a.qid, a.id AS a, b.id AS b,
+       |    ${cosSql("a.cq", "b.cq")} AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.qid = b.qid AND a.id <> b.id),
+       |sel1 AS (
+       |  SELECT qid, id, 1 AS mmr_rank, rel FROM (
+       |    SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, id) AS rk FROM cand)
+       |  WHERE rk = 1),
+       |${(2 to k).map(step).mkString(",\n")}
+       |SELECT qid, CAST(mmr_rank AS INT) AS mmr_rank, id, rel
+       |FROM sel$k ORDER BY qid, mmr_rank""".stripMargin
+  }
+
+  private val mmrSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS qid, $quantSql AS qq
        |  FROM embeddings WHERE vec_id < 10),
@@ -892,19 +936,44 @@ object SimQueries {
        |    SELECT *, row_number() OVER (PARTITION BY qid
        |      ORDER BY rel DESC, id) AS rk FROM s0)
        |  WHERE rk <= 20),
-       |pair AS MATERIALIZED (
-       |  SELECT a.qid, a.id AS a, b.id AS b,
-       |    ${cosSql("a.cq", "b.cq")} AS sim
-       |  FROM cand a JOIN cand b
-       |    ON a.qid = b.qid AND a.id <> b.id),
-       |sel1 AS (
-       |  SELECT qid, id, 1 AS mmr_rank, rel FROM (
-       |    SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
-       |      ORDER BY rel DESC, id) AS rk FROM cand)
-       |  WHERE rk = 1),
-       |${(2 to 5).map(step).mkString(",\n")}
-       |SELECT qid, CAST(mmr_rank AS INT) AS mmr_rank, id, rel
-       |FROM sel5 ORDER BY qid, mmr_rank""".stripMargin
+       |${mmrGreedySql(5)}""".stripMargin
+
+  /** ann_mmr_ivf mirror: the pool is the served-index probe (the
+    * ann_ivf_served mirror's assigned/probed CTEs over the TRAINED
+    * centroid literals) ranked to 20 per query, then the identical
+    * greedy unroll — so a pool that drifts from the index's top-20
+    * (lost DPP rows, wrong probe set, a dropped keepVec vector) goes
+    * value-red even where the final 5 picks would happen to agree. */
+  private def mmrIvfSql(centsCte: String): String = {
+    val cos = cosSql _
+    s"""WITH cents AS ($centsCte),
+       |corpus AS (SELECT vec_id AS id, $quantSql AS vq FROM embeddings),
+       |assigned AS (
+       |  SELECT id, cid, vq FROM (
+       |    SELECT c.id, ct.cid, c.vq,
+       |      row_number() OVER (PARTITION BY c.id
+       |        ORDER BY ${cos("c.vq", "ct.cq")} DESC, ct.cid) AS rn
+       |    FROM corpus c, cents ct)
+       |  WHERE rn = 1),
+       |queries AS (
+       |  SELECT vec_id AS qid, $quantSql AS qq
+       |  FROM embeddings WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT qid, cid, qq FROM (
+       |    SELECT q.qid, ct.cid, q.qq,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos("q.qq", "ct.cq")} DESC, ct.cid) AS rn
+       |    FROM queries q, cents ct)
+       |  WHERE rn <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, id, cq, rel FROM (
+       |    SELECT p.qid, a.id, a.vq AS cq, ${cos("p.qq", "a.vq")} AS rel,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY ${cos("p.qq", "a.vq")} DESC, a.id) AS rk
+       |    FROM probed p JOIN assigned a ON p.cid = a.cid
+       |    WHERE p.qid <> a.id)
+       |  WHERE rk <= 20),
+       |${mmrGreedySql(5)}""".stripMargin
   }
 
   /** SemDeDup mirror with the trained centroids as a pluggable CTE:
@@ -1221,6 +1290,10 @@ object SimQueries {
           // it shares ann_ivf_served's recomputed mirror verbatim
           servedCents.map(ce =>
             "ann_topk_sql" -> ivfSqlWithCents(centsValuesCte(ce))) ++
+          // IVF-pooled MMR over the same served index: pool mirror =
+          // the served probe ranked to 20, then ann_mmr's greedy CTEs
+          servedCents.map(ce =>
+            "ann_mmr_ivf" -> mmrIvfSql(centsValuesCte(ce))) ++
           // served-after-append == recomputed-over-union: the mirror
           // re-derives every assignment (base AND batch) from the
           // sidecar centroids over the union corpus

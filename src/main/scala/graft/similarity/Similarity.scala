@@ -122,6 +122,21 @@ object Similarity {
       .withColumn("rk", row_number().over(wRel))
       .filter(col("rk") <= pool)
       .select(col("qid"), col("id"), col("cq"), col("rel"))
+    mmrRerankPool(cand, k)
+  }
+
+  /** [[mmrRerank]]'s greedy unroll over a PRE-BUILT candidate pool
+    * (qid, id, cq: quantized vector, rel) — the entry the 100 TB path
+    * uses: draw the pool from the served IVF index (a broadcast probe
+    * + DPP-pruned read of only the probed lists, see `ann_mmr_ivf`)
+    * so the only corpus-sized work is the index probe; everything
+    * here runs on qid×pool rows. Semantics identical to the
+    * brute-force-pooled form, which delegates to this. */
+  def mmrRerankPool(candIn: DataFrame, k: Int): DataFrame = {
+    graft.functions.Native.register(candIn.sparkSession)
+    val wRel = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("id"))
+    val cand = candIn.select(col("qid"), col("id"), col("cq"), col("rel"))
       .localCheckpoint()
     val pair = cand.as("a")
       .join(cand.as("b"), col("a.qid") === col("b.qid") &&
@@ -350,19 +365,25 @@ object Similarity {
     * partitioned by `cid`, the broadcast probe join triggers dynamic
     * partition pruning — only probed list directories are scanned. */
   def ivfSearchAssigned(assigned: DataFrame, queries: DataFrame,
-                        centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+                        centroids: DataFrame, nprobe: Int, k: Int,
+                        keepVec: Boolean = false): DataFrame = {
     graft.functions.Native.register(assigned.sparkSession)
     val cosine = graft.functions.Native.cosineQ _
     val queriesQ = broadcast(
       nearestLists(queries.select(col("qid"), quantize(col("qvec")).as("qq")),
         quantCentroids(centroids), "qq", "qid", nprobe))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
-    assigned.join(queriesQ, Seq("cid"))
+    val ranked = assigned.join(queriesQ, Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .withColumn("cosine", cosine(col("qq"), col("vq")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+    // keepVec hands downstream re-rankers (MMR) the result rows'
+    // quantized vectors without a second corpus-sized fetch join
+    if (keepVec)
+      ranked.select(col("qid"), col("id"), col("cosine"), col("rank"),
+        col("vq"))
+    else ranked.select(col("qid"), col("id"), col("cosine"), col("rank"))
   }
 
   /** Deterministic Lloyd's k-means over the quantized vectors — the IVF

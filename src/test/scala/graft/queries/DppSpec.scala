@@ -44,6 +44,32 @@ class DppSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("ann_mmr_ivf draws its candidate pool through the same pruned " +
+      "index probe: the assignment scan keeps its DynamicPruningSubquery " +
+      "and the pool never triggers a brute-force corpus pass") {
+    val dir = "/root/testdata/sf0.001"
+    SimQueries.prepares("ann_mmr_ivf")(spark, dir)
+    val df = SimQueries.defs("ann_mmr_ivf")(spark, dir)
+    // the greedy unroll localCheckpoints the pool, so the DPP evidence
+    // lives in the POOL plan — rebuild it exactly as the query does
+    val path = scratchDir("ann_served_model", dir)
+    val pool = graft.similarity.Similarity.ivfSearchAssigned(
+      spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/queries"),
+      spark.read.parquet(s"$path/cents"), nprobe = 4, k = 20,
+      keepVec = true)
+    val plan = pool.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"MMR pool scan lost its DynamicPruningSubquery:\n$plan")
+    // and the final MMR output is non-degenerate: 5 DISTINCT picks
+    // per query, ranks 1..5
+    val rows = df.collect()
+    assert(rows.length === 50)
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.forall(_._2.map(_.getLong(1)).distinct.length === 5),
+      "a query picked the same candidate twice")
+  }
+
   test("ann_ivf_appended serves the post-append layout with the same " +
       "partition pruning, and the drift sidecar accounts for base + " +
       "batch with untouched centroids (no retrain)") {
