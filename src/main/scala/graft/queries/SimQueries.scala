@@ -149,7 +149,7 @@ object SimQueries {
     * both a query and a batch source) MUST surface in the served
     * top-5, so the gate WITNESSES the append: a dropped or misrouted
     * batch changes result rows, not just unqueried index content. */
-  private def ivfAppendBatch(s: org.apache.spark.sql.SparkSession,
+  private[queries] def ivfAppendBatch(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
     val e = table(s, dir, "embeddings")
     val stride = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
@@ -179,33 +179,76 @@ object SimQueries {
     val path = scratchDir("ann_appended_model", dir)
     lastDir = Some(dir)
     ensureSetup(path) {
-      val e = table(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
-      cents.write.mode("overwrite").parquet(s"$path/cents")
-      writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
-      val assigned = Similarity.ivfAssign(corpus, cents)
-      assigned.write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$path/assigned")
-      val baseCounts = assigned.groupBy(col("cid"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      // the append: existing centroids only, new files into the layout
-      val appended = Similarity.ivfAssign(ivfAppendBatch(s, dir),
-        s.read.parquet(s"$path/cents"))
-      appended.write.mode("append").partitionBy("cid")
-        .parquet(s"$path/assigned")
-      val afterCounts = s.read.parquet(s"$path/assigned")
-        .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
-        .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
-      val lines = afterCounts.keys.toSeq.sorted.map { cid =>
-        s"$cid:${baseCounts.getOrElse(cid, 0L)}:${afterCounts(cid)}"
-      }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(path, "listcounts.txt"),
-        lines.mkString("\n"))
+      buildAppendBase(s, dir, path)
+      appendBatch(s, path, ivfAppendBatch(s, dir))
     }
     path
+  }
+
+  /** Base index + the durable per-list BASE counts (`basecounts.txt`,
+    * written atomically) the drift sidecar is later derived against.
+    * Factored from [[buildAppendedIvf]] so IvfIngestCrashSpec can
+    * drive [[appendBatch]] against a fresh path directly. */
+  private[queries] def buildAppendBase(s: org.apache.spark.sql.SparkSession,
+                                       dir: String, path: String): Unit = {
+    val e = table(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
+    Similarity.ivfAssign(corpus, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assigned")
+    val baseCounts = s.read.parquet(s"$path/assigned")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    atomicWriteFile(s, path, "basecounts.txt",
+      baseCounts.keys.toSeq.sorted
+        .map(c => s"$c:${baseCounts(c)}").mkString("\n"))
+  }
+
+  /** The incremental append: assign the batch against the EXISTING
+    * centroids (no retrain), `mode("append")` into the layout, then
+    * reconcile the drift sidecar. The sidecar update is the
+    * crash-exposed half — Spark's commit protocol covers the data
+    * files, but a crash between the data commit and the sidecar write
+    * would leave drift counts stale (a silent under-trigger of
+    * rebalancing). Recovery is [[refreshDriftSidecar]]: the sidecar is
+    * DERIVED state (recounted from the layout + the durable base
+    * counts), so re-running the refresh after any crash converges it;
+    * IvfIngestCrashSpec injects a kill at exactly that point.
+    * `crashAt` is the spec's injection hook (no-op in production). */
+  private[queries] def appendBatch(s: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   batch: org.apache.spark.sql.DataFrame,
+                                   crashAt: String => Unit = _ => ()): Unit = {
+    Similarity.ivfAssign(batch, s.read.parquet(s"$path/cents"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
+    crashAt("append-committed")
+    refreshDriftSidecar(s, path)
+  }
+
+  /** Reconcile the drift sidecar with the LAYOUT — the append paths'
+    * crash recovery. `after` counts are recounted from the assigned
+    * dir itself and `base` comes from the durable `basecounts.txt`
+    * written once at build time (absent → 0, the streaming-live case),
+    * so this is idempotent and converges the sidecar to the truth no
+    * matter where a previous maintenance attempt died. The write is an
+    * atomic rename ([[atomicWriteFile]]) — a torn sidecar is
+    * impossible. Sidecar format: one `cid:base:after` line per list. */
+  private[queries] def refreshDriftSidecar(s: org.apache.spark.sql.SparkSession,
+      path: String, assignedSubdir: String = "assigned",
+      sidecarName: String = "listcounts.txt"): Unit = {
+    val after = s.read.parquet(s"$path/$assignedSubdir")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    val base: Map[Int, Long] = readSmallFile(s, path, "basecounts.txt")
+      .map(_.split('\n').filter(_.nonEmpty)
+        .map { l => val a = l.split(':'); a(0).toInt -> a(1).toLong }.toMap)
+      .getOrElse(Map.empty)
+    val lines = after.keys.toSeq.sorted.map { cid =>
+      s"$cid:${base.getOrElse(cid, 0L)}:${after(cid)}"
+    }
+    atomicWriteFile(s, path, sidecarName, lines.mkString("\n"))
   }
 
   /** Atomically publish `target` (a centroid-parquet dir name under
@@ -219,18 +262,44 @@ object SimQueries {
     * FileContext.rename(OVERWRITE), atomic on HDFS and on the local
     * FS, the contract ATOMIC_MOVE gave the java.nio version. */
   private[queries] def publishRouting(s: org.apache.spark.sql.SparkSession,
-                                      path: String, target: String): Unit = {
+                                      path: String, target: String): Unit =
+    atomicWriteFile(s, path, "ROUTING", target)
+
+  /** Write a small control file (manifest, sidecar) with an ATOMIC
+    * visibility flip: content goes to `<name>.tmp`, then one
+    * FileContext.rename(OVERWRITE) — atomic on HDFS and the local FS —
+    * installs it. Readers see the old content or the new, never a
+    * torn file. All I/O through the session's Hadoop FS so the index
+    * may live on hdfs:// or s3a://. */
+  private def atomicWriteFile(s: org.apache.spark.sql.SparkSession,
+                              dir: String, name: String,
+                              content: String): Unit = {
     val conf = s.sessionState.newHadoopConf()
-    val dst = new org.apache.hadoop.fs.Path(path, "ROUTING")
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
     val fs = dst.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(path, "ROUTING.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(dir, name + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(dst).toUri, conf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read a small control file through the Hadoop FS; None when
+    * absent, IOException (loud) when present but unreadable. */
+  private def readSmallFile(s: org.apache.spark.sql.SparkSession,
+                            dir: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   /** The centroid-dir name the ROUTING manifest currently points at,
@@ -241,17 +310,8 @@ object SimQueries {
     * from a stale centroid set because the manifest read failed would
     * silently route probes to GC'd lists. */
   private[graft] def routingTarget(s: org.apache.spark.sql.SparkSession,
-                                   path: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(path, "ROUTING")
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-      finally in.close()
-    }
-  }
+                                   path: String): Option[String] =
+    readSmallFile(s, path, "ROUTING").map(_.trim)
 
   /** The centroid set the ROUTING manifest currently points at. */
   private[queries] def routedCentroids(s: org.apache.spark.sql.SparkSession,
@@ -408,19 +468,65 @@ object SimQueries {
                                   dir: String): String = {
     val path = scratchDir("ann_stream_model", dir)
     lastDir = Some(dir)
-    ensureSetup(path) {
-      val e = table(s, dir, "embeddings")
-      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
-      cents.write.mode("overwrite").parquet(s"$path/cents")
-      writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
-      (0 until 3).foreach { i =>
-        e.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
-          .write.mode(if (i == 0) "overwrite" else "append")
-          .parquet(s"$path/src")
-      }
-    }
+    ensureSetup(path) { buildStreamSrc(s, dir, path) }
     path
+  }
+
+  /** [[buildStreamIvfModel]]'s body at an explicit path, so
+    * IvfIngestCrashSpec can stage a fresh stream model to crash
+    * against. */
+  private[queries] def buildStreamSrc(s: org.apache.spark.sql.SparkSession,
+                                      dir: String, path: String): Unit = {
+    val e = table(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.kmeansCentroids(corpus, k = 16, iters = 3)
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    writeCentsSidecar(java.nio.file.Paths.get(path, "cents.txt"), cents)
+    (0 until 3).foreach { i =>
+      e.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$path/src")
+    }
+  }
+
+  /** Drive the micro-batch ingest into `<path>/assigned_live`: each
+    * batch's assignment lands in its OWN `bid=<batchId>` partition dir
+    * with mode=overwrite — an IDEMPOTENT write, so a batch REPLAYED
+    * after a crash (data committed, checkpoint offset not yet) simply
+    * overwrites its own output instead of `mode("append")`-duplicating
+    * it: exactly-once serving from a non-transactional parquet sink.
+    * (`bid` is just a second partition level; serving's cid pruning is
+    * unaffected.) After each batch commit the drift sidecar
+    * (`listcounts_live.txt`) is reconciled FROM THE LAYOUT
+    * ([[refreshDriftSidecar]]) — a crash between the two leaves a
+    * stale sidecar that the next refresh heals. IvfIngestCrashSpec
+    * kills a mid-stream batch after its data commit and asserts both
+    * properties across a checkpointed restart. `crashAt` is the
+    * spec's injection hook (no-op in production). */
+  private[queries] def ingestStream(s: org.apache.spark.sql.SparkSession,
+      path: String, schema: org.apache.spark.sql.types.StructType,
+      checkpoint: Option[String] = None,
+      crashAt: Long => Unit = _ => ()): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val live = s"$path/assigned_live"
+    val cents = s.read.parquet(s"$path/cents")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$path/src")
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Similarity.ivfAssign(
+            batch.select(col("vec_id").as("id"), col("embedding").as("vec")),
+            cents)
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$live/bid=$bid")
+        crashAt(bid)
+        refreshDriftSidecar(s, path, "assigned_live", "listcounts_live.txt")
+      }
+    val q = checkpoint.fold(writer)(cp =>
+        writer.option("checkpointLocation", cp))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
   }
 
   val prepares: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] =
@@ -674,29 +780,15 @@ object SimQueries {
     // re-ingests); production ingestion would ride the kvtable epoch
     // ledger for exactly-once (kv_stream_* queries pin that machinery).
     "ann_ivf_stream_ingest" -> { (s, dir) =>
-      import org.apache.spark.sql.streaming.Trigger
       val path = buildStreamIvfModel(s, dir)
       val live = s"$path/assigned_live"
       deleteRecursively(live)
-      val cents = s.read.parquet(s"$path/cents")
       val e = table(s, dir, "embeddings")
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$path/src")
-      val q = stream.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          Similarity.ivfAssign(
-              batch.select(col("vec_id").as("id"), col("embedding").as("vec")),
-              cents)
-            .write.mode("append").partitionBy("cid").parquet(live)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      ingestStream(s, path, e.schema)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfSearchAssigned(s.read.parquet(live), queries, cents,
-          nprobe = 4, k = 5)
+      Similarity.ivfSearchAssigned(s.read.parquet(live), queries,
+          s.read.parquet(s"$path/cents"), nprobe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))
     },
 
