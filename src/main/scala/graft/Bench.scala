@@ -226,6 +226,36 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
+    /** The repo's HEAD sha by pure file reads (no git exec — the bench
+      * host may lack a PATH): .git/HEAD -> ref file, falling back to
+      * packed-refs, walking up from the working directory. */
+    def gitHead(): String = {
+      def resolve(root: java.nio.file.Path): Option[String] = {
+        val headF = root.resolve(".git/HEAD")
+        if (!Files.exists(headF)) None
+        else {
+          val head = Files.readString(headF).trim
+          if (!head.startsWith("ref: ")) Some(head)
+          else {
+            val ref = head.stripPrefix("ref: ").trim
+            val refF = root.resolve(".git").resolve(ref)
+            if (Files.exists(refF)) Some(Files.readString(refF).trim)
+            else {
+              val packed = root.resolve(".git/packed-refs")
+              if (!Files.exists(packed)) None
+              else {
+                import scala.jdk.CollectionConverters._
+                Files.readAllLines(packed).asScala
+                  .find(_.endsWith(" " + ref)).map(_.split(' ')(0))
+              }
+            }
+          }
+        }
+      }
+      Iterator.iterate(Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(6).flatMap(resolve(_).iterator)
+        .nextOption().getOrElse("unknown")
+    }
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -243,15 +273,20 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
+    // self-identifying evidence (r10 verdict item 4): every bench
+    // record carries the HEAD sha and UTC cut time, so provenance is
+    // provable from the artifact itself, never from mtime archaeology
+    val prov = s""""head":${jstr(gitHead())},"utc":${jstr(
+      java.time.Instant.now().toString)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${numMap(medians)},"mins":${numMap(mins)},"shuffleWriteBytes":${longMap(shufW)},"shuffleReadBytes":${longMap(shufR)},"spillBytes":${longMap(spills)},"peakTaskMemBytes":${longMap(peaks)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${numMap(medians)},"mins":${numMap(mins)},"shuffleWriteBytes":${longMap(shufW)},"shuffleReadBytes":${longMap(shufR)},"spillBytes":${longMap(spills)},"peakTaskMemBytes":${longMap(peaks)},"errors":$errJson,"sf":"$sfDir",$prov}"""
     println(line)
     // Compact headline AFTER the full record: the round driver captures
     // a bounded stdout tail, and r5's tail was consumed by the per-query
     // maps — the total never made it into BENCH_r05.json. This line is
     // small enough to survive any tail window.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${medians.size},"nerrors":${errors.size},"reps":$reps,"sf":"$sfDir","summary":true}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${medians.size},"nerrors":${errors.size},"reps":$reps,"sf":"$sfDir",$prov,"summary":true}"""
     println(summary)
     try Files.writeString(Paths.get(outFile), line + "\n" + summary + "\n")
     catch { case e: Throwable =>

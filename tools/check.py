@@ -71,6 +71,23 @@ def main(sf_dir, out_dir):
             else f"VALUE_MISMATCH cols={bad}"
     n_ok = sum(1 for v in results.values()
                if v.startswith("OK") or v.startswith("ROWS_ONLY rows"))
+    # self-identifying evidence: provenance header FIRST, so a saved
+    # check_*.txt proves which HEAD and when it was cut from the
+    # artifact itself (never from mtimes). Starts with '#' so
+    # stamp_correctness.py's per-query line regex skips it.
+    import subprocess, datetime
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
+                              capture_output=True, text=True).stdout.strip() \
+               or "unknown"
+        dirty = subprocess.run(["git", "-C", repo, "status", "--porcelain"],
+                               capture_output=True, text=True).stdout.strip()
+    except Exception:
+        head, dirty = "unknown", ""
+    utc = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    print(f"# head={head}{'+dirty' if dirty else ''} utc={utc} "
+          f"sfdir={sf_dir} queries={len(results)}")
     for k, v in sorted(results.items()):
         print(f"{k:26s} {v}")
     print(f"== {n_ok}/{len(results)} pass")
