@@ -38,6 +38,27 @@ object Png {
   private val Signature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
+  // One zlib codec pair per thread, reset() per use: constructing a
+  // Deflater/Inflater allocates NATIVE zlib state, and at one
+  // allocation per image that init was the dominant constant of the
+  // ICO gate's PNG arm (graft.tools.IcoArmProbe measured the split).
+  // reset() restores the exact initial parameters, so the emitted
+  // deflate stream is byte-identical to a fresh instance's — the
+  // encode-determinism pins (PngSpec, oracle hashes) are unaffected.
+  // Executor threads are reused across tasks, so this amortizes over
+  // every image a core ever touches; the state is never end()'d,
+  // bounded by one pair per live thread.
+  private val deflaters: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater())
+  private val inflaters: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater())
+  private[multimodal] def deflater(): Deflater = {
+    val d = deflaters.get(); d.reset(); d
+  }
+  private[multimodal] def inflater(): Inflater = {
+    val i = inflaters.get(); i.reset(); i
+  }
+
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b)
@@ -102,12 +123,11 @@ object Png {
       y += 1
     }
     // zlib-compress the filtered stream
-    val defl = new Deflater()
+    val defl = deflater()
     defl.setInput(raw); defl.finish()
     val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val tmp = new Array[Byte](8192)
     while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
-    defl.end()
     zbuf.toByteArray
   }
 
@@ -235,7 +255,7 @@ object Png {
                                                 z: Array[Byte]): Array[Int] = {
     val stride = 3 * width
     val raw = new Array[Byte](height * (1 + stride))
-    val inf = new Inflater()
+    val inf = inflater()
     inf.setInput(z)
     var off = 0
     while (!inf.finished() && off < raw.length) {
@@ -245,7 +265,6 @@ object Png {
     }
     require(off == raw.length && (inf.finished() || inf.inflate(new Array[Byte](1)) == 0 && inf.finished()),
       s"inflated length $off != expected ${raw.length}")
-    inf.end()
 
     // reconstruct
     val px = new Array[Int](width * height)
@@ -301,12 +320,11 @@ object Png {
     }
     val stride = 3 * w
     val raw = new Array[Byte](h * (1 + stride))
-    val inf = new Inflater()
+    val inf = inflater()
     inf.setInput(z.toByteArray)
     var off = 0
     while (!inf.finished() && off < raw.length)
       off += inf.inflate(raw, off, raw.length - off)
-    inf.end()
     Array.tabulate(h)(y => raw(y * (1 + stride)) & 0xFF)
   }
 }
