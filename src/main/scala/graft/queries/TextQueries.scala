@@ -208,38 +208,28 @@ object TextQueries {
     // each doc's global token offset, its sequence id, and its offset
     // within that sequence (concat-and-chunk, the standard packing used
     // when short documents would otherwise waste context window).
-    // The global prefix sum is TWO-PHASE so no stage sees more than a
-    // shard or the shard directory: per-shard window cumsum (contiguous
-    // 1000-doc shards) + a broadcast-joined cumulative shard offset —
-    // the scan-scale path a single global-order window (one reducer for
-    // the whole corpus) would destroy at 100 TB.
+    // The global prefix sum rides [[RelationalQueries.shardedPrefix]]
+    // (r11, closing the r10 verdict's item 6): the former hand-rolled
+    // two-phase form cut fixed 1000-doc shards, so its upper cumsum
+    // window carried corpus/1000 rows through ONE task — fine to ~1e9
+    // docs but the exact funnel shape q15 paid to remove. shardedPrefix
+    // range-shards to spark.sql.shuffle.partitions, so the only
+    // unpartitioned window rides a CLUSTER-sized row count (one row per
+    // shard) at any corpus size. Bit-identical output: doc_id is a
+    // total order and Long addition is associative; the inclusive
+    // running sum minus the row's own count is the exclusive offset.
     "text_pack" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val seqLen = 2048L
-      // pinned: the shard-offsets branch would otherwise re-scan and
-      // re-tokenize the whole corpus (self-join subplan re-execution);
-      // the checkpointed projection is 3 longs per doc
+      // pinned: range-bound sampling and the shuffle itself both
+      // consume the projection — tokenize once, 2 longs per doc
       val docs = table(s, dir, "documents")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
-        .withColumn("shard", expr("doc_id DIV 1000"))
         .localCheckpoint()
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // shard totals are O(corpus/1000) rows; the cumsum over them is a
-      // driver-scale window, then broadcast back
-      val offsets = docs.groupBy(col("shard"))
-        .agg(sum(col("n_tokens")).as("tot"))
-        .withColumn("shard_before",
-          coalesce(sum(col("tot")).over(Window.orderBy(col("shard"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("shard"), col("shard_before"))
-      docs
-        .withColumn("local_before",
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .join(broadcast(offsets), Seq("shard"))
-        .withColumn("start_offset", col("shard_before") + col("local_before"))
+      RelationalQueries.shardedPrefix(docs, Seq(col("doc_id")),
+          rankOut = "__rank", sums = Seq((col("n_tokens"), "__run")))
+        .withColumn("start_offset", col("__run") - col("n_tokens"))
         .select(col("doc_id"), col("n_tokens"), col("start_offset"),
           expr(s"start_offset DIV $seqLen").as("seq_id"),
           pmod(col("start_offset"), lit(seqLen)).as("offset_in_seq"))

@@ -422,6 +422,35 @@ class PlanGuardSpec extends SparkSpec {
       s"q_expectations lost its stack pivot:\n$p")
   }
 
+  test("text_pack's only SinglePartition exchange carries shard-level " +
+      "aggregate rows (≤ shuffle partitions), never the per-document " +
+      "stream — the shardedPrefix shape, not a corpus-sized funnel") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = audited("text_pack")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      p +: (below ++ p.subqueries.flatMap(walk))
+    }
+    val singles = walk(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(singles.nonEmpty, "expected the shard-offset prefix exchange")
+    singles.foreach { e =>
+      assert(e.child.treeString.contains("__shard"),
+        s"SinglePartition exchange over per-document rows (the funnel " +
+          s"shardedPrefix exists to remove):\n${e.treeString}")
+    }
+  }
+
   test("q_tpch_q15 never funnels the supplier dimension through one " +
       "task: no window at all, ONE executed lineitem scan (the scalar " +
       "max rides AQE exchange reuse of the per-supplier shuffle), and " +
