@@ -788,6 +788,16 @@ object MediaCodec {
       def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = Png.decode(bytes)
     }
 
+  /** REAL modern compressed image: lossless WebP (VP8L — LZ77 +
+    * canonical Huffman + subtract-green + color cache, see [[Webp]]),
+    * the largest crawl image format implementable pure-JVM. No
+    * checksum in the format, so the caller proves losslessness by
+    * decoded==source like QOI/BMP. */
+  def webp: MediaCodec[(Int, Int, Array[Int])] =
+    () => new Session[(Int, Int, Array[Int])] {
+      def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = Webp.decode(bytes)
+    }
+
   /** REAL uncompressed interchange image: 24-bpp Windows BMP (see
     * [[Bmp]]) — raw padded BGR rows behind a little-endian header,
     * the image analogue of [[wavPcm]]. No CRC in the format, so the

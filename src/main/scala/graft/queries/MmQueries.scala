@@ -455,6 +455,33 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Lossless WEBP (VP8L) — the largest crawl image format within
+    // pure-JVM reach, hand-rolled from RFC 9649 (see [[graft
+    // .multimodal.Webp]]): LZ77 backward references + canonical
+    // Huffman codes + subtract-green transform + color cache, over
+    // the SAME test image as qoi/png/bmp so all four lossless codecs
+    // certify against one source formula and one oracle arithmetic.
+    // WebpSpec's token walker proves the streams genuinely exercise
+    // literals, copies AND cache hits (no coding tool is dead weight).
+    "mm_image_webp" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          val codec = MediaCodec.webp.open()
+          it.map { id =>
+            val (w, h, src) = graft.multimodal.Qoi.testImage(id)
+            val (dw, dh, px) = codec.decode(
+              graft.multimodal.Webp.encode(w, h, src))
+            val lossless = dw == w && dh == h && px.sameElements(src)
+            val sum = px.foldLeft(0L)((acc, p) => acc +
+              ((p >>> 16) & 0xFF) + ((p >>> 8) & 0xFF) + (p & 0xFF))
+            (id, dw, dh, sum / (3L * px.length), lossless)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_rgb", "lossless")
+        .orderBy(col("doc_id"))
+    },
+
     // ANIMATED PNG — the APNG extension over the same hand-rolled PNG
     // layer: acTL/fcTL/fdAT with one strictly-consecutive sequence
     // space, frame 0 in the IDAT stream, later frames as fdAT zlib
@@ -752,6 +779,33 @@ object MmQueries {
     // PNG is lossless over the SAME test image as mm_image_qoi, so its
     // oracle is the identical four-region mean formula.
     "mm_image_png" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |  CAST(list_sum(list_transform(
+        |      range(0, (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)),
+        |      i -> CASE
+        |        WHEN i // (8 + doc_id % 16) = 0
+        |          THEN 3 * ((doc_id * 37) % 256)
+        |        WHEN i // (8 + doc_id % 16) = 1
+        |          THEN 3 * (((doc_id * 37) % 256 + i % (8 + doc_id % 16)) % 256)
+        |        WHEN i // (8 + doc_id % 16) = 2
+        |          THEN CASE WHEN (i % (8 + doc_id % 16)) % 2 = 0
+        |            THEN 3 * ((doc_id * 37) % 256)
+        |            ELSE ((doc_id * 37) % 256 + 97) % 256
+        |               + ((doc_id * 37) % 256 + 31) % 256
+        |               + ((doc_id * 37) % 256 + 13) % 256 END
+        |        ELSE ((doc_id * 37) % 256 + 3 * (i % (8 + doc_id % 16))) % 256
+        |           + ((doc_id * 37) % 256 + 11 * (i // (8 + doc_id % 16))) % 256
+        |           + ((doc_id * 37) % 256 + 5 * (i % (8 + doc_id % 16))
+        |              + 7 * (i // (8 + doc_id % 16))) % 256 END))
+        |    // (3 * (8 + doc_id % 16) * (8 + (doc_id * 3) % 16)) AS BIGINT)
+        |    AS mean_rgb,
+        |  TRUE AS lossless
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // WEBP is lossless over the same test image, so it shares the
+    // qoi/png/bmp four-region mean formula verbatim.
+    "mm_image_webp" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 16 AS INT) AS width,
         |  CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
