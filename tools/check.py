@@ -81,7 +81,10 @@ def main(sf_dir, out_dir):
         head = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
                               capture_output=True, text=True).stdout.strip() \
                or "unknown"
-        dirty = subprocess.run(["git", "-C", repo, "status", "--porcelain"],
+        # tracked files only: the evidence/log files a gate run itself
+        # produces are untracked and must not mark the stamp dirty
+        dirty = subprocess.run(["git", "-C", repo, "status", "--porcelain",
+                                "-uno"],
                                capture_output=True, text=True).stdout.strip()
     except Exception:
         head, dirty = "unknown", ""
