@@ -81,11 +81,14 @@ def main(sf_dir, out_dir):
         head = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
                               capture_output=True, text=True).stdout.strip() \
                or "unknown"
-        # tracked files only: the evidence/log files a gate run itself
-        # produces are untracked and must not mark the stamp dirty
-        dirty = subprocess.run(["git", "-C", repo, "status", "--porcelain",
-                                "-uno"],
-                               capture_output=True, text=True).stdout.strip()
+        # "dirty" means SOURCE drift: evidence/ artifacts (which a gate
+        # run itself rewrites, including possibly this very file) and
+        # untracked files don't count — only tracked non-evidence paths
+        porcelain = subprocess.run(["git", "-C", repo, "status",
+                                    "--porcelain", "-uno"],
+                                   capture_output=True, text=True).stdout
+        dirty = "\n".join(l for l in porcelain.splitlines()
+                          if l[3:] and not l[3:].startswith("evidence/"))
     except Exception:
         head, dirty = "unknown", ""
     utc = datetime.datetime.now(datetime.timezone.utc).isoformat()
