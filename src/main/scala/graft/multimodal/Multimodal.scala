@@ -268,13 +268,29 @@ object Multimodal {
     val frames = grays.map(g => makeJpeg(w, h, g))
     def fourcc(s: String) = s.getBytes("US-ASCII")
     val moviBody = new java.io.ByteArrayOutputStream()
-    frames.foreach { j =>
+    // idx1 entries: per-frame (fourcc, AVIIF_KEYFRAME, offset, size),
+    // offset relative to the 'movi' fourcc (the standard convention —
+    // the first chunk header sits at offset 4). The index is what
+    // makes FRAME RANDOM ACCESS possible without scanning movi (see
+    // [[aviFrameAt]]); every MJPEG frame is a keyframe.
+    val idxEntries = frames.map { j =>
+      val off = 4 + moviBody.size()
       val cb = java.nio.ByteBuffer.allocate(8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       cb.put(fourcc("00dc")); cb.putInt(j.length)
       moviBody.write(cb.array()); moviBody.write(j)
       if ((j.length & 1) == 1) moviBody.write(0) // RIFF word alignment
+      (off, j.length)
     }
+    val idx1 = java.nio.ByteBuffer.allocate(16 * frames.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    idxEntries.foreach { case (off, size) =>
+      idx1.put(fourcc("00dc"))
+      idx1.putInt(0x10) // AVIIF_KEYFRAME
+      idx1.putInt(off)
+      idx1.putInt(size)
+    }
+    val idx1Arr = idx1.array()
     val movi = moviBody.toByteArray
     // avih (56 bytes) + one video stream: strh (56) + strf/BITMAPINFOHEADER (40)
     val hdrl = java.nio.ByteBuffer.allocate(4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40)
@@ -282,7 +298,8 @@ object Multimodal {
     hdrl.put(fourcc("hdrl"))
     hdrl.put(fourcc("avih")); hdrl.putInt(56)
     hdrl.putInt(40000)              // usec/frame (25 fps)
-    hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0)
+    hdrl.putInt(0); hdrl.putInt(0)
+    hdrl.putInt(0x10)               // flags: AVIF_HASINDEX
     hdrl.putInt(frames.length)      // total frames
     hdrl.putInt(0); hdrl.putInt(1)  // initial frames, streams
     hdrl.putInt(frames.map(_.length).max)
@@ -310,14 +327,91 @@ object Multimodal {
     hdrl.putInt(w * h * 3)          // biSizeImage
     hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0); hdrl.putInt(0)
     val hdrlArr = hdrl.array()
-    val riffLen = 4 + 8 + hdrlArr.length + 8 + 4 + movi.length
+    val riffLen = 4 + 8 + hdrlArr.length + 8 + 4 + movi.length +
+      8 + idx1Arr.length
     val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put(fourcc("RIFF")); bb.putInt(riffLen); bb.put(fourcc("AVI "))
     bb.put(fourcc("LIST")); bb.putInt(hdrlArr.length); bb.put(hdrlArr)
     bb.put(fourcc("LIST")); bb.putInt(4 + movi.length); bb.put(fourcc("movi"))
     bb.put(movi)
+    bb.put(fourcc("idx1")); bb.putInt(idx1Arr.length); bb.put(idx1Arr)
     bb.array()
+  }
+
+  /** RANDOM ACCESS into an MJPEG AVI via its `idx1` index — the video
+    * analogue of [[Flac.decodeAt]]'s seek table: resolve frame
+    * `frameIx` by walking ONLY the top-level chunk directory (hdrl for
+    * the declared geometry/flags, the movi LIST skipped whole by its
+    * size, idx1 for the frame table) and decode ONLY the indexed byte
+    * range — at 100 TB this is a byte-range GET per sampled frame,
+    * never a stream scan. The index must EARN trust: avih must
+    * declare AVIF_HASINDEX, the entry count must equal the declared
+    * frame total, the entry must point at a `00dc` chunk header whose
+    * size agrees with the entry, and the decoded frame must match the
+    * declared geometry — a directory that lies is an error, not a
+    * hint (the [[Ico]] discipline). Returns (width, height, total
+    * frames, mean luma of that frame). */
+  def aviFrameAt(bytes: Array[Byte], frameIx: Int): (Int, Int, Int, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "payload is not RIFF/AVI")
+    var declW = -1; var declH = -1; var declFrames = -1; var flags = 0
+    var moviPos = -1 // position of the 'movi' fourcc
+    var idxPos = -1; var idxLen = 0
+    var pos = 12
+    while (pos + 8 <= bytes.length) { // TOP-LEVEL walk only
+      val id = tag(pos)
+      val size = bb.getInt(pos + 4)
+      val body = pos + 8
+      require(body + size <= bytes.length, s"truncated $id chunk")
+      id match {
+        case "LIST" if size >= 4 && tag(body) == "hdrl" =>
+          // one nested walk for avih (headers are tiny)
+          var p = body + 4
+          while (p + 8 <= body + size) {
+            val hid = tag(p); val hsize = bb.getInt(p + 4)
+            require(p + 8 + hsize <= body + size, s"truncated $hid")
+            if (hid == "avih") {
+              flags = bb.getInt(p + 8 + 12)
+              declFrames = bb.getInt(p + 8 + 16)
+              declW = bb.getInt(p + 8 + 32); declH = bb.getInt(p + 8 + 36)
+            }
+            p = p + 8 + hsize + (hsize & 1)
+          }
+        case "LIST" if size >= 4 && tag(body) == "movi" =>
+          moviPos = body // NOT entered: the whole point of the index
+        case "idx1" => idxPos = body; idxLen = size
+        case _ => ()
+      }
+      pos = body + size + (size & 1)
+    }
+    require((flags & 0x10) != 0, "avih does not declare AVIF_HASINDEX")
+    require(moviPos >= 0, "no movi list")
+    require(idxPos >= 0, "no idx1 index chunk")
+    require(idxLen % 16 == 0, "idx1 length not a multiple of 16")
+    val nEntries = idxLen / 16
+    require(nEntries == declFrames,
+      s"idx1 holds $nEntries entries for $declFrames declared frames")
+    require(frameIx >= 0 && frameIx < nEntries,
+      s"frame $frameIx out of range (0 until $nEntries)")
+    val e = idxPos + 16 * frameIx
+    require(tag(e) == "00dc", s"idx1 entry $frameIx is not a video chunk")
+    val off = bb.getInt(e + 8); val size = bb.getInt(e + 12)
+    val chunkPos = moviPos + off
+    require(chunkPos >= moviPos + 4 && chunkPos + 8 + size <= bytes.length,
+      s"idx1 entry $frameIx points outside the stream")
+    require(tag(chunkPos) == "00dc" && bb.getInt(chunkPos + 4) == size,
+      s"idx1 entry $frameIx disagrees with the chunk it points at")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes, chunkPos + 8, size))
+    require(img != null, "indexed frame is not a decodable JPEG")
+    require(img.getWidth == declW && img.getHeight == declH,
+      s"frame ${img.getWidth}x${img.getHeight} != avih ${declW}x$declH")
+    (declW, declH, declFrames,
+      redSum(img) / (declW.toLong * declH))
   }
 
   /** Deterministic animated GIF payload generator — the third real

@@ -596,6 +596,38 @@ object MmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // RANDOM ACCESS into compressed video — the idx1-index twin of
+    // mm_audio_seek's FLAC seek table: each id's MJPEG AVI now
+    // carries the standard idx1 frame index (offset/size per 00dc
+    // chunk, AVIF_HASINDEX declared), and [[graft.multimodal
+    // .Multimodal.aviFrameAt]] resolves ONE per-id target frame by
+    // walking only the top-level chunk directory and decoding only
+    // the indexed byte range — never scanning the movi stream. The
+    // index must earn trust (entry count vs declared frames, entry
+    // vs pointed-at chunk header, decoded vs declared geometry all
+    // cross-checked), and the oracle recomputes the target frame's
+    // exact uniform gray from the source formula — a wrong index
+    // offset decodes the WRONG frame and value-mismatches.
+    "mm_video_seek" -> { (s, dir) =>
+      import s.implicits._
+      codecIds(s, dir)
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 + (id % 8).toInt * 2
+            val h = 8 + ((id * 3) % 8).toInt * 2
+            val nf = 4 + (id % 12).toInt
+            val grays = Array.tabulate(nf)(f => ((id * 13 + f * 7) % 256).toInt)
+            val k = ((id * 5) % nf).toInt
+            val (dw, dh, frames, mean) = graft.multimodal.Multimodal
+              .aviFrameAt(graft.multimodal.Multimodal.makeMjpegAvi(w, h, grays), k)
+            (id, dw, dh, frames, k.toLong, mean)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "frame_ix",
+          "frame_mean")
+        .orderBy(col("doc_id"))
+    },
+
     // Same selection arithmetic again, through the JDK's own
     // multi-image GIF reader (container parsing + LZW + palette all
     // JDK-side) — the third real video container next to the
@@ -1007,6 +1039,19 @@ object MmQueries {
         |  CAST(list_sum(list_transform(range(0, (4 + doc_id % 12 + 2) // 3),
         |    i -> (doc_id * 13 + i * 21) % 256))
         |    // ((4 + doc_id % 12 + 2) // 3) AS BIGINT) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Indexed frame access: uniform-gray MJPEG frames decode exactly,
+    // so the oracle recomputes the TARGET frame's gray from the source
+    // formula — a wrong idx1 offset lands on a different frame's gray
+    // and goes value-red.
+    "mm_video_seek" ->
+      """SELECT doc_id,
+        |  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+        |  CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS height,
+        |  CAST(4 + doc_id % 12 AS INT) AS n_frames,
+        |  CAST((doc_id * 5) % (4 + doc_id % 12) AS BIGINT) AS frame_ix,
+        |  CAST((doc_id * 13 + ((doc_id * 5) % (4 + doc_id % 12)) * 7) % 256
+        |    AS BIGINT) AS frame_mean
         |FROM documents ORDER BY doc_id""".stripMargin,
     // GIF is lossless — identical arithmetic to the other two video
     // containers.

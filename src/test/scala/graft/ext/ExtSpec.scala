@@ -732,6 +732,56 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("avi idx1 random access decodes exactly the indexed frame and " +
+      "rejects a lying or missing index") {
+    val grays = Array(10, 20, 30, 40, 50, 60, 70)
+    val avi = Multimodal.makeMjpegAvi(12, 10, grays)
+    // every frame reachable by index, exact uniform gray back
+    grays.indices.foreach { k =>
+      assert(Multimodal.aviFrameAt(avi, k) === ((12, 10, 7, grays(k).toLong)),
+        s"frame $k")
+    }
+    // the sequential sampler still works on the indexed container
+    assert(MediaCodec.aviMjpegFrameSample(2).open().decode(avi) ===
+      ((12, 10, 7, 4, 40L)))
+    // out-of-range frame
+    intercept[IllegalArgumentException](Multimodal.aviFrameAt(avi, 7))
+    intercept[IllegalArgumentException](Multimodal.aviFrameAt(avi, -1))
+    // a lying index: point entry 2's offset at entry 3's chunk minus
+    // garbage -> the entry/chunk cross-check must reject
+    val bb = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tagAt(off: Int) = new String(avi, off, 4, "US-ASCII")
+    var pos = 12; var idxPos = -1
+    while (idxPos < 0 && pos + 8 <= avi.length) {
+      if (tagAt(pos) == "idx1") idxPos = pos + 8
+      else pos = pos + 8 + bb.getInt(pos + 4) + (bb.getInt(pos + 4) & 1)
+    }
+    assert(idxPos > 0, "test could not locate idx1")
+    val forged = avi.clone()
+    val fb = java.nio.ByteBuffer.wrap(forged)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fb.putInt(idxPos + 16 * 2 + 8, fb.getInt(idxPos + 16 * 2 + 8) + 2)
+    intercept[IllegalArgumentException](Multimodal.aviFrameAt(forged, 2))
+    // ...but an honest entry in the same forged file still decodes
+    assert(Multimodal.aviFrameAt(forged, 1)._4 === 20L)
+    // index vs declared-frames disagreement: shrink idx1 by one entry
+    val shrunk = avi.clone()
+    val sb = java.nio.ByteBuffer.wrap(shrunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb.putInt(idxPos - 4, bb.getInt(idxPos - 4) - 16)
+    intercept[IllegalArgumentException](Multimodal.aviFrameAt(shrunk, 0))
+    // no AVIF_HASINDEX flag: the avih body is the first chunk inside
+    // the first LIST (hdrl) — clear flags at body+12
+    val noflag = avi.clone()
+    val nb = java.nio.ByteBuffer.wrap(noflag)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // 12 = RIFF hdr; LIST at 12, 'hdrl' at 20, 'avih' at 24, body at 32
+    assert(tagAt(24) == "avih", "layout assumption broken")
+    nb.putInt(32 + 12, 0)
+    intercept[IllegalArgumentException](Multimodal.aviFrameAt(noflag, 0))
+  }
+
   test("G.711 mu-law: exhaustive exact integer round-trip properties") {
     // canonical G.711 invariants over the FULL 16-bit input range:
     // re-encoding the decoded value reproduces the code (decode∘encode
