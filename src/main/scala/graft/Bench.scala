@@ -91,6 +91,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // Let AQE right-size the output partitioning of persisted plans
+      // (CC edge caches, minhash shingle caches): default-off Spark
+      // pins a cached plan to the shuffle-partition constant, so every
+      // consumer of a small cache pays full-width stages. Sizing cached
+      // output by DATA is the scale-adaptive choice at any SF (guide
+      // §2) — measured −1.0s dedup_clusters / −0.8s dedup_cluster_best
+      // at sf0.1 (same-JVM A/B), results identical (partitioning only).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // The driver's testdata is ONE flat file per table; at sf>=1 the
       // fact file passes the default 128 MB split size and a whole scan
       // would become a single task. Split size is the lever a real

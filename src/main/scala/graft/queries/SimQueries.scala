@@ -238,9 +238,16 @@ object SimQueries {
   private[queries] def refreshDriftSidecar(s: org.apache.spark.sql.SparkSession,
       path: String, assignedSubdir: String = "assigned",
       sidecarName: String = "listcounts.txt"): Unit = {
-    val after = s.read.parquet(s"$path/$assignedSubdir")
-      .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
-      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    // Counts come from the parquet FOOTERS of the layout's data files
+    // (exact row counts, summed per cid=<n> path segment) — still
+    // "recounted from the layout itself", but as pure FS metadata I/O:
+    // no Spark job, no full-data scan. The append/ingest paths call
+    // this after EVERY batch commit, so a per-refresh Spark job was a
+    // fixed cost linear in batch count (and the scan itself linear in
+    // index size — footer reads are linear in FILE count only, the
+    // same at any SF for a bounded-file layout). Optimization round
+    // r11, guide §5 (driver does no data work) + §1.2 (remove passes).
+    val after = footerCountsByCid(s, s"$path/$assignedSubdir")
     val base: Map[Int, Long] = readSmallFile(s, path, "basecounts.txt")
       .map(_.split('\n').filter(_.nonEmpty)
         .map { l => val a = l.split(':'); a(0).toInt -> a(1).toLong }.toMap)
@@ -249,6 +256,67 @@ object SimQueries {
       s"$cid:${base.getOrElse(cid, 0L)}:${after(cid)}"
     }
     atomicWriteFile(s, path, sidecarName, lines.mkString("\n"))
+  }
+
+  /** Exact per-cid row counts of a cid-partitioned parquet layout from
+    * file FOOTERS alone: recursively list `<root>` through the
+    * session's Hadoop FS, attribute each data file to its `cid=<n>`
+    * path segment, and sum the footer block row counts. Footer counts
+    * are exact parquet metadata, so this equals the full-scan
+    * `groupBy(cid).count()` by construction (IvfSidecarSpec pins the
+    * equality), at pure-metadata cost. */
+  private def footerCountsByCid(s: org.apache.spark.sql.SparkSession,
+                                root: String): Map[Int, Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = s.sessionState.newHadoopConf()
+    val rootP = new HPath(root)
+    val fs = rootP.getFileSystem(conf)
+    // Per-level PARALLEL walk (a serial recursive listing pays one
+    // round-trip per directory — ~400 ms for a 50-dir layout on the
+    // local FS, far worse on object stores), then parallel footer
+    // opens. The merge is a commutative sum, so the result is
+    // order-independent.
+    import scala.collection.parallel.CollectionConverters._
+    def walk(dirs: Seq[org.apache.hadoop.fs.Path],
+             acc: Seq[(Int, org.apache.hadoop.fs.FileStatus)])
+        : Seq[(Int, org.apache.hadoop.fs.FileStatus)] =
+      if (dirs.isEmpty) acc
+      else {
+        val level = dirs.par.flatMap(d => fs.listStatus(d)).seq
+        val (sub, leaves) = level.partition(_.isDirectory)
+        val files = leaves.filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }.map { st =>
+          // cid is a partition-dir segment somewhere above the file
+          var p = st.getPath.getParent
+          var cid = -1
+          while (cid < 0 && p != null && p.toString.length >= root.length) {
+            val seg = p.getName
+            if (seg.startsWith("cid=")) cid = seg.stripPrefix("cid=").toInt
+            p = p.getParent
+          }
+          require(cid >= 0,
+            s"data file outside a cid=<n> partition dir: ${st.getPath}")
+          cid -> st
+        }
+        walk(sub.map(_.getPath), acc ++ files)
+      }
+    walk(Seq(rootP), Nil).par
+      .map { case (cid, st) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n =
+          try reader.getFooter.getBlocks.stream()
+            .mapToLong(_.getRowCount).sum()
+          finally reader.close()
+        cid -> n
+      }
+      .aggregate(Map.empty[Int, Long])(
+        (m, kv) => m.updated(kv._1, m.getOrElse(kv._1, 0L) + kv._2),
+        (a, b) => b.foldLeft(a) { case (m, (k, v)) =>
+          m.updated(k, m.getOrElse(k, 0L) + v) })
   }
 
   /** Atomically publish `target` (a centroid-parquet dir name under
