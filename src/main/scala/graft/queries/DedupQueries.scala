@@ -462,12 +462,29 @@ object DedupQueries {
       val corpus = base.unionByName(copies)
         .select(col("vec_id"), Similarity.quantize(col("vec")).as("q"))
       graft.functions.Native.register(s)
+      // Both predicates live IN the join condition, cheap one first:
+      // a trailing .filter(cosine >= 0.95) gets pushed into the BNLJ
+      // with the pushed conjunct ordered BEFORE the join's own
+      // id1 < id2, so every ORDERED pair (both (a,b) and (b,a)) paid
+      // the 64-dim cosine loop before the 1-op id compare — 2× the
+      // necessary work (optimization r11; And short-circuits left-to-
+      // right and Catalyst does not cost-reorder conjuncts). Survivors
+      // recompute cosine in the projection (~100 rows, negligible);
+      // values identical — same expression on the same quantized
+      // vectors.
+      // The streamed side is a ~2-partition tiny scan (the calibration
+      // sample is BOUNDED by design), so the O(n²) pair loop ran on ≤2
+      // cores; round-robin it across the session's shuffle width first
+      // — a few-KB shuffle that buys full-cluster parallelism for the
+      // quadratic stage at any SF (guide §2.6: stragglers/idle
+      // capacity).
       corpus.select(col("vec_id").as("id1"), col("q").as("q1"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .join(broadcast(corpus.select(col("vec_id").as("id2"), col("q").as("q2"))),
-          col("id1") < col("id2"))
+          col("id1") < col("id2") &&
+            graft.functions.Native.cosineQ(col("q1"), col("q2")) >= 0.95)
         .select(col("id1"), col("id2"),
           graft.functions.Native.cosineQ(col("q1"), col("q2")).as("cosine"))
-        .filter(col("cosine") >= 0.95)
         .orderBy(col("id1"), col("id2"))
     }
   )

@@ -708,8 +708,10 @@ object RelationalQueries {
     * driver-side brute-force count on random graphs. */
   private[queries] def orientedTriangles(undRaw: DataFrame): DataFrame = {
     // reused by degrees + orientation + the closing join —
-    // materialize once (same budget q_pagerank pays for its edges)
-    val und = undRaw.localCheckpoint()
+    // materialize once (same budget q_pagerank pays for its edges);
+    // LAZY (r11): folds into the first consuming job, saving a driver
+    // barrier — same blocks, same reuse
+    val und = undRaw.localCheckpoint(false)
     val deg = und.select(explode(array(col("src"), col("dst"))).as("u"))
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
     val out = und
@@ -723,7 +725,7 @@ object RelationalQueries {
           .otherwise(struct(col("dst").as("u"), col("src").as("v"),
             col("ds").as("dv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wedges = out.as("e1")
       .join(out.as("e2"), col("e1.u") === col("e2.u"))
       .filter(col("e1.dv") < col("e2.dv") ||
@@ -1270,11 +1272,15 @@ object RelationalQueries {
       // replaced 5.4 GB of spill at sf2. The sizing rule at cluster
       // scale: distinct-edge partitions must fit the per-core budget —
       // grow shuffle partitions with the graph.
+      // LAZY checkpoints (r11): materialization folds into the first
+      // consuming job instead of paying two extra synchronous driver
+      // barriers — same blocks, same reuse, ~0.2 s less fixed cost
+      // (same-JVM A/B; output proven equal).
       val edges = coSupplyEdges(li, PrStarT)
-        .localCheckpoint() // used by deg + all 3 iterations
+        .localCheckpoint(false) // used by deg + all 3 iterations
       val deg = edges.groupBy(col("src").as("u"))
         .agg(count(lit(1)).as("deg"))
-        .localCheckpoint() // O(nodes); broadcast into every iteration
+        .localCheckpoint(false) // O(nodes); broadcast into every iteration
       val r0 = deg.select(col("u"), lit(1000000L).as("r"))
       val rFinal = (1 to 3).foldLeft(r0) { (r, _) =>
         edges.join(broadcast(r.join(broadcast(deg), Seq("u"))
