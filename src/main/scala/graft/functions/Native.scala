@@ -49,6 +49,7 @@ object Native {
     "graft_zvalue" -> (es => ZValueExpr(es(0), es(1))),
     "graft_top_freq" -> (es => TopFreqExpr(es.head)),
     "graft_text_quality" -> (es => TextQualityExpr(es(0), es(1))),
+    "graft_bpe_stats" -> (es => BpeStatsExpr(es(0), es(1), es(2))),
     "graft_gopher_stats" -> (es => GopherStatsExpr(es.head)),
     "graft_token_stats" -> (es => TokenStatsExpr(es.head)),
     "graft_lang_scores" -> (es => LangScoresExpr(es(0), es(1))),
@@ -103,6 +104,8 @@ object Native {
     call_function("graft_top_freq", arr)
   def textQuality(text: Column, stops: Column): Column =
     call_function("graft_text_quality", text, stops)
+  def bpeStats(text: Column, mergesL: Column, mergesR: Column): Column =
+    call_function("graft_bpe_stats", text, mergesL, mergesR)
   def gopherStats(text: Column): Column =
     call_function("graft_gopher_stats", text)
   def tokenStats(text: Column): Column =
@@ -1233,4 +1236,154 @@ case class BloomMightContain(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** (text string, mergeLefts array<string> LITERAL, mergeRights
+  * array<string> LITERAL) -> struct<n_words:int, n_bpe_tokens:int>:
+  * the whole `text_bpe_train` application — canonicalize, apply the
+  * trained merges in rank order, count words and post-merge tokens —
+  * in ONE pass over per-word symbol ARRAYS instead of 1 (canonical
+  * split-per-char + join) + |merges| (string replace) full-string
+  * passes per document.
+  *
+  * BIT-EQUIVALENCE to the replace-chain formulation
+  * (`Bpe.canonical` → `Bpe.applyMerges` → `Bpe.tokenCount`, which the
+  * DuckDB oracle mirrors as nested replace()): on '/'-free BMP text,
+  * every '/' in the canonical form is a separator, so a string match
+  * of "/l/r/" exists iff adjacent SYMBOLS (l, r) exist, and both
+  * replace() and the in-place array merge consume matches
+  * left-to-right without overlap — the trainer's own
+  * [[graft.text.Bpe.mergePair]] discipline. Text containing '/' (a
+  * literal separator char: string matches may then cross symbol
+  * boundaries) or astral codepoints (split("") is codepoint-aware;
+  * charAt is not) falls back to an exact reimplementation of the
+  * replace chain for that document. BpeFusedProps pins equality
+  * against the original column composition on adversarial and random
+  * inputs (both paths). */
+case class BpeStatsExpr(first: Expression, second: Expression,
+                        third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_bpe_tokens", IntegerType, nullable = false)))
+  // merge tables come from foldable literal children: extract once
+  @transient private lazy val (mergeL, mergeR, mergeLR) = {
+    def arr(e: Expression): Array[String] =
+      e.eval(null).asInstanceOf[ArrayData].toObjectArray(StringType)
+        .map(_.asInstanceOf[UTF8String].toString)
+    val l = arr(second); val r = arr(third)
+    require(l.length == r.length,
+      s"merge tables differ in length: ${l.length} vs ${r.length}")
+    (l, r, l.indices.map(i => l(i) + r(i)).toArray)
+  }
+
+  def evalText(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = t.toString
+    if (s.indexOf('/') >= 0 || s.exists(Character.isSurrogate))
+      return fallback(s)
+    val words = splitSpaces(s)
+    var total = 0L
+    var wi = 0
+    val scratch = new Array[String](64)
+    while (wi < words.length) {
+      val w = words(wi)
+      val n = w.length + 1
+      val syms = if (n <= scratch.length) scratch else new Array[String](n)
+      var i = 0
+      while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+      syms(w.length) = graft.text.Bpe.Eow
+      var len = n
+      var m = 0
+      while (m < mergeL.length) {
+        val l = mergeL(m); val r = mergeR(m)
+        // String-replace semantics, NOT the trainer's mergePair: a
+        // match consumes its trailing '/', which is the NEXT symbol's
+        // leading '/', so the symbol right after a merge can never
+        // START the next match in the same pass ("/a/a/a/a/" merges
+        // ONE pair, not two). Track that consumed slash explicitly.
+        var read = 0; var write = 0
+        var hasSlash = true
+        while (read < len) {
+          if (hasSlash && read < len - 1 &&
+              syms(read) == l && syms(read + 1) == r) {
+            syms(write) = mergeLR(m); read += 2; hasSlash = false
+          } else { syms(write) = syms(read); read += 1; hasSlash = true }
+          write += 1
+        }
+        len = write
+        m += 1
+      }
+      total += len
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words.length, total.toInt))
+  }
+
+  /** Exact replace-chain reimplementation for text the fast path's
+    * alignment argument does not cover ('/' or astral codepoints):
+    * identical to canonical()+applyMerges()+tokenCount() — Spark's
+    * split/replace on literals are the codepoint-aware java.util.regex
+    * split and LTR non-overlapping literal replace used here. */
+  private def fallback(s: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = splitSpaces(s)
+    val sb = new java.lang.StringBuilder
+    var wi = 0
+    while (wi < words.length) {
+      if (wi > 0) sb.append(' ')
+      sb.append('/')
+      val w = words(wi) + graft.text.Bpe.Eow
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append('/')
+        i += Character.charCount(cp)
+      }
+      wi += 1
+    }
+    var canon = sb.toString
+    var m = 0
+    while (m < mergeL.length) {
+      canon = canon.replace("/" + mergeL(m) + "/" + mergeR(m) + "/",
+        "/" + mergeLR(m) + "/")
+      m += 1
+    }
+    var slashes = 0L
+    var i = 0
+    while (i < canon.length) {
+      if (canon.charAt(i) == '/') slashes += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words.length, (slashes - words.length).toInt))
+  }
+
+  /** split(s, " ", -1) with empty fields kept — Spark's split(text,
+    * " ") semantics on the single-space pattern. */
+  private def splitSpaces(s: String): Array[String] = {
+    var n = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') n += 1; i += 1 }
+    val out = new Array[String](n)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { out(k) = s.substring(start, i); k += 1; start = i + 1 }
+      i += 1
+    }
+    out(k) = s.substring(start)
+    out
+  }
+
+  override def nullSafeEval(t: Any, l: Any, r: Any): Any =
+    evalText(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeStats", this,
+      classOf[BpeStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, (t, _, _) => s"${ev.value} = $ref.evalText($t);")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression) =
+    copy(first = f, second = s, third = t)
 }

@@ -144,12 +144,33 @@ object Flac {
   private def riceCost(res: Array[Long], k: Int): Long =
     res.foldLeft(0L)((c, r) => c + (zigzag(r) >>> k) + 1 + k)
 
+  /** Exact bit costs of ALL rice parameters 0..14 in ONE unboxed pass
+    * (r11): the per-k [[riceCost]] minBy scanned the residuals 15
+    * times through a boxing foldLeft — the encoder's hottest loop.
+    * costs(k) == riceCost(res, k) by construction. */
+  private def riceCostsAll(res: Array[Long]): Array[Long] = {
+    val costs = new Array[Long](15)
+    var i = 0
+    while (i < res.length) {
+      val u = zigzag(res(i))
+      var k = 0
+      while (k < 15) { costs(k) += (u >>> k); k += 1 }
+      i += 1
+    }
+    var k = 0
+    while (k < 15) { costs(k) += res.length.toLong * (1 + k); k += 1 }
+    costs
+  }
+
   private def bitsFor(res: Array[Long]): Int = {
     var w = 1
-    res.foreach { r =>
+    var i = 0
+    while (i < res.length) {
+      val r = res(i)
       var need = 64 - java.lang.Long.numberOfLeadingZeros(math.abs(r)) + 1
       if (r == 0) need = 1
       if (need > w) w = need
+      i += 1
     }
     math.min(w, 31)
   }
@@ -165,14 +186,28 @@ object Flac {
     if (block.forall(_ == block(0)))
       SubPlan(constant = true, 0, Array.empty, 0, rice = false, 0, 8L + bps)
     else {
-      val orders = (0 to math.min(2, block.length - 1))
-        .map(o => o -> fixedResiduals(block, o))
-      val (order, res) = orders.minBy { case (_, r) =>
-        r.foldLeft(0L)((a, v) => a + math.abs(v)) }
-      val kBest = (0 to 14).minBy(k => riceCost(res, k))
+      // unboxed order/parameter search (r11): same first-minimum
+      // tie-breaks as the former minBy spellings, one pass each
+      var order = 0
+      var res: Array[Long] = null
+      var bestAbs = Long.MaxValue
+      var o = 0
+      val maxO = math.min(2, block.length - 1)
+      while (o <= maxO) {
+        val r = fixedResiduals(block, o)
+        var sum = 0L
+        var i = 0
+        while (i < r.length) { sum += math.abs(r(i)); i += 1 }
+        if (sum < bestAbs) { bestAbs = sum; order = o; res = r }
+        o += 1
+      }
+      val costs = riceCostsAll(res)
+      var kBest = 0
+      var k = 1
+      while (k < 15) { if (costs(k) < costs(kBest)) kBest = k; k += 1 }
       val rawBits = bitsFor(res)
-      val rice = riceCost(res, kBest) <= 5L + rawBits.toLong * res.length
-      val resBits = if (rice) 4L + riceCost(res, kBest)
+      val rice = costs(kBest) <= 5L + rawBits.toLong * res.length
+      val resBits = if (rice) 4L + costs(kBest)
                     else 4L + 5L + rawBits.toLong * res.length
       SubPlan(constant = false, order, res, kBest, rice, rawBits,
         8L + order.toLong * bps + 6L + resBits)

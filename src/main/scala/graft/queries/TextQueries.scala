@@ -188,14 +188,21 @@ object TextQueries {
 
     "text_bpe_train" -> { (s, dir) =>
       val merges = bpeModel(s, dir)
-      val toks = split(col("text"), " ")
-      table(s, dir, "documents")
-        .select(col("doc_id"), size(toks).cast("int").as("n_words"),
-          graft.text.Bpe.applyMerges(
-            graft.text.Bpe.canonical(col("text")), merges).as("m"))
-        .select(col("doc_id"), col("n_words"),
-          graft.text.Bpe.tokenCount(col("m"), col("n_words"))
-            .as("n_bpe_tokens"))
+      // Fused application (r11): canonical() + |merges| replace()
+      // passes + two length() scans made every document pay ~26 full-
+      // string traversals with allocation; BpeStatsExpr does the same
+      // merge discipline over per-word symbol arrays in one pass
+      // (bit-equal by construction on '/'-free BMP text, exact
+      // replace-chain fallback otherwise — BpeFusedProps pins both
+      // paths against the original column composition). The oracle
+      // mirror (nested replace() SQL) is unchanged.
+      graft.functions.Native.register(s)
+      import graft.ops.Ops.materializedColumn
+      val withS = materializedColumn(table(s, dir, "documents"), "bs",
+        graft.functions.Native.bpeStats(col("text"),
+          lit(merges.map(_._1).toArray), lit(merges.map(_._2).toArray)))
+      withS.select(col("doc_id"), col("bs.n_words").as("n_words"),
+          col("bs.n_bpe_tokens").as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     },
     // Token statistics: counts + average token length. The token array

@@ -419,12 +419,19 @@ object Similarity {
     for (_ <- 1 to iters) {
       val centsDf = broadcast(
         spark.createDataFrame(cents).toDF("cid", "cq"))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("__ccos").desc, col("cid"))
-      val assigned = corpusQ.crossJoin(centsDf)
-        .withColumn("__ccos", cosine(col("vq"), col("cq")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
+      // Same skinny argmax shape as [[ivfAssign]] (r11): the former
+      // per-id row_number window sorted n·k candidate rows CARRYING
+      // the full quantized vector; max(struct(cosine, -cid)) is the
+      // identical argmax (ties to the lowest cid) as a partial-
+      // aggregated narrow-row pass, and vq is re-attached by one
+      // n-row equi-join.
+      val best = corpusQ.crossJoin(centsDf)
+        .select(col("id"), struct(cosine(col("vq"), col("cq")).as("c"),
+          (-col("cid")).as("negcid")).as("cand"))
+        .groupBy(col("id"))
+        .agg(max(col("cand")).as("m"))
+        .select(col("id"), (-col("m.negcid")).as("cid"))
+      val assigned = best.join(corpusQ, Seq("id"))
       val means: Map[Int, Seq[Long]] = assigned
         .select(col("cid"), posexplode(col("vq")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
