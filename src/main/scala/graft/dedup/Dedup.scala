@@ -485,10 +485,16 @@ object Dedup {
     Native.register(docs.sparkSession)
     // Work on n-gram HASH sets (one md5 per token), not string shingles —
     // see shingleHashes.
+    // persisted for the same reason minHashNearDupPairs persists its
+    // shingle projection (r11): the subplan feeds the census AND both
+    // self-join sides — uncached, the corpus was tokenized+shingled 3×
+    // per run. ContextCleaner reclaims the blocks when the result is
+    // dropped.
     val base = materializedColumn(
       docs.select(col(idCol).as("id"), blockKey.as("blk"), col(textCol).as("text")),
       "th", Native.tokenHashes(TextOps.tokens(col("text"))))
       .select(col("id"), col("blk"), Native.shingleHashes(col("th"), ngram).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // block-size census is tiny (one row per block) -> broadcast it
     val okBlocks = broadcast(capBuckets(
       base.groupBy(col("blk")).agg(count(lit(1)).cast("int").as("__bn")),

@@ -387,10 +387,17 @@ object RelationalQueries {
 
     // ROLLUP with grouping id.
     "q_rollup" -> { (s, dir) =>
-      table(s, dir, "customer")
-        .rollup(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast(dec)).cast("double").as("total_bal"),
+      // Same pre-aggregate-before-EXPAND shape as q_cube (r11): the
+      // rollup's 3 grouping sets expand over the (segment, nation)
+      // domain instead of every customer row. Identical results
+      // (associative count/DECIMAL sums, non-null dimensions).
+      val pre = table(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("c_acctbal").cast(dec)).as("__b"))
+      pre.rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(sum(col("__n")).cast("long").as("n_cust"),
+          sum(col("__b")).cast("double").as("total_bal"),
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), asc_nulls_first("c_mktsegment"),
           asc_nulls_first("c_nationkey"))
@@ -947,10 +954,22 @@ object RelationalQueries {
 
     // CUBE over two dimensions with grouping id.
     "q_cube" -> { (s, dir) =>
-      table(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(dec)).cast("double").as("qty"),
+      // Pre-aggregate to the dimension domain BEFORE the cube (r11):
+      // Spark's cube EXPANDs every input row once per grouping set
+      // (4× here) ahead of the partial aggregate, so the raw spelling
+      // shuffles/aggregates 4×|lineitem| rows; grouping by the full
+      // dimension tuple first collapses map-side to the ~8-row domain
+      // and the EXPAND runs on that. Identical results: count is the
+      // sum of per-tuple counts, DECIMAL addition is associative, and
+      // the dimensions are non-null so cube null-marking is untouched.
+      // Guide §2.3 "aggregate before you shuffle".
+      val pre = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast(dec)).as("__q"))
+      pre.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("__n")).cast("long").as("n"),
+          sum(col("__q")).cast("double").as("qty"),
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))

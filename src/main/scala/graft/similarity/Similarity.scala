@@ -169,7 +169,9 @@ object Similarity {
         .select(col("qid"), col("id"),
           lit(t).cast("int").as("mmr_rank"), col("rel"))
       // checkpoint per step: the recurrence otherwise doubles the
-      // plan depth every iteration
+      // plan depth every iteration (r11 re-measured: a 2-step
+      // checkpoint stride read ~0.3 s SLOWER — the doubled tree's
+      // analysis cost exceeds the saved materialization job)
       sel = sel.unionByName(pick).localCheckpoint()
     }
     sel.orderBy(col("qid"), col("mmr_rank"))
