@@ -100,6 +100,14 @@ object Bench {
       // at sf0.1 (same-JVM A/B), results identical (partitioning only).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // Allow shuffled-hash join where its size conditions hold (guide
+      // §3.1/§9): SMJ pays two sorts SHJ doesn't; with AQE's accurate
+      // runtime sizes the planner only builds hash maps that fit.
+      // Interleaved A/B over the 12 join-heavy queries: 8.83/8.27 s
+      // (SMJ) vs 7.67/7.85 s (SHJ allowed); biggest movers q_tpch_q18
+      // 1.41→1.25, q9 1.13→1.02, q21 1.08→0.99; no query worse than
+      // +0.07. Plans only — results identical.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // The driver's testdata is ONE flat file per table; at sf>=1 the
       // fact file passes the default 128 MB split size and a whole scan
       // would become a single task. Split size is the lever a real

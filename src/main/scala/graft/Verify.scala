@@ -16,9 +16,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      // mirror Bench: AQE may right-size cached-plan output partitioning
+      // mirror Bench: AQE may right-size cached-plan output partitioning,
+      // shuffled-hash join allowed where it fits
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
