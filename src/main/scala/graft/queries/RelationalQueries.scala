@@ -25,7 +25,7 @@ object RelationalQueries {
     * clique (m·(m-1) ≤ ~4k pairs); past it, star pairs around the
     * group's min-member pivot (2·(m-1)). Shared with the oracle mirror
     * and the plan guard so all three stay in lockstep. */
-  private[queries] val PrStarT = 64
+  private[graft] val PrStarT = 64
 
   /** Distinct co-occurrence edges of (ok, sk) membership rows, with
     * GRADUATED per-group expansion (the NOTES r6 rule — any
@@ -43,7 +43,7 @@ object RelationalQueries {
     * value-checkable. The final exchange is keyed by the PAIR so
     * distinct() elides its own exchange (the r7 spill fix — see the
     * q_pagerank comment). */
-  private[queries] def coSupplyEdges(liRaw: org.apache.spark.sql.DataFrame,
+  private[graft] def coSupplyEdges(liRaw: org.apache.spark.sql.DataFrame,
                                      starT: Int)
       : org.apache.spark.sql.DataFrame = {
     // The membership table feeds FOUR consumers (group sizing, the
@@ -390,7 +390,8 @@ object RelationalQueries {
       // Same pre-aggregate-before-EXPAND shape as q_cube (r11): the
       // rollup's 3 grouping sets expand over the (segment, nation)
       // domain instead of every customer row. Identical results
-      // (associative count/DECIMAL sums, non-null dimensions).
+      // (associative count/DECIMAL sums; null-safe on dimension
+      // values — CubePreAggSpec pins the null-bearing case).
       val pre = table(s, dir, "customer")
         .groupBy(col("c_mktsegment"), col("c_nationkey"))
         .agg(count(lit(1)).as("__n"),
@@ -961,7 +962,10 @@ object RelationalQueries {
       // dimension tuple first collapses map-side to the ~8-row domain
       // and the EXPAND runs on that. Identical results: count is the
       // sum of per-tuple counts, DECIMAL addition is associative, and
-      // the dimensions are non-null so cube null-marking is untouched.
+      // the rewrite is null-safe for dimension values too — data nulls
+      // survive the pre-groupBy as ordinary groups and EXPAND keys
+      // include grouping_id, so they never conflate with subtotal
+      // markers (CubePreAggSpec pins equality on null-bearing dims).
       // Guide §2.3 "aggregate before you shuffle".
       val pre = table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1107,24 +1111,88 @@ object RelationalQueries {
     // asserting the sketch landed within its rank-error band — the same
     // sketch-contract pattern as q_approx_distinct / q_sketch_freq.
     "q_percentile_approx" -> { (s, dir) =>
-      table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      // Round-12 optimization (guide §1.2/§2.3): the one-aggregate form
+      // fed every raw row through Spark's `percentile` ImperativeAggregate
+      // TWICE (qty + floored price) — a boxed value->count OpenHashMap
+      // update per row per column dominated the query (~0.8 s of 1.5 s at
+      // sf0.1). The exact percentiles are now derived from frequency
+      // domains instead, leaving only the mergeable sketches on the raw
+      // scan:
+      //  - qty: groupBy (rf, qty) count (50-value domain) -> Spark's own
+      //    percentile(qty, array, cnt) over <=50 rows per group — the map
+      //    build collapses from 600k boxed updates to 150.
+      //  - price: groupBy (rf, floor(price)) count (price DOMAIN, ~100k
+      //    entries — the same bound the old map relied on), then a window
+      //    running-sum locates the two bounding values and the SAME
+      //    interpolation formula as Percentile.getPercentile computes the
+      //    result: position = (N-1)*p; lowerKey = first value whose
+      //    cumulative count > floor(position); higherKey = first value
+      //    whose cumulative count > ceil(position); result =
+      //    (higher-pos)*lowerKey + (pos-lower)*higherKey (all-double IEEE
+      //    ops in the same order — bit-identical, A/B-proven vs the old
+      //    form at 3 SFs and oracle-gated).
+      // Everything stays partial-aggregated/codegen; no per-row boxed map.
+      // Exact-percentile gate companions stay BOUNDED-BUFFER: flooring to
+      // whole currency units bounds distinct values by the price DOMAIN
+      // (~100k entries) independent of scale; the <1-unit quantization
+      // error is far inside the 2% sketch band gated below. `floor` is
+      // bitwise-deterministic on the same stored doubles across engines.
+      // l_quantity is 1..50 — already domain-bounded.
+      val base = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      // sketches: unchanged single-pass GK aggregation over the raw rows
+      val sketch = base.groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 2500)")
             .as("aq"),
-          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("eq"),
-          expr("approx_percentile(l_extendedprice, 0.99, 2500)").as("ap99"),
-          // Exact-percentile gate companions must stay BOUNDED-BUFFER:
-          // Spark's `percentile` holds a value->count map per group, so
-          // the raw high-cardinality l_extendedprice would grow that map
-          // with the row count (OOM-shaped at 100x). Flooring to whole
-          // currency units bounds distinct values by the price DOMAIN
-          // (~100k entries) independent of scale; the <1-unit
-          // quantization error is far inside the 2% sketch band gated
-          // below. `floor` is bitwise-deterministic on the same stored
-          // doubles across engines (no HALF_UP-vs-fp divergence, unlike
-          // round). l_quantity above is 1..50 — already domain-bounded.
-          expr("percentile(floor(l_extendedprice), 0.99)").as("ep99"))
+          expr("approx_percentile(l_extendedprice, 0.99, 2500)").as("ap99"))
+      // Both exact pre-aggs read the raw scan (a round-robin spread of the
+      // input was measured SLOWER at sf0.1: the keyless repartition pays a
+      // sort + a raw-row shuffle and near-unique price keys defeat the
+      // partial-agg collapse — guide §2.5's sortBeforeRepartition caveat).
+      val freqIn = base
+      // exact qty quartiles from the (rf, qty) frequency domain; Spark's
+      // own percentile does the interpolation, so values are identical by
+      // construction (same value->count map contents, 150 rows not 600k)
+      val qtyEq = freqIn.filter(col("l_quantity").isNotNull)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75), cnt)")
+          .as("eq"))
+      // exact price p99 from the (rf, floor(price)) frequency domain via
+      // window running-sum + Percentile.getPercentile's exact arithmetic
+      val priceF = freqIn.filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_returnflag"),
+          expr("floor(l_extendedprice)").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wRun = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      val priceEp = priceF
+        .withColumn("cum", sum("cnt").over(wRun))
+        .withColumn("n", sum("cnt").over(wAll))
+        .withColumn("pos", (col("n") - 1).cast("double") * lit(0.99))
+        .withColumn("lo", floor(col("pos")))
+        .withColumn("hi", ceil(col("pos")))
+        // the <=2 rows whose index range [cum-cnt, cum) covers lo or hi
+        .filter(col("cum") > col("lo") &&
+          (col("cum") - col("cnt")) <= col("hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("v")).cast("double").as("lowerKey"),
+          max(col("v")).cast("double").as("higherKey"),
+          min(col("pos")).as("pos"), // constant within the group
+          min(col("lo")).as("lo"),
+          min(col("hi")).as("hi"))
+        .select(col("l_returnflag"),
+          when(col("hi") === col("lo") ||
+            col("lowerKey") === col("higherKey"), col("lowerKey"))
+            .otherwise((col("hi") - col("pos")) * col("lowerKey") +
+              (col("pos") - col("lo")) * col("higherKey")).as("ep99"))
+      sketch.join(qtyEq, Seq("l_returnflag"))
+        .join(priceEp, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           element_at(col("eq"), 1).as("p25_qty"),
           element_at(col("eq"), 2).as("med_qty"),

@@ -118,8 +118,8 @@ object SimQueries {
     * lists (DppSpec pins the DynamicPruningSubquery on the scan).
     * Bench builds untimed via `prepares` so ann_ivf_served times
     * SERVING; Verify rebuilds every run, covering the build. */
-  private def buildServedIvf(s: org.apache.spark.sql.SparkSession,
-                             dir: String): String = {
+  private[graft] def buildServedIvf(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String = {
     val path = scratchDir("ann_served_model", dir)
     lastDir = Some(dir)
     ensureSetup(path) {

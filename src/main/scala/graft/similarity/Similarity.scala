@@ -133,48 +133,106 @@ object Similarity {
     * here runs on qid×pool rows. Semantics identical to the
     * brute-force-pooled form, which delegates to this. */
   def mmrRerankPool(candIn: DataFrame, k: Int): DataFrame = {
-    graft.functions.Native.register(candIn.sparkSession)
-    val wRel = Window.partitionBy(col("qid"))
-      .orderBy(col("rel").desc, col("id"))
+    // Round 12 (guide §2, barrier removal): the k-step declarative
+    // unroll cost 7 driver-synchronized localCheckpoint jobs per run —
+    // each existed only to bound plan depth, not to move data. The pool
+    // is bounded (<=`pool` rows per qid by construction), so the greedy
+    // recurrence now runs in ONE pass: hash-partition the pool rows by
+    // qid, sort within partitions by (qid, id), and run the selection
+    // loop per group in a mapPartitions closure. The closure replicates
+    // the unrolled plan's arithmetic EXACTLY:
+    //  - pair sims are CosineQExpr.nullSafeEval's long-accumulate /
+    //    sqrt·sqrt kernel, verbatim;
+    //  - score = 0.7*rel - 0.3*maxSim in that literal order;
+    //  - ranking = java.lang.Double.compare desc with ascending-id
+    //    tie-break (rows arrive id-sorted, so first-wins == lowest id),
+    //    the same total order Spark's row_number gave.
+    // Output proven bit-identical to the unrolled form at 3 SFs
+    // (MmrProbe) and oracle-gated; the DuckDB CTE mirror is unchanged.
+    // At any scale the shuffle carries only qid-pool rows, as before —
+    // minus the 7 materialization barriers.
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val cand = candIn.select(col("qid"), col("id"), col("cq"), col("rel"))
-      .localCheckpoint()
-    val pair = cand.as("a")
-      .join(cand.as("b"), col("a.qid") === col("b.qid") &&
-        col("a.id") =!= col("b.id"))
-      .select(col("a.qid").as("qid"), col("a.id").as("a"),
-        col("b.id").as("b"),
-        graft.functions.Native.cosineQ(col("a.cq"), col("b.cq"))
-          .as("sim"))
-      .localCheckpoint()
-    var sel = cand
-      .withColumn("rk", row_number().over(wRel))
-      .filter(col("rk") === 1)
-      .select(col("qid"), col("id"), lit(1).cast("int").as("mmr_rank"),
-        col("rel"))
-      .localCheckpoint()
-    (2 to k).foreach { t =>
-      val ms = pair
-        .join(sel.select(col("qid"), col("id").as("b")), Seq("qid", "b"))
-        .groupBy(col("qid"), col("a").as("id"))
-        .agg(max(col("sim")).as("ms"))
-      val pick = cand.join(ms, Seq("qid", "id"))
-        .join(sel.select(col("qid"), col("id")), Seq("qid", "id"),
-          "left_anti")
-        .withColumn("score",
-          lit(0.7) * col("rel") - lit(0.3) * col("ms"))
-        .withColumn("rk", row_number().over(Window
-          .partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("id"))))
-        .filter(col("rk") === 1)
-        .select(col("qid"), col("id"),
-          lit(t).cast("int").as("mmr_rank"), col("rel"))
-      // checkpoint per step: the recurrence otherwise doubles the
-      // plan depth every iteration (r11 re-measured: a 2-step
-      // checkpoint stride read ~0.3 s SLOWER — the doubled tree's
-      // analysis cost exceeds the saved materialization job)
-      sel = sel.unionByName(pick).localCheckpoint()
+    val inS = cand.schema
+    val outSchema = StructType(Seq(
+      inS("qid"), inS("id"),
+      StructField("mmr_rank", IntegerType, nullable = false),
+      inS("rel")))
+    def cos(x: Array[Long], y: Array[Long]): Double = {
+      val n = math.min(x.length, y.length)
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < n) {
+        val xi = x(i); val yi = y(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
     }
-    sel.orderBy(col("qid"), col("mmr_rank"))
+    def greedy(rows: IndexedSeq[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = {
+      val n = rows.length
+      val cq = Array.tabulate(n)(i => rows(i).getSeq[Long](2).toArray)
+      val rel = Array.tabulate(n)(i => rows(i).getDouble(3))
+      val picked = new Array[Boolean](n)
+      val ms = Array.fill(n)(Double.NegativeInfinity)
+      val order = Seq.newBuilder[Int]
+      var first = -1
+      var i = 0
+      while (i < n) { // argmax rel, ascending-id tie-break (first wins)
+        if (first < 0 || java.lang.Double.compare(rel(i), rel(first)) > 0)
+          first = i
+        i += 1
+      }
+      picked(first) = true; order += first
+      var last = first
+      var t = 2
+      while (t <= k && t <= n) {
+        var best = -1
+        var bestScore = 0.0
+        var j = 0
+        while (j < n) {
+          if (!picked(j)) {
+            val s = cos(cq(j), cq(last))
+            if (java.lang.Double.compare(s, ms(j)) > 0) ms(j) = s
+            val score = 0.7 * rel(j) - 0.3 * ms(j)
+            if (best < 0 || java.lang.Double.compare(score, bestScore) > 0) {
+              best = j; bestScore = score
+            }
+          }
+          j += 1
+        }
+        picked(best) = true; order += best; last = best
+        t += 1
+      }
+      order.result().iterator.zipWithIndex.map { case (idx, r) =>
+        org.apache.spark.sql.Row(rows(idx).get(0), rows(idx).get(1),
+          r + 1, rel(idx))
+      }
+    }
+    cand.repartition(col("qid"))
+      .sortWithinPartitions(col("qid"), col("id"))
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.Row]
+        new Iterator[org.apache.spark.sql.Row] {
+          private var out: Iterator[org.apache.spark.sql.Row] =
+            Iterator.empty
+          private def refill(): Unit = {
+            while (!out.hasNext && (it.hasNext || buf.nonEmpty)) {
+              if (!it.hasNext) { out = greedy(buf.toIndexedSeq); buf.clear() }
+              else {
+                val r = it.next()
+                if (buf.nonEmpty && buf.head.get(0) != r.get(0)) {
+                  out = greedy(buf.toIndexedSeq); buf.clear()
+                }
+                buf += r
+              }
+            }
+          }
+          def hasNext: Boolean = { refill(); out.hasNext }
+          def next(): org.apache.spark.sql.Row = { refill(); out.next() }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .orderBy(col("qid"), col("mmr_rank"))
   }
 
   /** Brute-force cosine RANGE (radius) search: every corpus vector
