@@ -52,6 +52,7 @@ object Native {
     "graft_bpe_stats" -> (es => BpeStatsExpr(es(0), es(1), es(2))),
     "graft_gopher_stats" -> (es => GopherStatsExpr(es.head)),
     "graft_token_stats" -> (es => TokenStatsExpr(es.head)),
+    "graft_token_counts" -> (es => TokenCountsExpr(es.head)),
     "graft_lang_scores" -> (es => LangScoresExpr(es(0), es(1))),
     "graft_bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
@@ -110,6 +111,8 @@ object Native {
     call_function("graft_gopher_stats", text)
   def tokenStats(text: Column): Column =
     call_function("graft_token_stats", text)
+  def tokenCounts(text: Column): Column =
+    call_function("graft_token_counts", text)
   def langScores(text: Column, profiles: Column): Column =
     call_function("graft_lang_scores", text, profiles)
   /** `serialized` must be a literal (BloomFilter.writeTo bytes). */
@@ -337,6 +340,57 @@ object Native {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, chars))
+  }
+
+  /** Static eval for [[TokenCountsExpr]]: per-document token
+    * frequencies in ONE byte pass — the multiset of
+    * `(token, count)` pairs is exactly what
+    * `explode(tokens(text))` + `groupBy(doc, token).count` produces
+    * for the document's row. Split/trim semantics exactly as
+    * [[tokenStatsEval]] (space-only trim, `\s` field class, with the
+    * leading/trailing/trimmed-empty empty-field tokens split(-1)
+    * emits). Entries come out in first-occurrence order
+    * (deterministic from the text); consumers that need a different
+    * order must sort. Distinct-token keys are copied out of the
+    * input buffer, so the result owns its bytes. */
+  def tokenCountsEval(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    @inline def add(start: Int, len: Int): Unit = {
+      val view = UTF8String.fromBytes(bytes, start, len)
+      val prev = m.get(view)
+      if (prev == null) m.put(view.clone(), Array(1L)) else prev(0) += 1L
+    }
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    if (lo >= hi) add(lo, 0) // trimmed-empty: split -> [""]
+    else {
+      if (isWs(bytes(lo))) add(lo, 0) // leading empty field
+      var i = lo
+      while (i < hi) {
+        if (isWs(bytes(i))) i += 1
+        else {
+          val start = i
+          while (i < hi && !isWs(bytes(i))) i += 1
+          add(start, i - start)
+        }
+      }
+      if (isWs(bytes(hi - 1))) add(hi, 0) // trailing empty field
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var idx = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(idx) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      idx += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Static eval for [[LangScoresExpr]]: per-profile stopword-hit
@@ -1150,6 +1204,28 @@ case class TokenStatsExpr(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.Native.tokenStatsEval($t);")
   override protected def withNewChildInternal(c: Expression): TokenStatsExpr =
+    copy(c)
+}
+
+/** text string -> array<struct<token:string, tf:bigint>>: per-document
+  * token frequencies in ONE byte pass ([[Native.tokenCountsEval]]) —
+  * computed map-side, it replaces the
+  * `explode(tokens(text))` -> `groupBy(doc, token).count()` exchange +
+  * hash aggregate with a per-row expression: the (doc, token, tf) rows
+  * it explodes to are the exact multiset the aggregate produced, so a
+  * downstream per-token aggregate or join sees identical input with
+  * one whole exchange removed (guide §2.4). */
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    Native.tokenCountsEval(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Native.tokenCountsEval($t);")
+  override protected def withNewChildInternal(c: Expression): TokenCountsExpr =
     copy(c)
 }
 

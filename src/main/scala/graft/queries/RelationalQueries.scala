@@ -630,7 +630,14 @@ object RelationalQueries {
           table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
             col("o_orderpriority"), col("o_custkey")),
           "m", m)
-        .filter(element_at(col("m"), "status") === "O")
+        // Round 12 (guide §6): the filter used to be spelled
+        // element_at(m, 'status') === 'O' — provably equal (the map's
+        // 'status' entry IS o_orderstatus, null-for-null), but the
+        // generator barrier hid it from pushdown so the scan read every
+        // order row. The raw-column spelling reaches PushedFilters;
+        // every map function above is untouched (MapFuncsProbe pins
+        // row equality at sf0.1).
+        .filter(col("o_orderstatus") === "O")
         // sort FIRST, derive after: the range partitioner's sample pass
         // re-executes the sort's child, so projecting the interpreted
         // map_filter + sorted-CSV work above the Sort keeps it out of

@@ -533,16 +533,24 @@ object TextQueries {
     // TF-IDF-style distinctive terms, kept integer-exact: top-3 tokens
     // per document ranked by (term frequency DESC, document frequency
     // ASC, token) — the same ordering tf·log(N/df) induces for fixed tf,
-    // without cross-engine float log hazards. Shape at scale: one
-    // tokenize pass, partial-agg tf shuffle on (doc, token), df is a
-    // second aggregation of the (already small) tf table, and the
-    // df join back is a plain shuffle join keyed by token.
+    // without cross-engine float log hazards. Round 12 (guide §2.4):
+    // per-doc term frequencies are computed MAP-SIDE by TokenCountsExpr
+    // (one byte pass per doc) instead of explode -> groupBy(doc, token)
+    // — the (doc, token) exchange + hash aggregate over every token
+    // occurrence is gone; the exploded (doc, token, tf) rows are the
+    // identical multiset (TfidfProbe pins row equality at 3 SFs).
+    // Shape at scale: one tokenize pass per consumer, df aggregates the
+    // already-counted rows (partial-agg collapses to the vocab
+    // map-side), and the df join back is broadcast when the vocab
+    // fits, SHJ otherwise.
     "text_tfidf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      graft.functions.Native.register(s)
       val tf = table(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.Native.tokenCounts(col("text"))).as("e"))
+        .select(col("doc_id"), col("e.token").as("token"),
+          col("e.tf").as("tf"))
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       tf.join(df, "token")
         .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))

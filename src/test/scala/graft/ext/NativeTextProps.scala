@@ -75,6 +75,31 @@ object NativeTextProps extends Properties("Native.textPasses") {
         s"want=(${t.length},$wantChars)"
     }
 
+  property("tokenCountsEval matches first-occurrence-ordered token counts") =
+    org.scalacheck.Prop.forAll(genText) { text =>
+      val arr = graft.functions.Native.tokenCountsEval(UTF8String.fromString(text))
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      // reference: token -> count, keys in first-occurrence order —
+      // the multiset explode(tokens)+groupBy(doc, token).count yields
+      val want = {
+        val m = new java.util.LinkedHashMap[String, Long]()
+        refTokens(text).foreach(t => m.merge(t, 1L, (a, b) => a + b))
+        import scala.jdk.CollectionConverters._
+        // iterator, not entrySet().asScala: mapping over the Set view
+        // would drop insertion order (and dedupe tuples)
+        m.entrySet().iterator().asScala
+          .map(e => (e.getKey, e.getValue.longValue())).toSeq
+      }
+      def hx(s: Seq[(String, Long)]): String = s.map { case (t, c) =>
+        t.getBytes("UTF-8").map(b => f"$b%02x").mkString("") + ":" + c
+      }.mkString(",")
+      (got == want) :| s"text=${text.getBytes("UTF-8").map(b => f"$b%02x")
+        .mkString("")} got=${hx(got)} want=${hx(want)}"
+    }
+
   private val profiles: Seq[Seq[String]] =
     graft.text.TextOps.langProfiles.map(_._2)
 

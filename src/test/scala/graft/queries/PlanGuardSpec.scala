@@ -142,6 +142,28 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("text_tfidf computes term frequencies map-side (r12): no " +
+      "(doc, token) aggregate exchange on the join's streamed side") {
+    val p = plan("text_tfidf")
+    // the native per-doc counts expression replaced the explode ->
+    // groupBy(doc, token) pre-aggregate; if that aggregate returns, so
+    // does a full exchange of every distinct (doc, token) pair
+    assert(p.contains("tokencountsexpr") ||
+      p.contains("graft_token_counts") || p.contains("TokenCounts"),
+      s"text_tfidf lost its native token-counts expression:\n$p")
+    // (the window's hashpartitioning(doc_id) exchange is expected; the
+    // banned shape is the aggregate keyed by (doc_id, token))
+    val docTokenAggs = "HashAggregate\\(keys=\\[doc_id".r.findAllIn(p).size
+    assert(docTokenAggs == 0,
+      s"text_tfidf re-grew a (doc, token)-keyed aggregate:\n$p")
+  }
+
+  test("q_map_funcs filter reaches the scan (r12 pushdown)") {
+    val p = plan("q_map_funcs")
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      s"q_map_funcs status filter no longer pushed to the scan:\n$p")
+  }
+
   test("q_map_funcs pins its map: exactly ONE map_concat evaluation " +
       "per row (five inlined builds regressed 1.7x at sf1)") {
     val p = plan("q_map_funcs")
